@@ -1,0 +1,837 @@
+"""Minimal PDF object model + document loader (pure Python, no Ray).
+
+This is a from-scratch replacement for the subset of ``lopdf`` the reference
+engine uses (see /root/reference/src/detector.rs:76-99 and
+/root/reference/src/extractor.rs:853-890): tokenizer, xref tables and xref
+streams, object streams, Flate decode with PNG predictors, page-tree walk with
+attribute inheritance, per-page fonts / content streams, and a content-stream
+operator decoder.
+
+Design notes for the Ray pipeline: one :class:`Document` is built per row
+inside a ``map_batches`` UDF and dropped afterwards; nothing here touches Ray.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator, Optional, Union
+
+
+class PdfError(Exception):
+    """Parse-level error; kind mirrors the reference's PdfError enum
+    (/root/reference/src/lib.rs:135-145)."""
+
+    def __init__(self, message: str, kind: str = "Parse"):
+        super().__init__(message)
+        self.kind = kind
+
+
+class Name(str):
+    """A PDF name object (``/Foo``). Subclass of str for ergonomic use."""
+
+    __slots__ = ()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"/{str.__str__(self)}"
+
+
+class Reference(tuple):
+    """An indirect object reference ``N G R``."""
+
+    __slots__ = ()
+
+    def __new__(cls, num: int, gen: int = 0):
+        return tuple.__new__(cls, (num, gen))
+
+    @property
+    def num(self) -> int:
+        return self[0]
+
+    @property
+    def gen(self) -> int:
+        return self[1]
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"{self[0]} {self[1]} R"
+
+
+class PdfString(bytes):
+    """A PDF string object — raw bytes, encoding resolved later."""
+
+    __slots__ = ()
+
+
+class Stream:
+    """A stream object: dictionary + raw (still encoded) data."""
+
+    __slots__ = ("dict", "raw")
+
+    def __init__(self, d: dict, raw: bytes):
+        self.dict = d
+        self.raw = raw
+
+    def decoded(self, doc: Optional["Document"] = None) -> bytes:
+        """Apply /Filter chain (FlateDecode + optional predictors).
+        Unknown filters raise PdfError; callers that want the reference's
+        "fall back to raw content" behavior catch it
+        (/root/reference/src/detector.rs:249-252)."""
+        data = self.raw
+        filters = self.dict.get("Filter")
+        if filters is None:
+            return data
+        if doc is not None and isinstance(filters, Reference):
+            filters = doc.get_object(filters)
+        if not isinstance(filters, list):
+            filters = [filters]
+        parms = self.dict.get("DecodeParms")
+        if doc is not None and isinstance(parms, Reference):
+            parms = doc.get_object(parms)
+        if not isinstance(parms, list):
+            parms = [parms] * len(filters)
+        for f, p in zip(filters, parms):
+            fname = str(f)
+            if fname in ("FlateDecode", "Fl"):
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as e:
+                    raise PdfError(f"flate decode failed: {e}") from e
+                if isinstance(p, dict):
+                    data = _apply_predictor(data, p, doc)
+            elif fname in ("ASCIIHexDecode", "AHx"):
+                hexdata = bytes(c for c in data if not chr(c).isspace() and c != 0x3E)
+                if len(hexdata) % 2:
+                    hexdata += b"0"
+                data = bytes.fromhex(hexdata.decode("ascii", "ignore"))
+            else:
+                raise PdfError(f"unsupported filter {fname}")
+        return data
+
+
+def _apply_predictor(data: bytes, parms: dict, doc: Optional["Document"]) -> bytes:
+    def _res(v):
+        if doc is not None and isinstance(v, Reference):
+            return doc.get_object(v)
+        return v
+
+    predictor = int(_res(parms.get("Predictor", 1)) or 1)
+    if predictor <= 1:
+        return data
+    colors = int(_res(parms.get("Colors", 1)) or 1)
+    bpc = int(_res(parms.get("BitsPerComponent", 8)) or 8)
+    columns = int(_res(parms.get("Columns", 1)) or 1)
+    bpp = max(1, (colors * bpc) // 8)
+    row_len = (columns * colors * bpc + 7) // 8
+    if predictor >= 10:
+        # PNG predictors: each row prefixed by a filter-type byte
+        out = bytearray()
+        prev = bytearray(row_len)
+        i = 0
+        while i + 1 <= len(data):
+            ft = data[i]
+            row = bytearray(data[i + 1 : i + 1 + row_len])
+            if len(row) < row_len:
+                row.extend(b"\x00" * (row_len - len(row)))
+            if ft == 1:  # Sub
+                for j in range(bpp, row_len):
+                    row[j] = (row[j] + row[j - bpp]) & 0xFF
+            elif ft == 2:  # Up
+                for j in range(row_len):
+                    row[j] = (row[j] + prev[j]) & 0xFF
+            elif ft == 3:  # Average
+                for j in range(row_len):
+                    left = row[j - bpp] if j >= bpp else 0
+                    row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+            elif ft == 4:  # Paeth
+                for j in range(row_len):
+                    a = row[j - bpp] if j >= bpp else 0
+                    b = prev[j]
+                    c = prev[j - bpp] if j >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row[j] = (row[j] + pred) & 0xFF
+            out.extend(row)
+            prev = row
+            i += 1 + row_len
+        return bytes(out)
+    # TIFF predictor 2
+    out = bytearray(data)
+    for r in range(0, len(out) - row_len + 1, row_len):
+        for j in range(bpp, row_len):
+            out[r + j] = (out[r + j] + out[r + j - bpp]) & 0xFF
+    return bytes(out)
+
+
+PdfObject = Union[None, bool, int, float, PdfString, Name, list, dict, Reference, Stream]
+
+_WHITESPACE = b"\x00\t\n\x0c\r "
+_DELIMS = b"()<>[]{}/%"
+
+
+class Lexer:
+    """Tokenizer / object parser over a byte buffer."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def skip_ws(self) -> None:
+        d, n = self.data, len(self.data)
+        p = self.pos
+        while p < n:
+            c = d[p]
+            if c in _WHITESPACE:
+                p += 1
+            elif c == 0x25:  # '%' comment
+                while p < n and d[p] not in b"\r\n":
+                    p += 1
+            else:
+                break
+        self.pos = p
+
+    def peek(self) -> int:
+        return self.data[self.pos] if self.pos < len(self.data) else -1
+
+    def _read_token_word(self) -> bytes:
+        d, n = self.data, len(self.data)
+        start = self.pos
+        p = start
+        while p < n and d[p] not in _WHITESPACE and d[p] not in _DELIMS:
+            p += 1
+        self.pos = p
+        return d[start:p]
+
+    def parse_object(self) -> PdfObject:
+        self.skip_ws()
+        c = self.peek()
+        if c == -1:
+            raise PdfError("unexpected EOF")
+        d = self.data
+        if c == 0x2F:  # '/'
+            return self._parse_name()
+        if c == 0x28:  # '('
+            return self._parse_literal_string()
+        if c == 0x3C:  # '<'
+            if self.pos + 1 < len(d) and d[self.pos + 1] == 0x3C:
+                return self._parse_dict_or_stream()
+            return self._parse_hex_string()
+        if c == 0x5B:  # '['
+            return self._parse_array()
+        if c == 0x5D:  # ']'
+            raise PdfError("unexpected ]")
+        # number / keyword / reference
+        tok = self._read_token_word()
+        if not tok:
+            raise PdfError(f"bad token at {self.pos}")
+        if tok == b"true":
+            return True
+        if tok == b"false":
+            return False
+        if tok == b"null":
+            return None
+        # Possibly "N G R" reference
+        if _INT_RE.match(tok):
+            save = self.pos
+            self.skip_ws()
+            tok2_start = self.pos
+            tok2 = self._read_token_word()
+            if tok2 and _INT_RE.match(tok2):
+                self.skip_ws()
+                tok3 = self._read_token_word()
+                if tok3 == b"R":
+                    return Reference(int(tok), int(tok2))
+            self.pos = save
+            return int(tok)
+        try:
+            return float(tok)
+        except ValueError:
+            raise PdfError(f"bad token {tok!r} at {self.pos}")
+
+    def _parse_name(self) -> Name:
+        assert self.data[self.pos] == 0x2F
+        self.pos += 1
+        d, n = self.data, len(self.data)
+        out = bytearray()
+        p = self.pos
+        while p < n:
+            c = d[p]
+            if c in _WHITESPACE or c in _DELIMS:
+                break
+            if c == 0x23 and p + 2 < n:  # '#xx'
+                try:
+                    out.append(int(d[p + 1 : p + 3], 16))
+                    p += 3
+                    continue
+                except ValueError:
+                    pass
+            out.append(c)
+            p += 1
+        self.pos = p
+        return Name(out.decode("latin-1"))
+
+    def _parse_literal_string(self) -> PdfString:
+        d, n = self.data, len(self.data)
+        p = self.pos + 1
+        out = bytearray()
+        depth = 1
+        while p < n:
+            c = d[p]
+            if c == 0x5C:  # backslash
+                p += 1
+                if p >= n:
+                    break
+                e = d[p]
+                if e == 0x6E:
+                    out.append(0x0A)
+                elif e == 0x72:
+                    out.append(0x0D)
+                elif e == 0x74:
+                    out.append(0x09)
+                elif e == 0x62:
+                    out.append(0x08)
+                elif e == 0x66:
+                    out.append(0x0C)
+                elif e in b"()\\":
+                    out.append(e)
+                elif 0x30 <= e <= 0x37:  # octal
+                    oct_digits = [e]
+                    for _ in range(2):
+                        if p + 1 < n and 0x30 <= d[p + 1] <= 0x37:
+                            p += 1
+                            oct_digits.append(d[p])
+                        else:
+                            break
+                    out.append(int(bytes(oct_digits), 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    if e == 0x0D and p + 1 < n and d[p + 1] == 0x0A:
+                        p += 1
+                else:
+                    out.append(e)
+                p += 1
+                continue
+            if c == 0x28:
+                depth += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth == 0:
+                    p += 1
+                    break
+            out.append(c)
+            p += 1
+        self.pos = p
+        return PdfString(bytes(out))
+
+    def _parse_hex_string(self) -> PdfString:
+        d, n = self.data, len(self.data)
+        p = self.pos + 1
+        hex_digits = bytearray()
+        while p < n and d[p] != 0x3E:
+            c = d[p]
+            if chr(c) in "0123456789abcdefABCDEF":
+                hex_digits.append(c)
+            p += 1
+        self.pos = p + 1
+        if len(hex_digits) % 2:
+            hex_digits.append(0x30)
+        return PdfString(bytes.fromhex(hex_digits.decode("ascii")))
+
+    def _parse_array(self) -> list:
+        self.pos += 1
+        out = []
+        while True:
+            self.skip_ws()
+            if self.peek() == 0x5D:
+                self.pos += 1
+                return out
+            if self.peek() == -1:
+                raise PdfError("unterminated array")
+            out.append(self.parse_object())
+
+    def _parse_dict_or_stream(self) -> Union[dict, Stream]:
+        self.pos += 2
+        d = {}
+        while True:
+            self.skip_ws()
+            c = self.peek()
+            if c == 0x3E:  # '>>'
+                self.pos += 2
+                break
+            if c == -1:
+                raise PdfError("unterminated dict")
+            key = self.parse_object()
+            if not isinstance(key, Name):
+                raise PdfError(f"dict key not a name: {key!r}")
+            val = self.parse_object()
+            d[str(key)] = val
+        # stream?
+        save = self.pos
+        self.skip_ws()
+        if self.data[self.pos : self.pos + 6] == b"stream":
+            self.pos += 6
+            if self.data[self.pos : self.pos + 2] == b"\r\n":
+                self.pos += 2
+            elif self.pos < len(self.data) and self.data[self.pos] in b"\n\r":
+                self.pos += 1
+            length = d.get("Length")
+            start = self.pos
+            if isinstance(length, int) and length >= 0:
+                end = start + length
+                tail = self.data[end : end + 20]
+                if b"endstream" not in tail:
+                    end = self._find_endstream(start)
+            else:
+                end = self._find_endstream(start)
+            raw = self.data[start:end]
+            # move past endstream
+            idx = self.data.find(b"endstream", end)
+            self.pos = (idx + 9) if idx >= 0 else end
+            return Stream(d, raw)
+        self.pos = save
+        return d
+
+    def _find_endstream(self, start: int) -> int:
+        idx = self.data.find(b"endstream", start)
+        if idx < 0:
+            raise PdfError("missing endstream")
+        end = idx
+        if end > start and self.data[end - 1 : end] == b"\n":
+            end -= 1
+        if end > start and self.data[end - 1 : end] == b"\r":
+            end -= 1
+        return end
+
+
+_INT_RE = re.compile(rb"^[+-]?\d+$")
+_OBJ_HEADER_RE = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj\b")
+
+
+class Document:
+    """A loaded PDF document: object table + trailer + page tree."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.xref: dict[int, tuple] = {}  # obj_num -> ("n", offset) | ("c", stm_num, idx)
+        self.trailer: dict = {}
+        self._cache: dict[int, PdfObject] = {}
+        self._objstm_cache: dict[int, dict[int, PdfObject]] = {}
+        self._pages: Optional[dict[int, Reference]] = None
+
+    # -- loading -----------------------------------------------------------
+    @classmethod
+    def load_mem(cls, data: bytes) -> "Document":
+        if not isinstance(data, (bytes, bytearray, memoryview)):
+            raise PdfError("buffer required", kind="Io")
+        data = bytes(data)
+        head = data[:1024]
+        if b"%PDF" not in head:
+            raise PdfError("not a PDF: missing %PDF header", kind="InvalidStructure")
+        doc = cls(data)
+        try:
+            doc._load_xref()
+        except PdfError:
+            doc._recover_scan()
+        if not doc.xref and not doc._recover_scan_done:
+            doc._recover_scan()
+        if not doc.trailer.get("Root"):
+            doc._recover_find_root()
+        if doc.trailer.get("Encrypt") is not None:
+            raise PdfError("PDF is encrypted", kind="Encrypted")
+        if not doc.trailer.get("Root"):
+            raise PdfError("no document catalog", kind="InvalidStructure")
+        return doc
+
+    _recover_scan_done = False
+
+    def _load_xref(self) -> None:
+        tail = self.data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref[\x00\t\n\x0c\r ]+(\d+)", tail):
+            pass
+        if m is None:
+            raise PdfError("no startxref")
+        offset = int(m.group(1))
+        seen = set()
+        while offset and offset not in seen and 0 <= offset < len(self.data):
+            seen.add(offset)
+            offset = self._parse_xref_section(offset)
+
+    def _parse_xref_section(self, offset: int) -> int:
+        lex = Lexer(self.data, offset)
+        lex.skip_ws()
+        if self.data[lex.pos : lex.pos + 4] == b"xref":
+            return self._parse_xref_table(lex.pos + 4)
+        # xref stream: "N G obj << ... >> stream"
+        mo = _OBJ_HEADER_RE.match(self.data, lex.pos)
+        if not mo:
+            raise PdfError(f"bad xref at {offset}")
+        lex.pos = mo.end()
+        obj = lex.parse_object()
+        if not isinstance(obj, Stream):
+            raise PdfError("xref stream expected")
+        self._parse_xref_stream(obj)
+        prev = obj.dict.get("Prev")
+        for k, v in obj.dict.items():
+            if k not in self.trailer:
+                self.trailer[k] = v
+        return int(prev) if isinstance(prev, (int, float)) else 0
+
+    def _parse_xref_table(self, pos: int) -> int:
+        lex = Lexer(self.data, pos)
+        while True:
+            lex.skip_ws()
+            if self.data[lex.pos : lex.pos + 7] == b"trailer":
+                lex.pos += 7
+                trailer = lex.parse_object()
+                if not isinstance(trailer, dict):
+                    raise PdfError("bad trailer")
+                for k, v in trailer.items():
+                    if k not in self.trailer:
+                        self.trailer[k] = v
+                # Hybrid files: /XRefStm points to an xref stream with more entries
+                xrefstm = trailer.get("XRefStm")
+                if isinstance(xrefstm, (int, float)):
+                    try:
+                        self._parse_xref_section(int(xrefstm))
+                    except PdfError:
+                        pass
+                prev = trailer.get("Prev")
+                return int(prev) if isinstance(prev, (int, float)) else 0
+            m = re.match(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)", self.data[lex.pos : lex.pos + 40])
+            if not m:
+                raise PdfError("bad xref subsection header")
+            start, count = int(m.group(1)), int(m.group(2))
+            lex.pos += m.end()
+            lex.skip_ws()
+            for i in range(count):
+                entry = self.data[lex.pos : lex.pos + 20]
+                em = re.match(rb"(\d{10})[ ]?(\d{5})[ ]?([nf])", entry)
+                if not em:
+                    raise PdfError("bad xref entry")
+                if em.group(3) == b"n":
+                    num = start + i
+                    if num not in self.xref:
+                        self.xref[num] = ("n", int(em.group(1)))
+                lex.pos += em.end()
+                lex.skip_ws()
+
+    def _parse_xref_stream(self, stm: Stream) -> None:
+        data = stm.decoded(self)
+        w = [int(x) for x in stm.dict.get("W", [1, 1, 1])]
+        size = int(stm.dict.get("Size", 0))
+        index = stm.dict.get("Index", [0, size])
+        index = [int(x) for x in index]
+        row_len = sum(w)
+        pos = 0
+
+        def field(row: bytes, start: int, width: int, default: int) -> int:
+            if width == 0:
+                return default
+            return int.from_bytes(row[start : start + width], "big")
+
+        for k in range(0, len(index), 2):
+            start, count = index[k], index[k + 1]
+            for i in range(count):
+                row = data[pos : pos + row_len]
+                pos += row_len
+                if len(row) < row_len:
+                    return
+                ftype = field(row, 0, w[0], 1)
+                f2 = field(row, w[0], w[1], 0)
+                f3 = field(row, w[0] + w[1], w[2], 0)
+                num = start + i
+                if num in self.xref:
+                    continue
+                if ftype == 1:
+                    self.xref[num] = ("n", f2)
+                elif ftype == 2:
+                    self.xref[num] = ("c", f2, f3)
+
+    def _recover_scan(self) -> None:
+        """Brute-force scan for ``N G obj`` patterns (mirrors lopdf recovery)."""
+        self._recover_scan_done = True
+        for m in _OBJ_HEADER_RE.finditer(self.data):
+            num = int(m.group(1))
+            # later definitions win (incremental updates appear later in file)
+            self.xref[num] = ("n", m.start())
+        # parse trailer dict if present
+        tpos = self.data.rfind(b"trailer")
+        if tpos >= 0:
+            try:
+                lex = Lexer(self.data, tpos + 7)
+                trailer = lex.parse_object()
+                if isinstance(trailer, dict):
+                    for k, v in trailer.items():
+                        self.trailer.setdefault(k, v)
+            except PdfError:
+                pass
+
+    def _recover_find_root(self) -> None:
+        if not self._recover_scan_done:
+            self._recover_scan()
+        if self.trailer.get("Root"):
+            return
+        for num in sorted(self.xref):
+            try:
+                obj = self.get_object(Reference(num))
+            except PdfError:
+                continue
+            d = obj.dict if isinstance(obj, Stream) else obj
+            if isinstance(d, dict) and str(d.get("Type", "")) == "Catalog":
+                self.trailer["Root"] = Reference(num)
+                return
+
+    # -- object access -----------------------------------------------------
+    def get_object(self, ref: Union[Reference, int]) -> PdfObject:
+        num = ref.num if isinstance(ref, Reference) else int(ref)
+        if num in self._cache:
+            return self._cache[num]
+        entry = self.xref.get(num)
+        if entry is None:
+            raise PdfError(f"object {num} not found")
+        if entry[0] == "n":
+            obj = self._parse_at(entry[1], num)
+        else:
+            obj = self._from_objstm(entry[1], entry[2], num)
+        self._cache[num] = obj
+        return obj
+
+    def _parse_at(self, offset: int, expect_num: int) -> PdfObject:
+        m = _OBJ_HEADER_RE.match(self.data, offset)
+        if not m:
+            # tolerate slightly-off offsets: search nearby
+            window = self.data[max(0, offset - 32) : offset + 64]
+            m2 = _OBJ_HEADER_RE.search(window)
+            if not m2:
+                raise PdfError(f"no obj header at {offset}")
+            lex = Lexer(self.data, max(0, offset - 32) + m2.end())
+        else:
+            lex = Lexer(self.data, m.end())
+        return lex.parse_object()
+
+    def _from_objstm(self, stm_num: int, idx: int, expect_num: int) -> PdfObject:
+        table = self._objstm_cache.get(stm_num)
+        if table is None:
+            stm = self.get_object(Reference(stm_num))
+            if not isinstance(stm, Stream):
+                raise PdfError(f"object stream {stm_num} missing")
+            data = stm.decoded(self)
+            n = int(self.resolve(stm.dict.get("N", 0)) or 0)
+            first = int(self.resolve(stm.dict.get("First", 0)) or 0)
+            hdr = Lexer(data, 0)
+            pairs = []
+            for _ in range(n):
+                hdr.skip_ws()
+                onum = int(hdr._read_token_word())
+                hdr.skip_ws()
+                ooff = int(hdr._read_token_word())
+                pairs.append((onum, ooff))
+            table = {}
+            for onum, ooff in pairs:
+                try:
+                    table[onum] = Lexer(data, first + ooff).parse_object()
+                except PdfError:
+                    table[onum] = None
+            self._objstm_cache[stm_num] = table
+        if expect_num in table:
+            return table[expect_num]
+        raise PdfError(f"object {expect_num} not in stream {stm_num}")
+
+    def resolve(self, obj: PdfObject) -> PdfObject:
+        seen = 0
+        while isinstance(obj, Reference):
+            obj = self.get_object(obj)
+            seen += 1
+            if seen > 32:
+                raise PdfError("reference loop")
+        return obj
+
+    def get_dict(self, obj: PdfObject) -> Optional[dict]:
+        try:
+            o = self.resolve(obj)
+        except PdfError:
+            return None
+        if isinstance(o, Stream):
+            return o.dict
+        return o if isinstance(o, dict) else None
+
+    def get_array(self, obj: PdfObject) -> Optional[list]:
+        try:
+            o = self.resolve(obj)
+        except PdfError:
+            return None
+        return o if isinstance(o, list) else None
+
+    # -- page tree ---------------------------------------------------------
+    def get_pages(self) -> dict[int, Reference]:
+        """Page number (1-based) -> page object reference, document order
+        (mirrors lopdf ``get_pages``)."""
+        if self._pages is not None:
+            return self._pages
+        pages: dict[int, Reference] = {}
+        root = self.get_dict(self.trailer.get("Root"))
+        if not root:
+            self._pages = pages
+            return pages
+        top = root.get("Pages")
+        count = 0
+        stack = [top]
+        visited = set()
+        order: list[Reference] = []
+        # iterative DFS preserving Kids order
+        def walk(node_ref):
+            nonlocal count
+            if isinstance(node_ref, Reference):
+                if node_ref.num in visited:
+                    return
+                visited.add(node_ref.num)
+            node = self.get_dict(node_ref)
+            if node is None:
+                return
+            ntype = str(node.get("Type", ""))
+            kids = self.get_array(node.get("Kids"))
+            if ntype == "Pages" or (kids is not None and ntype != "Page"):
+                for kid in kids or []:
+                    walk(kid)
+            elif ntype == "Page" or "Contents" in node or "MediaBox" in node:
+                if isinstance(node_ref, Reference):
+                    order.append(node_ref)
+
+        walk(top)
+        for i, ref in enumerate(order, start=1):
+            pages[i] = ref
+        self._pages = pages
+        return pages
+
+    def page_count(self) -> int:
+        # Fast path: /Pages /Count (lopdf load_metadata equivalent)
+        root = self.get_dict(self.trailer.get("Root"))
+        if root:
+            pages_node = self.get_dict(root.get("Pages"))
+            if pages_node and isinstance(self.resolve(pages_node.get("Count")), int):
+                return int(self.resolve(pages_node.get("Count")))
+        return len(self.get_pages())
+
+    def _page_attr(self, page_ref: Reference, key: str) -> PdfObject:
+        """Look up a page attribute with inheritance via /Parent."""
+        node = self.get_dict(page_ref)
+        depth = 0
+        while node is not None and depth < 64:
+            if key in node:
+                return node[key]
+            node = self.get_dict(node.get("Parent"))
+            depth += 1
+        return None
+
+    def get_page_resources(self, page_ref: Reference) -> Optional[dict]:
+        return self.get_dict(self._page_attr(page_ref, "Resources"))
+
+    def get_page_contents(self, page_ref: Reference) -> list[Reference]:
+        raw = self._page_attr(page_ref, "Contents")
+        refs: list[Reference] = []
+        if isinstance(raw, Reference):
+            try:
+                resolved = self.resolve(raw)
+            except PdfError:
+                return []
+            if isinstance(resolved, list):
+                refs.extend(r for r in resolved if isinstance(r, Reference))
+            else:
+                refs.append(raw)
+        elif isinstance(raw, list):
+            refs.extend(r for r in raw if isinstance(r, Reference))
+        return refs
+
+    def get_page_content(self, page_ref: Reference) -> bytes:
+        """Concatenated decompressed content streams for a page."""
+        parts = []
+        for ref in self.get_page_contents(page_ref):
+            try:
+                obj = self.resolve(ref)
+            except PdfError:
+                continue
+            if isinstance(obj, Stream):
+                try:
+                    parts.append(obj.decoded(self))
+                except PdfError:
+                    parts.append(obj.raw)
+        return b"\n".join(parts)
+
+    def get_page_fonts(self, page_ref: Reference) -> dict[str, dict]:
+        """Font resource name -> font dictionary (resolved)."""
+        res = self.get_page_resources(page_ref)
+        fonts: dict[str, dict] = {}
+        if not res:
+            return fonts
+        font_dict = self.get_dict(res.get("Font"))
+        if not font_dict:
+            return fonts
+        for name, val in font_dict.items():
+            d = self.get_dict(val)
+            if d is not None:
+                fonts[str(name)] = d
+        return fonts
+
+
+# -- content stream decoding ----------------------------------------------
+
+class Operation:
+    __slots__ = ("operator", "operands")
+
+    def __init__(self, operator: str, operands: list):
+        self.operator = operator
+        self.operands = operands
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"Operation({self.operator!r}, {self.operands!r})"
+
+
+_OPERATOR_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+
+
+def decode_content(data: bytes) -> list[Operation]:
+    """Parse a content stream into operations (lopdf ``Content::decode``).
+
+    Inline images (BI ... ID ... EI) are skipped. Malformed trailing bytes
+    are tolerated (operands without an operator are dropped).
+    """
+    ops: list[Operation] = []
+    lex = Lexer(data)
+    operands: list = []
+    n = len(data)
+    while True:
+        lex.skip_ws()
+        if lex.pos >= n:
+            break
+        c = lex.peek()
+        if c in (0x2F, 0x28, 0x3C, 0x5B) or (48 <= c <= 57) or c in (0x2B, 0x2D, 0x2E):
+            try:
+                operands.append(lex.parse_object())
+            except PdfError:
+                break
+            continue
+        m = _OPERATOR_RE.match(data, lex.pos)
+        if not m:
+            lex.pos += 1
+            continue
+        op = m.group(0).decode("latin-1")
+        lex.pos = m.end()
+        if op == "BI":
+            # skip inline image to EI
+            idx = data.find(b"EI", lex.pos)
+            lex.pos = (idx + 2) if idx >= 0 else n
+            operands = []
+            continue
+        # numbers like "1" are handled above; keywords true/false/null:
+        if op in ("true", "false", "null"):
+            operands.append({"true": True, "false": False, "null": None}[op])
+            continue
+        ops.append(Operation(op, operands))
+        operands = []
+    return ops
+
+
+def load_mem(data: bytes) -> Document:
+    return Document.load_mem(data)
