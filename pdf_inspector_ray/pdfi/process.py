@@ -1,0 +1,85 @@
+"""Top-level per-document processing: inspect → classify → extract → render.
+
+Port of /root/reference/src/lib.rs:91-133 (``process_pdf_mem``): detect,
+route on pdf_type (TextBased → extract+markdown; Scanned/ImageBased → early
+return with OCR flag; Mixed → best-effort extract), measure wall time.
+
+This is exactly the function the Ray extract actor calls once per row with
+the turn's ``text`` payload bytes.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+from .detect import DetectionConfig, PdfTypeResult, detect_pdf_type_mem
+from .extract import extract_text_with_positions_mem
+from .markdown import MarkdownOptions, to_markdown_from_items
+from .objects import PdfError
+from .tounicode import FontCMaps
+
+
+@dataclass
+class PdfProcessResult:
+    """lib.rs:23-34 (+ detection detail columns the pipeline exports)."""
+
+    pdf_type: str
+    text: Optional[str]
+    markdown: Optional[str]
+    page_count: int
+    processing_time_ms: int
+    detection: Optional[PdfTypeResult] = None
+
+
+def process_pdf_mem(
+    buffer: bytes,
+    detection_config: Optional[DetectionConfig] = None,
+    markdown_options: Optional[MarkdownOptions] = None,
+    font_cmaps: Optional[FontCMaps] = None,
+) -> PdfProcessResult:
+    """lib.rs:91-133. Raises PdfError on unparseable/encrypted input —
+    the Ray stage catches it into the error column.
+
+    ``font_cmaps`` lets the actor inject a cached per-payload CMap index so
+    repeated payloads skip the raw-bytes pre-pass.
+    """
+    start = time.perf_counter()
+    detection = detect_pdf_type_mem(buffer, detection_config)
+
+    if detection.pdf_type == "TextBased":
+        items = extract_text_with_positions_mem(buffer, font_cmaps=font_cmaps)
+        markdown = to_markdown_from_items(items, markdown_options)
+        return PdfProcessResult(
+            pdf_type="TextBased",
+            text=None,
+            markdown=markdown,
+            page_count=detection.page_count,
+            processing_time_ms=int((time.perf_counter() - start) * 1000),
+            detection=detection,
+        )
+    if detection.pdf_type in ("Scanned", "ImageBased"):
+        return PdfProcessResult(
+            pdf_type=detection.pdf_type,
+            text=None,
+            markdown=None,
+            page_count=detection.page_count,
+            processing_time_ms=int((time.perf_counter() - start) * 1000),
+            detection=detection,
+        )
+    # Mixed: best-effort extraction (errors swallowed — lib.rs:119 .ok())
+    markdown = None
+    try:
+        items = extract_text_with_positions_mem(buffer, font_cmaps=font_cmaps)
+        markdown = to_markdown_from_items(items, markdown_options)
+    except PdfError:
+        pass
+    return PdfProcessResult(
+        pdf_type="Mixed",
+        text=None,
+        markdown=markdown,
+        page_count=detection.page_count,
+        processing_time_ms=int((time.perf_counter() - start) * 1000),
+        detection=detection,
+    )

@@ -340,8 +340,10 @@ def f08_multicolumn() -> bytes:
     pages = w.reserve()
     font = _font_simple(w, b"Helvetica")
     lines = [(72, 730, 20, "Spanning Title Across Both Columns Here Wide")]
-    # left column x=72..280, right column x=332..540 → gutter ~280..332
-    for i in range(14):
+    # left column x=72..~200, right column x=332..~460 → gutter ~200..332.
+    # 25 lines/column so the spanning title's single gutter crossing stays
+    # under the 5% noise threshold (detect_columns, extractor.rs:2055-2057).
+    for i in range(25):
         y = 700 - i * 14
         lines.append((72, y, 10, f"left column line {i} with words"))
         lines.append((332, y, 10, f"right column line {i} more text"))
