@@ -1,0 +1,112 @@
+"""Flagship pipeline: read → extract (fused classify+extract actor pool) →
+salted ordering → partitioned resumable write.
+
+Ray Data shape (SURVEY.md §3.1): the only data movement is the read, the
+one conv_id shuffle, and the write. Extraction is embarrassingly parallel
+per turn → no key needed; the ordering restore is the single shuffle.
+
+Never calls ``ray.init`` — the session is owned by the driver / bench / tests.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Union
+
+import ray.data
+
+from ..pdfi.detect import DetectionConfig
+from ..pdfi.markdown import MarkdownOptions
+from ..stages.classify import classify_batch
+from ..stages.extract_stage import ExtractRender
+from ..state.checkpoint import filter_completed, list_completed_partitions, write_partition
+from .ordering import add_salted_partition, restore_turn_order, sort_within_group
+
+# Sized for a 32-core local node; on a multi-node cluster `concurrency`
+# scales with the cluster and the streaming executor backpressures the read.
+DEFAULT_BATCH_SIZE = 64          # PDF parse cost dominates; small batches keep
+                                 # actor heartbeats short (SURVEY.md §4.2)
+DEFAULT_CONCURRENCY = (2, 32)
+
+
+def read_transcripts(path: Union[str, list[str]],
+                     columns: Optional[list[str]] = None) -> ray.data.Dataset:
+    """Column-pruned parquet read (only ship what the stage needs)."""
+    return ray.data.read_parquet(path, columns=columns)
+
+
+def classify_pipeline(ds: ray.data.Dataset,
+                      config: Optional[DetectionConfig] = None) -> ray.data.Dataset:
+    """detect-pdf equivalent: stateless classification only (SB)."""
+    return ds.map_batches(
+        classify_batch,
+        fn_kwargs={"config": config} if config else {},
+        batch_format="pyarrow",
+    )
+
+
+def extract_pipeline(ds: ray.data.Dataset,
+                     detection_config: Optional[DetectionConfig] = None,
+                     markdown_options: Optional[MarkdownOptions] = None,
+                     batch_size: int = DEFAULT_BATCH_SIZE,
+                     concurrency=DEFAULT_CONCURRENCY,
+                     use_payload_cache: bool = True) -> ray.data.Dataset:
+    """inspect→classify→extract over every turn (AB actor pool)."""
+    return ds.map_batches(
+        ExtractRender,
+        fn_constructor_kwargs={
+            "detection_config": detection_config,
+            "markdown_options": markdown_options,
+            "use_payload_cache": use_payload_cache,
+        },
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+        batch_format="pyarrow",
+    )
+
+
+def flagship(ds: ray.data.Dataset,
+             ordering: str = "sort",
+             num_buckets: int = 64,
+             **extract_kwargs) -> ray.data.Dataset:
+    """extract + stable turn ordering; returns the ordered dataset."""
+    extracted = extract_pipeline(ds, **extract_kwargs)
+    return restore_turn_order(extracted, strategy=ordering,
+                              num_buckets=num_buckets)
+
+
+def run_to_partitioned_output(ds: ray.data.Dataset,
+                              out_dir: str,
+                              num_buckets: int = 64,
+                              resume: bool = True,
+                              **extract_kwargs) -> dict:
+    """The full resumable job: salt → (skip completed parts) → extract →
+    per-bucket sort → partitioned write with lineage sidecars.
+
+    Salting happens BEFORE extraction so a resumed run skips the expensive
+    parse for completed partitions, not just the write.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    completed = frozenset(list_completed_partitions(out_dir)) if resume else frozenset()
+
+    salted = ds.map_batches(
+        add_salted_partition,
+        fn_kwargs={"num_buckets": num_buckets},
+        batch_format="pyarrow")
+    if completed:
+        salted = salted.map_batches(
+            filter_completed, fn_kwargs={"completed": completed},
+            batch_format="pyarrow")
+
+    extracted = extract_pipeline(salted, **extract_kwargs)
+    ordered_written = extracted.groupby("part").map_groups(
+        lambda g: write_partition(sort_within_group(g), out_dir),
+        batch_format="pyarrow")
+    lineage = ordered_written.to_pandas()  # tiny: one row per partition
+    from ..state.checkpoint import aggregate_metrics
+    metrics = aggregate_metrics(out_dir)
+    metrics["partitions_written_this_run"] = int(
+        (~lineage["skipped"]).sum()) if len(lineage) else 0
+    metrics["partitions_skipped_this_run"] = len(completed)
+    return metrics

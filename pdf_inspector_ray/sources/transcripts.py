@@ -1,0 +1,139 @@
+"""Synthetic multi-turn transcript corpus (FIXTURES.md §1).
+
+Schema matches BASELINE.json ``input_hint`` exactly:
+``conv_id:string, turn_idx:int32, role:string, text:string, tool:string,
+ts:timestamp[us]`` plus a ``pdf_sha256:string`` companion column recording
+payload identity. ``text`` carries PDF bytes latin-1-decoded to string.
+
+Deterministic: seed-fixed numpy RNG, no wall clock. Conversation sizes are
+Zipf-distributed (a=1.5, clamped to [1, 2000]) so a few mega-conversations
+exercise the skew-salting path; rows are written in a seeded shuffle so the
+stable-ordering restore is actually tested; ~5% of rows carry a truncated
+payload to exercise the error column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .pdfgen import fixture_pool
+
+EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
+
+SCHEMA = pa.schema([
+    ("conv_id", pa.string()),
+    ("turn_idx", pa.int32()),
+    ("role", pa.string()),
+    ("text", pa.string()),
+    ("tool", pa.string()),
+    ("ts", pa.timestamp("us")),
+    ("pdf_sha256", pa.string()),
+])
+
+_ROLES = ("user", "assistant", "tool")
+
+
+def build_transcript_table(n_turns: int, seed: int = 42,
+                           corrupt_frac: float = 0.05) -> pa.Table:
+    """Build the corpus as one Arrow table (use for tests / small scales)."""
+    rng = np.random.default_rng(seed)
+    pool = fixture_pool()
+    pool_names = sorted(pool)
+    payloads = [pool[n] for n in pool_names]
+    payload_strs = [p.decode("latin-1") for p in payloads]
+    payload_hashes = [hashlib.sha256(p).hexdigest() for p in payloads]
+
+    # Zipf conversation sizes until we cover n_turns
+    conv_sizes: list[int] = []
+    total = 0
+    while total < n_turns:
+        size = int(min(2000, max(1, rng.zipf(1.5))))
+        size = min(size, n_turns - total)
+        conv_sizes.append(size)
+        total += size
+
+    conv_ids: list[str] = []
+    turn_idxs: list[int] = []
+    for ci, size in enumerate(conv_sizes):
+        cid = f"conv-{ci:06d}"
+        conv_ids.extend([cid] * size)
+        turn_idxs.extend(range(size))
+
+    n = len(conv_ids)
+    payload_idx = rng.integers(0, len(payloads), size=n)
+    corrupt = rng.random(n) < corrupt_frac
+    roles = [_ROLES[i % 3] for i in range(n)]
+
+    texts: list[str] = []
+    hashes: list[str] = []
+    for i in range(n):
+        pi = int(payload_idx[i])
+        if corrupt[i]:
+            s = payload_strs[pi]
+            cut = max(10, len(s) // 3)
+            texts.append(s[:cut] + "\x00TRUNCATED")
+            hashes.append("corrupt:" + payload_hashes[pi])
+        else:
+            texts.append(payload_strs[pi])
+            hashes.append(payload_hashes[pi])
+
+    ts = [EPOCH_US + 60_000_000 * i for i in range(n)]
+    tools = ["pdf_reader" if r == "tool" else "" for r in roles]
+
+    # seeded shuffle so turn ordering must be restored by the pipeline
+    perm = rng.permutation(n)
+    table = pa.table({
+        "conv_id": pa.array([conv_ids[i] for i in perm], pa.string()),
+        "turn_idx": pa.array([turn_idxs[i] for i in perm], pa.int32()),
+        "role": pa.array([roles[i] for i in perm], pa.string()),
+        "text": pa.array([texts[i] for i in perm], pa.string()),
+        "tool": pa.array([tools[i] for i in perm], pa.string()),
+        "ts": pa.array([ts[i] for i in perm], pa.timestamp("us")),
+        "pdf_sha256": pa.array([hashes[i] for i in perm], pa.string()),
+    }, schema=SCHEMA)
+    return table
+
+
+def write_transcript_corpus(out_dir: str, n_turns: int, seed: int = 42,
+                            corrupt_frac: float = 0.05,
+                            rows_per_file: int = 50_000) -> list[str]:
+    """Write the corpus as one-or-more parquet files (row-group sized for
+    streaming reads). Returns the file paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    table = build_transcript_table(n_turns, seed=seed, corrupt_frac=corrupt_frac)
+    paths = []
+    for start in range(0, table.num_rows, rows_per_file):
+        chunk = table.slice(start, rows_per_file)
+        path = os.path.join(out_dir, f"transcripts-{start // rows_per_file:05d}.parquet")
+        pq.write_table(chunk, path, row_group_size=8192)
+        paths.append(path)
+    return paths
+
+
+def golden_expectations(table: pa.Table) -> dict[str, tuple]:
+    """Per-payload golden results: sha256 -> (pdf_type, markdown, error_kind).
+
+    Runs the per-document library once per distinct payload — this is the
+    oracle the pipeline output is compared against (per-turn text equality
+    under stable turn ordering)."""
+    from ..pdfi.objects import PdfError
+    from ..pdfi.process import process_pdf_mem
+
+    out: dict[str, tuple] = {}
+    seen: dict[str, str] = {}
+    for text, h in zip(table["text"].to_pylist(), table["pdf_sha256"].to_pylist()):
+        if h in out:
+            continue
+        data = text.encode("latin-1")
+        try:
+            r = process_pdf_mem(data)
+            out[h] = (r.pdf_type, r.markdown, None)
+        except PdfError as e:
+            out[h] = (None, None, e.kind)
+        seen[h] = text
+    return out
