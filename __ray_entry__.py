@@ -1,44 +1,429 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native pdf-inspector rebuild.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship inspect→classify→extract over the synthetic
+transcript corpus (smoke scale). ``queries()`` — one entry per implemented
+operator/pipeline from SURVEY.md §2 (+ the §2.7 training-data additions).
+``oracle_sql()`` — DuckDB twins for every SQL-expressible query; PDF
+pipelines are non-SQL-expressible (content-stream interpretation) and get
+rows-only checks.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the DRIVER before importing this module — nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
 from typing import Any
 
+_CORPUS_ROOT = "/tmp/pdf_inspector_ray_corpus"
+
+# sf_dir → transcript turn count (deterministic synthetic corpus; the
+# driver-mandated input shape from BASELINE.json input_hint)
+_SF_TURNS = {"0.001": 200, "0.01": 2000, "0.1": 20000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base[2:] if base.startswith("sf") else "0.01"
+
+
+def _corpus_dir(sf_dir: str) -> str:
+    """Build (once) and return the transcript corpus for this scale."""
+    from pdf_inspector_ray.sources.pdfgen import fixture_pool
+    from pdf_inspector_ray.sources.transcripts import write_transcript_corpus
+
+    sf = _sf_of(sf_dir)
+    n_turns = _SF_TURNS.get(sf, 2000)
+    digest = hashlib.md5(
+        b"".join(v for _, v in sorted(fixture_pool().items())),
+        usedforsecurity=False).hexdigest()[:10]
+    out = os.path.join(_CORPUS_ROOT, f"sf{sf}-{digest}")
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        write_transcript_corpus(out, n_turns)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def _transcripts_ds(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(_corpus_dir(sf_dir))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale; driver checks rows>=0 + schema."""
+    from pdf_inspector_ray.pipelines.flagship import flagship
+
+    ds = _transcripts_ds("/root/testdata/sf0.001")
+    out = flagship(ds, concurrency=(1, 8))
+    return out.select_columns([
+        "conv_id", "turn_idx", "role", "pdf_sha256", "pdf_type",
+        "page_count", "confidence", "ocr_recommended", "markdown",
+        "error_kind",
+    ])
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_pdf_classify(sf_dir: str):
+    from pdf_inspector_ray.pipelines.flagship import classify_pipeline
+    ds = _transcripts_ds(sf_dir)
+    out = classify_pipeline(ds)
+    return out.select_columns([
+        "conv_id", "turn_idx", "pdf_type", "page_count", "pages_sampled",
+        "pages_with_text", "confidence", "ocr_recommended", "error_kind"])
+
+
+def _q_pdf_extract(sf_dir: str):
+    from pdf_inspector_ray.pipelines.flagship import flagship
+    ds = _transcripts_ds(sf_dir)
+    out = flagship(ds, concurrency=(1, 8))
+    return out.select_columns([
+        "conv_id", "turn_idx", "pdf_sha256", "pdf_type", "page_count",
+        "markdown", "error_kind"])
+
+
+def _q_pdf_extract_salted(sf_dir: str):
+    """Salted-bucket ordering path — must agree row-for-row with the sort
+    path after canonical reorder (the driver compares order-insensitively)."""
+    from pdf_inspector_ray.pipelines.flagship import flagship
+    ds = _transcripts_ds(sf_dir)
+    out = flagship(ds, ordering="salted", num_buckets=16, concurrency=(1, 8))
+    return out.select_columns([
+        "conv_id", "turn_idx", "pdf_sha256", "pdf_type", "page_count",
+        "markdown", "error_kind"])
+
+
+def _q_pdf_type_histogram(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pdf_inspector_ray.pipelines.flagship import extract_pipeline
+
+    ds = _transcripts_ds(sf_dir)
+    out = extract_pipeline(ds, concurrency=(1, 8))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        filled = pc.fill_null(batch["pdf_type"], "Error")
+        t = pa.table({"pdf_type": filled,
+                      "n_turns": pa.nulls(len(batch), pa.int64())})
+        t = t.set_column(1, "n_turns",
+                         pa.array([1] * len(batch), pa.int64()))
+        return (t.group_by(["pdf_type"]).aggregate([("n_turns", "sum")])
+                 .rename_columns(["pdf_type", "n_turns"]))
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "pdf_type": [group["pdf_type"][0].as_py()],
+            "n_turns": [pc.sum(group["n_turns"]).as_py()],
+        })
+
+    return (out.map_batches(partial, batch_format="pyarrow")
+               .groupby("pdf_type").map_groups(merge, batch_format="pyarrow"))
+
+
+def _q_doc_stats(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import doc_stats_batch
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(doc_stats_batch, batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import lang_id_batch
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import quality_batch
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import fingerprint_batch
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "text_md5"])
+
+
+def _q_fingerprint_rolling(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import fingerprint_batch
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import exact_dedup
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+def _q_minhash_lsh_pairs(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import minhash_lsh_candidates
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return minhash_lsh_candidates(ds)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import simhash_candidates
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return simhash_candidates(ds)
+
+
+def _q_embedding_neardup_pairs(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import embedding_neardup_candidates
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup_candidates(ds)
+
+
+def _query_vector(sf_dir: str):
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    import pyarrow.compute as pc
+    idx = pc.index(t["vec_id"], 0).as_py()
+    return t["embedding"][idx].as_py()
+
+
+def _q_topk_similar(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.similarity import brute_force_topk
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = brute_force_topk(ds, _query_vector(sf_dir), k=10)
+    return res.select(["vec_id"])
+
+
+def _q_topk_similar_ivf(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.similarity import ivf_topk
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    res = ivf_topk(ds, _query_vector(sf_dir), k=10, nprobe=8)
+    return res.select(["vec_id"])
+
+
+def _q_pricing_summary(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import pricing_summary
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    return pricing_summary(ds)
+
+
+def _q_orders_by_segment(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+    from pdf_inspector_ray.functions.relational import broadcast_join_orders_customers
+
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_orderkey", "o_custkey"])
+    customers = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                              columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join_orders_customers(orders, customers)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"c_mktsegment": batch["c_mktsegment"],
+                      "n_orders": pa.array([1] * len(batch), pa.int64())})
+        return (t.group_by(["c_mktsegment"]).aggregate([("n_orders", "sum")])
+                 .rename_columns(["c_mktsegment", "n_orders"]))
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": [group["c_mktsegment"][0].as_py()],
+            "n_orders": [pc.sum(group["n_orders"]).as_py()],
+        })
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+                  .groupby("c_mktsegment")
+                  .map_groups(merge, batch_format="pyarrow"))
+
+
+def _q_windowed_events(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import windowed_event_counts
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type", "value"])
+    return windowed_event_counts(ds, window="hour")
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.multimodal import (
+        MediaFeatureExtractor, synthesize_media_table)
+    table = synthesize_media_table(200)
+    ds = ray.data.from_arrow(table)
+    out = ds.map_batches(MediaFeatureExtractor, batch_size=32,
+                         concurrency=(1, 4), batch_format="pyarrow")
+    return out.select_columns(["media_id", "media_type", "payload_sha256",
+                               "n_bytes"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # PDF pipelines (SURVEY.md §2.2-2.6) — non-SQL-expressible, rows-only
+        "pdf_classify": _q_pdf_classify,
+        "pdf_extract": _q_pdf_extract,
+        "pdf_extract_salted": _q_pdf_extract_salted,
+        "pdf_type_histogram": _q_pdf_type_histogram,
+        # text analysis (SURVEY.md §2.7 additions)
+        "doc_stats": _q_doc_stats,
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
+        "fingerprint": _q_fingerprint,
+        "fingerprint_rolling": _q_fingerprint_rolling,
+        # dedup
+        "exact_dedup": _q_exact_dedup,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup_pairs": _q_embedding_neardup_pairs,
+        # similarity search
+        "topk_similar": _q_topk_similar,
+        "topk_similar_ivf": _q_topk_similar_ivf,
+        # relational / windowed
+        "pricing_summary": _q_pricing_summary,
+        "orders_by_segment": _q_orders_by_segment,
+        "windowed_events": _q_windowed_events,
+        # multimodal plumbing
+        "media_features": _q_media_features,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL on the pre-registered views)
+# ---------------------------------------------------------------------------
+
+def _count_sql(word: str) -> str:
+    pat = f" {word} "
+    return (f"CAST((length(' ' || text || ' ') - "
+            f"length(replace(' ' || text || ' ', '{pat}', ''))) / {len(pat)} "
+            f"AS BIGINT)")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    s_en = " + ".join(_count_sql(w) for w in ("the", "and", "of"))
+    s_de = " + ".join(_count_sql(w) for w in ("der", "und", "die"))
+    s_fr = " + ".join(_count_sql(w) for w in ("le", "et", "les"))
+    s_es = " + ".join(_count_sql(w) for w in ("el", "y", "los"))
+    return {
+        "doc_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_computed,
+                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+                       AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT)
+                       AS n_word_tokens
+            FROM documents
+        """,
+        "lang_id": f"""
+            WITH scores AS (
+                SELECT doc_id,
+                       {s_en} AS score_en,
+                       {s_de} AS score_de,
+                       {s_fr} AS score_fr,
+                       {s_es} AS score_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN score_en >= score_de AND score_en >= score_fr
+                          AND score_en >= score_es THEN 'en'
+                     WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                     WHEN score_fr >= score_es THEN 'fr'
+                     ELSE 'es'
+                   END AS lang_pred,
+                   score_en, score_de, score_fr, score_es
+            FROM scores
+        """,
+        "quality": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(length(text)
+                            - length(regexp_replace(text, '[0-9]', '', 'g'))
+                            AS DOUBLE) AS n_digits,
+                       CAST(length(text)
+                            - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                            AS DOUBLE) AS n_punct,
+                       CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE)
+                           AS n_ws_tokens,
+                       {s_en} AS stopword_count
+                FROM documents
+            )
+            SELECT doc_id,
+                   n_digits / greatest(n_chars, 1.0) AS digit_ratio,
+                   n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+                   greatest(n_chars, 1.0) / greatest(n_ws_tokens, 1.0)
+                       AS mean_word_len,
+                   stopword_count,
+                   (n_chars >= 50.0
+                    AND n_digits / greatest(n_chars, 1.0) <= 0.3
+                    AND stopword_count >= 1) AS quality_keep
+            FROM base
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS text_md5 FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)
+        """,
+        "topk_similar": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                     DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                       AS sum_charge,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "windowed_events": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            GROUP BY date_trunc('hour', ts), event_type
+        """,
+    }

@@ -1,0 +1,307 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (100 TB):
+* exact — hash text per batch (map_batches), hash-partition ``groupby`` on
+  the digest, keep min doc_id per group. One shuffle, keys are uniform
+  digests → no skew.
+* MinHash/SimHash/embedding-LSH — signature per doc (map_batches, numpy),
+  ``flat_map`` to (band_hash, doc_id) bucket rows, ``groupby`` bucket,
+  emit candidate pairs per bucket, dedupe pairs, then verify candidates
+  exactly (Jaccard / hamming / cosine). Buckets are hashes → uniform; the
+  only skew risk is a giant duplicate cluster, capped by MAX_BUCKET.
+
+All signatures are seed-fixed (numpy default_rng(seed)) → deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MAX_BUCKET = 256  # cap pair expansion in a pathological bucket
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup(ds, text_column: str = "text"):
+    """Dataset → (text_md5, doc_id=min) one row per distinct text."""
+    import pyarrow.compute as pc
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        texts = batch[text_column].to_pylist()
+        md5s = [hashlib.md5(t.encode("utf-8"), usedforsecurity=False).hexdigest()
+                if t is not None else None for t in texts]
+        return pa.table({
+            "text_md5": pa.array(md5s, pa.string()),
+            "doc_id": batch["doc_id"],
+        })
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        min_id = pc.min(group["doc_id"]).as_py()
+        return pa.table({
+            "text_md5": [group["text_md5"][0].as_py()],
+            "doc_id": pa.array([min_id], group["doc_id"].type),
+        })
+
+    return (ds.map_batches(add_md5, batch_format="pyarrow")
+              .groupby("text_md5")
+              .map_groups(keep_first, batch_format="pyarrow"))
+
+
+# -- minhash + LSH ----------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+class MinHasher:
+    """Seeded minhash over word shingles (k-word n-grams)."""
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 3, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def shingles(self, text: str) -> np.ndarray:
+        words = text.split()
+        k = self.shingle_k
+        if len(words) < k:
+            grams = [" ".join(words)] if words else [""]
+        else:
+            grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+        hashes = np.fromiter(
+            (int.from_bytes(hashlib.md5(g.encode(), usedforsecurity=False)
+                            .digest()[:8], "big") for g in grams),
+            dtype=np.uint64, count=len(grams))
+        return hashes
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = self.shingles(text)
+        if len(sh) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (num_perm, n_shingles) via broadcasting, min over shingles
+        vals = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1).astype(np.uint64)
+
+
+class MinHashSignatures:
+    """Actor-pool UDF: text → minhash signature + LSH band hashes."""
+
+    def __init__(self, num_perm: int = 128, bands: int = 16,
+                 shingle_k: int = 3, seed: int = 42,
+                 text_column: str = "text"):
+        assert num_perm % bands == 0
+        self.hasher = MinHasher(num_perm, shingle_k, seed)
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist()
+        doc_ids = batch["doc_id"].to_pylist()
+        out_doc: list[int] = []
+        out_band: list[int] = []
+        out_bucket: list[str] = []
+        for doc_id, text in zip(doc_ids, texts):
+            if text is None:
+                continue
+            sig = self.hasher.signature(text)
+            for band in range(self.bands):
+                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
+                digest = hashlib.md5(chunk.tobytes(), usedforsecurity=False).hexdigest()[:16]
+                out_doc.append(doc_id)
+                out_band.append(band)
+                out_bucket.append(f"{band}:{digest}")
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "band": pa.array(out_band, pa.int32()),
+            "bucket": pa.array(out_bucket, pa.string()),
+        })
+
+
+def _pairs_from_bucket(group: pa.Table) -> pa.Table:
+    ids = sorted(set(group["doc_id"].to_pylist()))[:MAX_BUCKET]
+    a_out: list[int] = []
+    b_out: list[int] = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a_out.append(ids[i])
+            b_out.append(ids[j])
+    return pa.table({
+        "doc_a": pa.array(a_out, pa.int64()),
+        "doc_b": pa.array(b_out, pa.int64()),
+    })
+
+
+def _dedupe_pairs(pairs_ds):
+    """Drop duplicate (doc_a, doc_b) rows produced by multiple bands."""
+    import pyarrow.compute as pc
+
+    def first_per_pair(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(batch["doc_a"], pa.string()),
+            pc.cast(batch["doc_b"], pa.string()), ":")
+        return batch.append_column(pa.field("pair_key", pa.string()), key)
+
+    return (pairs_ds.map_batches(add_key, batch_format="pyarrow")
+                    .groupby("pair_key")
+                    .map_groups(first_per_pair, batch_format="pyarrow")
+                    .select_columns(["doc_a", "doc_b"]))
+
+
+def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 16,
+                           shingle_k: int = 3, seed: int = 42,
+                           text_column: str = "text"):
+    """Dataset → candidate near-dup pairs (doc_a < doc_b), deduped."""
+    sigs = ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
+                               "shingle_k": shingle_k, "seed": seed,
+                               "text_column": text_column},
+        concurrency=(1, 8), batch_format="pyarrow")
+    pairs = sigs.groupby("bucket").map_groups(
+        _pairs_from_bucket, batch_format="pyarrow")
+    return _dedupe_pairs(pairs)
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard (the verification kernel for LSH pairs)."""
+    def grams(t: str) -> set:
+        words = t.split()
+        if len(words) < k:
+            return {" ".join(words)} if words else set()
+        return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
+    ga, gb = grams(text_a), grams(text_b)
+    if not ga and not gb:
+        return 1.0
+    inter = len(ga & gb)
+    union = len(ga | gb)
+    return inter / union if union else 0.0
+
+
+def verify_pairs_jaccard(pairs_ds, docs_lookup: dict[int, str],
+                         threshold: float = 0.8, k: int = 3):
+    """Verify candidate pairs with exact Jaccard. ``docs_lookup`` is the
+    broadcast small side (ray.put once; read in every task) — for genuinely
+    huge corpora swap for a join on doc_id instead."""
+    import ray
+
+    lookup_ref = ray.put(docs_lookup)
+
+    def verify(batch: pa.Table, lookup=None) -> pa.Table:
+        lk = ray.get(lookup_ref) if lookup is None else lookup
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        sims = [ngram_jaccard(lk.get(x, ""), lk.get(y, ""), k) for x, y in zip(a, b)]
+        t = batch.append_column(
+            pa.field("jaccard", pa.float64()),
+            pa.array([round(s, 6) for s in sims], pa.float64()))
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t["jaccard"], pa.scalar(threshold)))
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
+# -- simhash ----------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features."""
+    acc = np.zeros(64, dtype=np.int64)
+    for word in text.split():
+        h = int.from_bytes(
+            hashlib.md5(word.encode(), usedforsecurity=False).digest()[:8], "big")
+        bits = np.unpackbits(
+            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8)).astype(np.int64)
+        acc += bits * 2 - 1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    texts = batch[text_column].to_pylist()
+    hashes = [simhash64(t) if t is not None else None for t in texts]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "simhash": pa.array(hashes, pa.uint64()),
+    })
+
+
+def simhash_candidates(ds, text_column: str = "text", bands: int = 4):
+    """Near-dup candidates by banded simhash (hamming<=bands-1 guaranteed
+    caught when dup differs in < bands bit-bands)."""
+    width = 64 // bands
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        out_doc, out_bucket, out_hash = [], [], []
+        for doc_id, h in zip(batch["doc_id"].to_pylist(),
+                             batch["simhash"].to_pylist()):
+            if h is None:
+                continue
+            for band in range(bands):
+                chunk = (h >> (band * width)) & ((1 << width) - 1)
+                out_doc.append(doc_id)
+                out_bucket.append(f"{band}:{chunk:x}")
+                out_hash.append(h)
+        return pa.table({
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "bucket": pa.array(out_bucket, pa.string()),
+            "simhash": pa.array(out_hash, pa.uint64()),
+        })
+
+    sigs = ds.map_batches(simhash_batch,
+                          fn_kwargs={"text_column": text_column},
+                          batch_format="pyarrow")
+    buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
+    pairs = buckets.groupby("bucket").map_groups(
+        _pairs_from_bucket, batch_format="pyarrow")
+    return _dedupe_pairs(pairs)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+# -- embedding cosine near-dup ---------------------------------------------
+
+class HyperplaneLSH:
+    """Random-hyperplane sign buckets for cosine near-dup."""
+
+    def __init__(self, dim: int, num_planes: int = 16, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((num_planes, dim)).astype(np.float64)
+
+    def bucket(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (vecs @ self.planes.T) >= 0  # (n, planes)
+        weights = 1 << np.arange(signs.shape[1], dtype=np.uint64)
+        return (signs.astype(np.uint64) * weights).sum(axis=1)
+
+
+def embedding_neardup_candidates(ds, dim: int = 64, num_planes: int = 12,
+                                 seed: int = 42):
+    """embeddings table → candidate pairs with matching hyperplane bucket."""
+    lsh = HyperplaneLSH(dim, num_planes, seed)
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        if vecs.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.string())})
+        buckets = lsh.bucket(vecs)
+        return pa.table({
+            "doc_id": batch["vec_id"],
+            "bucket": pa.array([f"{b:x}" for b in buckets], pa.string()),
+        })
+
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+    return buckets.groupby("bucket").map_groups(
+        _pairs_from_bucket, batch_format="pyarrow")

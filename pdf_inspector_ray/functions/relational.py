@@ -1,0 +1,119 @@
+"""Relational / dataflow operators the rebuild adds (SURVEY.md §2.7):
+global aggregates with partial pre-aggregation, broadcast joins, windowed
+(tumbling) aggregates over the events stream table.
+
+Shuffle discipline: every groupby here pre-aggregates inside map_batches
+(combiner) so the all-to-all exchange moves one row per (batch × key), not
+one per input row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _merge_partials(group: pa.Table, sum_cols: list[str]) -> dict:
+    out = {}
+    for c in sum_cols:
+        out[c] = pc.sum(group[c]).as_py()
+    return out
+
+
+def pricing_summary(ds) -> pa.Table:
+    """TPC-H Q1-style pricing summary over lineitem: partial aggregation in
+    map_batches, then a tiny groupby on (returnflag, linestatus)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        charge = pc.multiply(disc_price,
+                             pc.add(pa.scalar(1.0), batch["l_tax"]))
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": batch["l_quantity"],
+            "sum_base_price": batch["l_extendedprice"],
+            "sum_disc_price": disc_price,
+            "sum_charge": charge,
+            "count_order": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+        # combine within the batch
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("sum_qty", "sum"), ("sum_base_price", "sum"),
+            ("sum_disc_price", "sum"), ("sum_charge", "sum"),
+            ("count_order", "sum"),
+        ]).rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                           "sum_base_price", "sum_disc_price", "sum_charge",
+                           "count_order"])
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": [group["l_returnflag"][0].as_py()],
+            "l_linestatus": [group["l_linestatus"][0].as_py()],
+            "sum_qty": [round(pc.sum(group["sum_qty"]).as_py(), 2)],
+            "sum_base_price": [round(pc.sum(group["sum_base_price"]).as_py(), 2)],
+            "sum_disc_price": [round(pc.sum(group["sum_disc_price"]).as_py(), 2)],
+            "sum_charge": [round(pc.sum(group["sum_charge"]).as_py(), 2)],
+            "count_order": [pc.sum(group["count_order"]).as_py()],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus"])
+              .map_groups(merge, batch_format="pyarrow"))
+
+
+def broadcast_join_orders_customers(orders_ds, customers_table: pa.Table) -> "ray.data.Dataset":
+    """Broadcast hash join: the small side (customer) is ray.put once and
+    looked up inside map_batches — no shuffle of the big side.
+
+    Returns orders + (c_custkey → joined marker columns)."""
+    import ray
+
+    cust_map = dict(zip(customers_table["c_custkey"].to_pylist(),
+                        customers_table["c_mktsegment"].to_pylist()))
+    small_ref = ray.put(cust_map)
+
+    def join(batch: pa.Table) -> pa.Table:
+        lk = ray.get(small_ref)
+        keys = batch["o_custkey"].to_pylist()
+        segs = [lk.get(k) for k in keys]
+        return batch.append_column(
+            pa.field("c_mktsegment", pa.string()), pa.array(segs, pa.string()))
+
+    return orders_ds.map_batches(join, batch_format="pyarrow")
+
+
+def windowed_event_counts(ds, window: str = "hour") -> "ray.data.Dataset":
+    """Tumbling-window aggregate over the events table: count + sum(value)
+    per (window_start, event_type). Pre-aggregated per batch before the
+    shuffle."""
+    unit_us = {"hour": 3_600_000_000, "day": 86_400_000_000}[window]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64())
+        win = pc.multiply(pc.divide(ts, pa.scalar(unit_us, pa.int64())),
+                          pa.scalar(unit_us, pa.int64()))
+        t = pa.table({
+            "window_start": pc.cast(win, pa.timestamp("us")),
+            "event_type": batch["event_type"],
+            "n_events": pa.array(np.ones(len(batch), dtype=np.int64)),
+            "sum_value": batch["value"],
+        })
+        return (t.group_by(["window_start", "event_type"])
+                 .aggregate([("n_events", "sum"), ("sum_value", "sum")])
+                 .rename_columns(["window_start", "event_type",
+                                  "n_events", "sum_value"]))
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": [group["window_start"][0].as_py()],
+            "event_type": [group["event_type"][0].as_py()],
+            "n_events": [pc.sum(group["n_events"]).as_py()],
+            "sum_value": [round(pc.sum(group["sum_value"]).as_py(), 2)],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["window_start", "event_type"])
+              .map_groups(merge, batch_format="pyarrow"))

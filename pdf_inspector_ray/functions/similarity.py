@@ -1,0 +1,144 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* Brute-force cosine top-k — the baseline: broadcast the query matrix with
+  ``ray.put`` once, numpy matmul per batch, per-batch top-k, tiny global
+  reduce. One pass, no shuffle; scales linearly with corpus size.
+* IVF variant — the scale path: coarse centroids from a seeded sample,
+  per-batch assignment, search only the ``nprobe`` closest clusters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=-1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def brute_force_topk(ds, query_vec: "np.ndarray | list[float]", k: int = 10,
+                     id_column: str = "vec_id",
+                     embedding_column: str = "embedding") -> pa.Table:
+    """Exact cosine top-k. Returns (vec_id, cos_sim) with deterministic
+    (sim desc, vec_id asc) ordering, sim rounded to 6 dp to make the result
+    comparable across float backends."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        vecs = _to_matrix(batch[embedding_column])
+        if vecs.size == 0:
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        sims = _normalize(vecs) @ qv
+        # per-batch top-k prune: ship only candidates
+        if len(sims) > k:
+            idx = np.argpartition(-sims, k)[:k]
+        else:
+            idx = np.arange(len(sims))
+        ids = np.asarray(batch[id_column].to_pylist())[idx]
+        return pa.table({
+            id_column: pa.array(ids.tolist(), pa.int64()),
+            "cos_sim": pa.array(np.round(sims[idx], 6).tolist(), pa.float64()),
+        })
+
+    candidates = ds.map_batches(score, batch_format="pyarrow")
+    # tiny global reduce: candidates ≈ k × num_batches rows
+    tbl = pa.concat_tables(
+        list(candidates.iter_batches(batch_format="pyarrow")))
+    import pyarrow.compute as pc
+    order = pc.sort_indices(tbl, sort_keys=[("cos_sim", "descending"),
+                                            (id_column, "ascending")])
+    return tbl.take(order).slice(0, k)
+
+
+class IVFIndex:
+    """Coarse IVF built from a seeded sample; deterministic k-means (few
+    Lloyd iterations, fixed init)."""
+
+    def __init__(self, sample: np.ndarray, n_clusters: int = 16,
+                 iters: int = 5, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        sample = _normalize(np.asarray(sample, dtype=np.float64))
+        n = len(sample)
+        init_idx = rng.choice(n, size=min(n_clusters, n), replace=False)
+        centroids = sample[np.sort(init_idx)]
+        for _ in range(iters):
+            assign = np.argmax(sample @ centroids.T, axis=1)
+            for c in range(len(centroids)):
+                members = sample[assign == c]
+                if len(members):
+                    centroids[c] = members.mean(axis=0)
+            centroids = _normalize(centroids)
+        self.centroids = centroids
+
+    def assign(self, vecs: np.ndarray) -> np.ndarray:
+        return np.argmax(_normalize(vecs) @ self.centroids.T, axis=1)
+
+    def probe_clusters(self, query: np.ndarray, nprobe: int) -> np.ndarray:
+        sims = self.centroids @ (query / (np.linalg.norm(query) or 1.0))
+        return np.argsort(-sims)[:nprobe]
+
+
+def ivf_topk(ds, query_vec, k: int = 10, n_clusters: int = 16,
+             nprobe: int = 4, seed: int = 42,
+             id_column: str = "vec_id",
+             embedding_column: str = "embedding",
+             sample_limit: int = 2048) -> pa.Table:
+    """Approximate top-k: build coarse centroids from a bounded head sample
+    (deterministic), then scan only batches' rows in probed clusters."""
+    import ray
+
+    sample_rows = ds.limit(sample_limit).take_all()
+    sample = np.asarray([r[embedding_column] for r in sample_rows], dtype=np.float64)
+    index = IVFIndex(sample, n_clusters=n_clusters, seed=seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    probes = set(index.probe_clusters(q, nprobe).tolist())
+    index_ref = ray.put(index)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(qn)
+    probes_ref = ray.put(probes)
+
+    def score(batch: pa.Table) -> pa.Table:
+        idx: IVFIndex = ray.get(index_ref)
+        qv = ray.get(q_ref)
+        pr = ray.get(probes_ref)
+        vecs = _to_matrix(batch[embedding_column])
+        if vecs.size == 0:
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        assign = idx.assign(vecs)
+        mask = np.isin(assign, list(pr))
+        if not mask.any():
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        vecs = vecs[mask]
+        ids = np.asarray(batch[id_column].to_pylist())[mask]
+        sims = _normalize(vecs) @ qv
+        if len(sims) > k:
+            top = np.argpartition(-sims, k)[:k]
+        else:
+            top = np.arange(len(sims))
+        return pa.table({
+            id_column: pa.array(ids[top].tolist(), pa.int64()),
+            "cos_sim": pa.array(np.round(sims[top], 6).tolist(), pa.float64()),
+        })
+
+    candidates = ds.map_batches(score, batch_format="pyarrow")
+    tbl = pa.concat_tables(
+        list(candidates.iter_batches(batch_format="pyarrow")))
+    import pyarrow.compute as pc
+    order = pc.sort_indices(tbl, sort_keys=[("cos_sim", "descending"),
+                                            (id_column, "ascending")])
+    return tbl.take(order).slice(0, k)

@@ -1,0 +1,163 @@
+"""Text analysis operators over the ``documents`` table.
+
+Training-data pipeline primitives beyond the reference's own operators:
+language-ID (stopword heuristic), quality scoring (length/punct/stopword
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (md5 + rolling-hash shingle fingerprint).
+
+All batch functions are vectorized pyarrow.compute kernels (zero-copy in,
+Arrow out) designed for ``ds.map_batches(fn, batch_format="pyarrow")``.
+Each has an exact ANSI-SQL twin in ``__ray_entry__.oracle_sql`` — keep the
+two in lockstep when editing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Stopword sets for the heuristic language scorer. Scores are counts of
+# " word " occurrences (space-delimited so SQL length/replace tricks give
+# identical counts).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "les"),
+    "es": ("el", "y", "los"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")  # tie-break priority
+
+TOKEN_REGEX = r"[a-zA-Z0-9]+"  # BPE-ish word pieces; SQL twin uses the same
+
+
+def _count_padded(text_col: pa.ChunkedArray | pa.Array, word: str) -> pa.Array:
+    """Occurrences of ``' word '`` in ``' ' || text || ' '`` (so edge words
+    count). Matches the SQL twin exactly."""
+    # binary_join_element_wise treats its LAST argument as the separator:
+    # join([" ", text], sep="") + join([that, " "], sep="") = " "+text+" "
+    left = pc.binary_join_element_wise(pa.scalar(" "), text_col, pa.scalar(""))
+    padded = pc.binary_join_element_wise(left, pa.scalar(" "), pa.scalar(""))
+    return pc.count_substring(padded, f" {word} ")
+
+
+def doc_stats_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Per-doc counting stats: chars, whitespace tokens, regex word tokens."""
+    text = batch[text_column]
+    n_chars = pc.utf8_length(text)
+    ws_tokens = pc.list_value_length(pc.split_pattern_regex(text, r"\s+"))
+    word_tokens = pc.count_substring_regex(text, TOKEN_REGEX)
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "n_chars_computed": pc.cast(n_chars, pa.int64()),
+        "n_ws_tokens": pc.cast(ws_tokens, pa.int64()),
+        "n_word_tokens": pc.cast(word_tokens, pa.int64()),
+    })
+
+
+def lang_id_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Stopword-count language ID. Deterministic tie-break by LANG_ORDER."""
+    text = batch[text_column]
+    scores = {}
+    for lang, words in LANG_STOPWORDS.items():
+        total = None
+        for w in words:
+            c = _count_padded(text, w)
+            total = c if total is None else pc.add(total, c)
+        scores[lang] = np.asarray(pc.cast(total, pa.int64()))
+    n = len(batch)
+    stacked = np.stack([scores[l] for l in LANG_ORDER])  # (4, n)
+    best_idx = np.argmax(stacked, axis=0)  # first max wins = LANG_ORDER priority
+    langs = np.array(LANG_ORDER)[best_idx]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "lang_pred": pa.array(langs.tolist(), pa.string()),
+        "score_en": pa.array(scores["en"], pa.int64()),
+        "score_de": pa.array(scores["de"], pa.int64()),
+        "score_fr": pa.array(scores["fr"], pa.int64()),
+        "score_es": pa.array(scores["es"], pa.int64()),
+    })
+
+
+QUALITY_MIN_CHARS = 50
+QUALITY_MAX_DIGIT_RATIO = 0.3
+QUALITY_MIN_STOPWORD_COUNT = 1
+
+
+def quality_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Gopher-style quality signals + keep flag (thresholds above)."""
+    text = batch[text_column]
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_digits = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, r"[^\w\s]"), pa.float64())
+    n_ws_tokens = pc.cast(
+        pc.list_value_length(pc.split_pattern_regex(text, r"\s+")), pa.float64())
+    stop_total = None
+    for w in LANG_STOPWORDS["en"]:
+        c = _count_padded(text, w)
+        stop_total = c if stop_total is None else pc.add(stop_total, c)
+    stop_total = pc.cast(stop_total, pa.int64())
+    safe_chars = pc.max_element_wise(n_chars, pa.scalar(1.0))
+    digit_ratio = pc.divide(n_digits, safe_chars)
+    punct_ratio = pc.divide(n_punct, safe_chars)
+    mean_word_len = pc.divide(safe_chars, pc.max_element_wise(n_ws_tokens, pa.scalar(1.0)))
+    keep = pc.and_(
+        pc.and_(
+            pc.greater_equal(n_chars, pa.scalar(float(QUALITY_MIN_CHARS))),
+            pc.less_equal(digit_ratio, pa.scalar(QUALITY_MAX_DIGIT_RATIO)),
+        ),
+        pc.greater_equal(stop_total, pa.scalar(QUALITY_MIN_STOPWORD_COUNT,
+                                               pa.int64())),
+    )
+    # NB: no rounding — both sides divide the same exact integers as float64,
+    # so the quotients are bit-identical and hash-stable.
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "digit_ratio": digit_ratio,
+        "punct_ratio": punct_ratio,
+        "mean_word_len": mean_word_len,
+        "stopword_count": stop_total,
+        "quality_keep": keep,
+    })
+
+
+def fingerprint_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Document fingerprints: md5 of raw text (exact-dup key; SQL twin
+    ``md5(text)``) + 64-bit rolling-hash shingle fingerprint (no SQL twin)."""
+    texts = batch[text_column].to_pylist()
+    md5s = [hashlib.md5(t.encode("utf-8"), usedforsecurity=False).hexdigest()
+            if t is not None else None for t in texts]
+    rolling = [_rolling_fingerprint(t) if t is not None else None for t in texts]
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "text_md5": pa.array(md5s, pa.string()),
+        "rolling_fp": pa.array(rolling, pa.uint64()),
+    })
+
+
+_ROLL_BASE = 1_000_003
+_ROLL_MOD = (1 << 61) - 1
+
+
+def _rolling_fingerprint(text: str, window: int = 16) -> int:
+    """Min of rolling polynomial hashes over char windows — a cheap,
+    deterministic content fingerprint stable under small appends."""
+    data = text.encode("utf-8", "replace")
+    if len(data) <= window:
+        h = 0
+        for b in data:
+            h = (h * _ROLL_BASE + b) % _ROLL_MOD
+        return h
+    # precompute base^window
+    pw = pow(_ROLL_BASE, window, _ROLL_MOD)
+    h = 0
+    best = None
+    for i, b in enumerate(data):
+        h = (h * _ROLL_BASE + b) % _ROLL_MOD
+        if i >= window:
+            h = (h - data[i - window] * pw) % _ROLL_MOD
+        if i >= window - 1:
+            best = h if best is None or h < best else best
+    return best if best is not None else h
