@@ -1,0 +1,95 @@
+"""Conformance ports of /root/reference/src/extractor.rs:2443-2674 tests
+plus detector scan (/root/reference/src/detector.rs:424-447)."""
+
+from pdf_inspector_ray.pdfi.detect import scan_content_for_text_operators
+from pdf_inspector_ray.pdfi.extract import (
+    TextItem,
+    group_into_lines,
+    is_bold_font,
+    is_italic_font,
+)
+
+
+def make_item(text, x, y, width=10.0, font_size=12.0, font="F1", page=1):
+    return TextItem(text, x, y, width, font_size, font, font_size, page,
+                    False, False)
+
+
+def test_scan_content_operators():
+    ops, imgs = scan_content_for_text_operators(
+        b"BT /F1 12 Tf 100 700 Td (Hello World) Tj ET")
+    assert ops == 1 and not imgs
+    ops2, _ = scan_content_for_text_operators(
+        b"BT /F1 12 Tf 100 700 Td [(H) 10 (ello)] TJ ET")
+    assert ops2 == 1
+    ops3, imgs3 = scan_content_for_text_operators(
+        b"q 100 0 0 100 50 700 cm /Img1 Do Q")
+    assert ops3 == 0 and imgs3
+
+
+def test_group_into_lines():
+    items = [
+        make_item("Hello", 100.0, 700.0, width=50.0),
+        make_item("World", 160.0, 700.0, width=50.0),
+        make_item("Next line", 100.0, 680.0, width=80.0),
+    ]
+    lines = group_into_lines(items)
+    assert len(lines) == 2
+    assert lines[0].text() == "Hello World"
+    assert lines[1].text() == "Next line"
+
+
+def test_bold_italic_detection():
+    assert is_bold_font("Arial-Bold")
+    assert is_bold_font("TimesNewRoman-Bold")
+    assert is_bold_font("Helvetica-BoldOblique")
+    assert is_bold_font("ABCDEF+ArialMT-Bold")
+    assert is_bold_font("NotoSans-Black")
+    assert is_bold_font("Roboto-SemiBold")
+    assert not is_bold_font("Arial")
+    assert not is_bold_font("TimesNewRoman-Italic")
+
+    assert is_italic_font("Arial-Italic")
+    assert is_italic_font("TimesNewRoman-Italic")
+    assert is_italic_font("Helvetica-Oblique")
+    assert is_italic_font("ABCDEF+ArialMT-Italic")
+    assert is_italic_font("Helvetica-BoldOblique")
+    assert not is_italic_font("Arial")
+    assert not is_italic_font("TimesNewRoman-Bold")
+
+    assert is_bold_font("Arial-BoldItalic")
+    assert is_italic_font("Arial-BoldItalic")
+
+
+def test_word_level_items_get_spaces():
+    # CID font per-word items touching with gap=0 must stay separate words
+    items = [
+        make_item("the", 100.0, 500.0, width=19.5, font="C2_0"),
+        make_item("Prague", 119.5, 500.0, width=42.0, font="C2_0"),
+        make_item("Rules", 161.5, 500.0, width=35.0, font="C2_0"),
+    ]
+    lines = group_into_lines(items)
+    assert len(lines) == 1
+    assert lines[0].text() == "the Prague Rules"
+
+
+def test_single_char_items_still_join():
+    items = [
+        make_item("N", 100.0, 500.0, width=8.0),
+        make_item("A", 108.0, 500.0, width=8.0),
+        make_item("V", 116.0, 500.0, width=8.0),
+    ]
+    lines = group_into_lines(items)
+    assert len(lines) == 1
+    assert lines[0].text() == "NAV"
+
+
+def test_cjk_items_join_without_spaces():
+    items = [
+        make_item("である", 100.0, 500.0, width=24.0, font="C2_0"),
+        make_item("履行義務", 124.0, 500.0, width=32.0, font="C2_0"),
+        make_item("を識別す", 156.0, 500.0, width=32.0, font="C2_0"),
+    ]
+    lines = group_into_lines(items)
+    assert len(lines) == 1
+    assert lines[0].text() == "である履行義務を識別す"

@@ -1,0 +1,178 @@
+"""Golden behavior of the per-document library over the fixture pool
+(FIXTURES.md §2): classification labels, routing, and key markdown features
+per feature axis."""
+
+import pytest
+
+from pdf_inspector_ray.pdfi.detect import detect_pdf_type_mem
+from pdf_inspector_ray.pdfi.objects import PdfError
+from pdf_inspector_ray.pdfi.process import process_pdf_mem
+from pdf_inspector_ray.sources.pdfgen import fixture_pool
+
+
+@pytest.fixture(scope="module")
+def pool():
+    return fixture_pool()
+
+
+@pytest.fixture(scope="module")
+def results(pool):
+    out = {}
+    for name, data in pool.items():
+        try:
+            out[name] = process_pdf_mem(data)
+        except PdfError as e:
+            out[name] = e
+    return out
+
+
+EXPECTED_TYPES = {
+    "f01_tj_simple": "TextBased",
+    "f02_tj_arraykern": "TextBased",
+    "f03_type0_tounicode": "TextBased",
+    "f04_onebyte_cmap": "TextBased",
+    "f05_differences": "TextBased",
+    "f06_scanned": "Scanned",
+    "f07_mixed_template": "Mixed",
+    "f08_multicolumn": "TextBased",
+    "f09_headers_lists_code": "TextBased",
+    "f10_table_smallfont": "TextBased",
+    "f11_table_bodyfont": "TextBased",
+    "f12_links_images": "TextBased",
+    "f13_form_xobject": "TextBased",
+    "f14_dropcap_ligatures": "TextBased",
+    "f15_pagenumbers_toc": "TextBased",
+    "f16_cjk": "TextBased",
+    "f17_multipage_table": "TextBased",
+}
+
+
+def test_classification_labels(results):
+    for name, expected in EXPECTED_TYPES.items():
+        r = results[name]
+        assert not isinstance(r, PdfError), f"{name}: {r}"
+        assert r.pdf_type == expected, f"{name}: got {r.pdf_type}"
+
+
+def test_corrupt_raises_typed_error(pool):
+    with pytest.raises(PdfError):
+        process_pdf_mem(pool["f18_corrupt"])
+
+
+def test_scanned_routes_early(results):
+    r = results["f06_scanned"]
+    assert r.markdown is None
+    assert r.detection.ocr_recommended is True
+    assert r.detection.confidence == pytest.approx(0.95)
+
+
+def test_mixed_template_best_effort(results):
+    r = results["f07_mixed_template"]
+    assert r.markdown is not None  # best-effort extraction
+    assert r.detection.ocr_recommended is True
+    assert r.detection.confidence == pytest.approx(0.5)  # template_ratio=1.0
+
+
+def test_title_extraction(results):
+    assert results["f01_tj_simple"].detection.title == "Annual Report"
+
+
+def test_tj_kern_spacing(results):
+    md = results["f02_tj_arraykern"].markdown
+    # -300 and -120 insert spaces (threshold 111.2); -50 and -80 do not
+    assert "Hello world" in md
+    assert "worldlings" in md
+    assert "alpha betagamma" in md
+
+
+def test_cid_tounicode_decode(results):
+    md = results["f03_type0_tounicode"].markdown
+    assert "HELLO WORLD" in md
+    assert "KERN GAP" in md   # TJ -400 kern
+    assert "abc" in md        # bfrange array form
+
+
+def test_onebyte_cmap_no_cjk_garbage(results):
+    md = results["f04_onebyte_cmap"].markdown
+    assert "By Payment Received" in md
+    assert "䉹" not in md
+
+
+def test_differences_encoding(results):
+    md = results["f05_differences"].markdown
+    assert "café" in md
+    assert "mañana" in md
+    assert "—" in md
+
+
+def test_multicolumn_reading_order(results):
+    md = results["f08_multicolumn"].markdown
+    assert md.index("left column line 24") < md.index("right column line 0")
+    assert md.startswith("# Spanning Title")
+
+
+def test_heading_tiers(results):
+    md = results["f09_headers_lists_code"].markdown
+    assert "# Document Title Level One" in md
+    assert "## Section Heading Level Two" in md
+    assert "### Subsection Level Three" in md
+    assert "- First bullet item" in md
+
+
+def test_smallfont_table(results):
+    md = results["f10_table_smallfont"].markdown
+    assert "| Region" in md
+    assert "| ---" in md
+    assert "| North" in md and "12.5" in md
+
+
+def test_bodyfont_table_and_paragraph_negative(results):
+    md = results["f11_table_bodyfont"].markdown
+    assert "| Part" in md and "NA555" in md
+    # paragraph page must not become a table: exactly one separator line
+    assert "ordinary paragraph" in md
+    sep_lines = [l for l in md.splitlines() if l.startswith("| ---")]
+    assert len(sep_lines) == 1
+
+
+def test_links_and_images(results):
+    md = results["f12_links_images"].markdown
+    assert "[https://example.com/spec](https://example.com/spec)" in md
+    assert "![Image: Im1](image)" in md
+
+
+def test_form_xobject_text(results):
+    md = results["f13_form_xobject"].markdown
+    assert "Stamped form text" in md
+
+
+def test_ligatures_and_hyphen_fix(results):
+    md = results["f14_dropcap_ligatures"].markdown
+    assert "first flower" in md           # ﬁ/ﬂ expanded
+    assert "micro-services" in md         # spaced hyphen rejoined
+
+
+def test_page_numbers_and_dot_leaders(results):
+    md = results["f15_pagenumbers_toc"].markdown
+    assert " ... " in md                  # dot leaders collapsed
+    # standalone page-number items filtered (extractor) or lines removed
+    for line in md.splitlines():
+        assert line.strip() not in ("1", "2")
+
+
+def test_cjk_no_spurious_spaces(results):
+    md = results["f16_cjk"].markdown
+    assert "日本語のテキスト抽出" in md
+
+
+def test_multipage_table_merge(results):
+    md = results["f17_multipage_table"].markdown
+    # continuation merge: ONE header, all 12 data rows
+    assert md.count("| Code") == 1
+    assert "X000" in md and "X011" in md
+
+
+def test_determinism(pool):
+    a = process_pdf_mem(pool["f09_headers_lists_code"]).markdown
+    b = process_pdf_mem(pool["f09_headers_lists_code"]).markdown
+    assert a == b

@@ -1,0 +1,160 @@
+"""Ray pipeline tests: per-turn text equality under stable turn ordering,
+error-column discipline, salted-vs-sort agreement, resume semantics."""
+
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from pdf_inspector_ray.sources.transcripts import (
+    build_transcript_table,
+    golden_expectations,
+    write_transcript_corpus,
+)
+
+N_TURNS = 300
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    write_transcript_corpus(str(d), N_TURNS)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def corpus_table():
+    return build_transcript_table(N_TURNS)
+
+
+@pytest.fixture(scope="module")
+def goldens(corpus_table):
+    return golden_expectations(corpus_table)
+
+
+@pytest.fixture(scope="module")
+def flagship_df(ray_session, corpus_dir):
+    from pdf_inspector_ray.pipelines.flagship import flagship, read_transcripts
+
+    ds = read_transcripts(corpus_dir)
+    return flagship(ds, concurrency=(1, 4)).to_pandas()
+
+
+def test_row_count_preserved(flagship_df):
+    assert len(flagship_df) == N_TURNS
+
+
+def test_stable_turn_ordering(flagship_df):
+    ordered = flagship_df[["conv_id", "turn_idx"]]
+    resorted = ordered.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert ordered.reset_index(drop=True).equals(resorted)
+
+
+def test_per_turn_text_equality(flagship_df, goldens):
+    """THE correctness gate: every turn's (pdf_type, markdown, error) must
+    equal the per-document golden call for its payload."""
+    for _, row in flagship_df.iterrows():
+        h = row["pdf_sha256"]
+        is_corrupt = h.startswith("corrupt:")
+        gtype, gmd, gerr = goldens[h]
+        if is_corrupt:
+            # corrupt payloads may either parse (truncation after objects)
+            # or error; golden call decides
+            pass
+        assert row["pdf_type"] == gtype or (
+            row["pdf_type"] is None and gtype is None), row["conv_id"]
+        assert row["error_kind"] == gerr, (row["conv_id"], row["turn_idx"])
+        assert row["markdown"] == gmd or (
+            row["markdown"] is None and gmd is None), \
+            (row["conv_id"], row["turn_idx"])
+
+
+def test_error_column_discipline(flagship_df):
+    errs = flagship_df[flagship_df.error_kind.notna()]
+    assert len(errs) > 0  # ~5% corrupt payloads must surface
+    assert set(errs.error_kind.unique()) <= {"Io", "Parse", "Encrypted",
+                                             "InvalidStructure"}
+    assert errs.markdown.isna().all()
+
+
+def test_salted_equals_sorted(ray_session, corpus_dir, flagship_df):
+    from pdf_inspector_ray.pipelines.flagship import flagship, read_transcripts
+
+    ds = read_transcripts(corpus_dir)
+    salted = flagship(ds, ordering="salted", num_buckets=8,
+                      concurrency=(1, 4)).to_pandas()
+    cols = ["conv_id", "turn_idx", "pdf_type", "markdown", "error_kind"]
+    a = flagship_df[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    b = salted[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_salted_within_bucket_order(ray_session, corpus_dir):
+    from pdf_inspector_ray.pipelines.flagship import read_transcripts
+    from pdf_inspector_ray.pipelines.ordering import restore_turn_order
+
+    ds = read_transcripts(corpus_dir)
+    out = restore_turn_order(ds, strategy="salted", num_buckets=8)
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        df = batch.to_pandas() if isinstance(batch, pa.Table) else batch
+        for _, grp in df.groupby("part"):
+            s = grp[["conv_id", "turn_idx"]].reset_index(drop=True)
+            assert s.equals(
+                s.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+
+def test_resume_skips_completed(ray_session, corpus_dir, tmp_path):
+    from pdf_inspector_ray.pipelines.flagship import (
+        read_transcripts, run_to_partitioned_output)
+
+    out_dir = str(tmp_path / "out")
+    m1 = run_to_partitioned_output(read_transcripts(corpus_dir), out_dir,
+                                   num_buckets=8, concurrency=(1, 4))
+    assert m1["rows"] == N_TURNS
+    assert m1["partitions_written_this_run"] == m1["partitions"]
+    # second run: everything skipped, outputs unchanged
+    import glob
+    import hashlib
+    before = {p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+              for p in sorted(glob.glob(out_dir + "/part=*/data.parquet"))}
+    m2 = run_to_partitioned_output(read_transcripts(corpus_dir), out_dir,
+                                   num_buckets=8, concurrency=(1, 4))
+    assert m2["partitions_written_this_run"] == 0
+    assert m2["partitions_skipped_this_run"] == m1["partitions"]
+    after = {p: hashlib.sha256(open(p, "rb").read()).hexdigest()
+             for p in sorted(glob.glob(out_dir + "/part=*/data.parquet"))}
+    assert before == after
+
+
+def test_partial_resume(ray_session, corpus_dir, tmp_path):
+    """Kill-after-k simulation: delete some partitions' lineage, re-run,
+    only those partitions are reprocessed and the result is identical."""
+    import glob
+    import os
+
+    from pdf_inspector_ray.pipelines.flagship import (
+        read_transcripts, run_to_partitioned_output)
+
+    out_dir = str(tmp_path / "out2")
+    run_to_partitioned_output(read_transcripts(corpus_dir), out_dir,
+                              num_buckets=8, concurrency=(1, 4))
+    parts = sorted(glob.glob(out_dir + "/part=*"))
+    # simulate crash: nuke half the partitions
+    for p in parts[: len(parts) // 2]:
+        shutil.rmtree(p)
+    m = run_to_partitioned_output(read_transcripts(corpus_dir), out_dir,
+                                  num_buckets=8, concurrency=(1, 4))
+    assert m["rows"] == N_TURNS
+    assert m["partitions_written_this_run"] == len(parts) // 2
+    assert not any(os.path.exists(p + "/.data.parquet.tmp") for p in parts)
+
+
+def test_classify_pipeline(ray_session, corpus_dir):
+    from pdf_inspector_ray.pipelines.flagship import (
+        classify_pipeline, read_transcripts)
+
+    out = classify_pipeline(read_transcripts(corpus_dir)).to_pandas()
+    assert len(out) == N_TURNS
+    ok = out[out.error_kind.isna()]
+    assert set(ok.pdf_type.unique()) <= {"TextBased", "Scanned",
+                                         "ImageBased", "Mixed"}
