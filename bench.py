@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+``--scaling`` runs the flagship extraction twice in fresh subprocesses
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+scaling efficiency T_32 / (4 * T_8) — the sandbox stand-in for the north
+rule's N→4N-node criterion.
+
+The extract stage runs with the payload LRU cache DISABLED here so the
+number is honest per-turn parse throughput, not cache-hit rate (transcript
+bench corpora repeat a small fixture pool; real corpora mostly don't).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+# bench ≈ 200k turns at sf0.1 (FIXTURES.md §1) so per-turn work dominates
+# fixed overhead (actor-pool startup) and the N→4N efficiency is meaningful
+BENCH_TURNS = {"0.001": 1000, "0.01": 4000, "0.1": 200000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base[2:] if base.startswith("sf") else "0.1"
+
+
+def _bench_corpus(sf_dir: str) -> str:
+    """Transcript corpus for the bench scale (built once, cached in /tmp)."""
+    import hashlib
+
+    from pdf_inspector_ray.sources.pdfgen import fixture_pool
+    from pdf_inspector_ray.sources.transcripts import write_transcript_corpus
+
+    sf = _sf_of(sf_dir)
+    n_turns = BENCH_TURNS.get(sf, 20000)
+    digest = hashlib.md5(
+        b"".join(v for _, v in sorted(fixture_pool().items())),
+        usedforsecurity=False).hexdigest()[:10]
+    out = f"/tmp/pdf_inspector_ray_bench/sf{sf}-{digest}-n{n_turns}"
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        write_transcript_corpus(out, n_turns)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True)
+    try:
+        import ray.data
+
+        from pdf_inspector_ray.pipelines.flagship import (
+            classify_pipeline, extract_pipeline, read_transcripts,
+            restore_turn_order)
+
+        corpus = _bench_corpus(sf_dir)
+        queries: dict[str, float] = {}
+        n_turns = 0
+
+        # q_extract: the headline — fused classify+extract + ordering restore
+        t0 = time.perf_counter()
+        ds = read_transcripts(corpus)
+        out = extract_pipeline(ds, use_payload_cache=False,
+                               concurrency=(2, num_cpus))
+        out = restore_turn_order(out, strategy="salted",
+                                 num_buckets=max(16, num_cpus * 2))
+        n_turns = sum(
+            b.num_rows for b in out.iter_batches(batch_format="pyarrow"))
+        queries["extract_ordered"] = round(time.perf_counter() - t0, 3)
+
+        # q_classify: detection-only pass
+        t0 = time.perf_counter()
+        ds = read_transcripts(corpus)
+        c = classify_pipeline(ds)
+        sum(b.num_rows for b in c.iter_batches(batch_format="pyarrow"))
+        queries["classify"] = round(time.perf_counter() - t0, 3)
+
+        # documents-table operators at the requested sf
+        docs_path = os.path.join(sf_dir, "documents.parquet")
+        if os.path.exists(docs_path):
+            from pdf_inspector_ray.functions.dedup import (
+                exact_dedup, minhash_lsh_candidates)
+            from pdf_inspector_ray.functions.text_stats import quality_batch
+
+            t0 = time.perf_counter()
+            dd = exact_dedup(ray.data.read_parquet(
+                docs_path, columns=["doc_id", "text"]))
+            dd.count()
+            queries["exact_dedup"] = round(time.perf_counter() - t0, 3)
+
+            t0 = time.perf_counter()
+            mh = minhash_lsh_candidates(ray.data.read_parquet(
+                docs_path, columns=["doc_id", "text"]))
+            mh.count()
+            queries["minhash_lsh"] = round(time.perf_counter() - t0, 3)
+
+            t0 = time.perf_counter()
+            q = ray.data.read_parquet(
+                docs_path, columns=["doc_id", "text"]).map_batches(
+                quality_batch, batch_format="pyarrow")
+            sum(b.num_rows for b in q.iter_batches(batch_format="pyarrow"))
+            queries["quality"] = round(time.perf_counter() - t0, 3)
+
+        emb_path = os.path.join(sf_dir, "embeddings.parquet")
+        if os.path.exists(emb_path):
+            import pyarrow.parquet as pq
+
+            from pdf_inspector_ray.functions.similarity import brute_force_topk
+
+            qv = pq.read_table(emb_path).slice(0, 1)["embedding"][0].as_py()
+            t0 = time.perf_counter()
+            brute_force_topk(ray.data.read_parquet(emb_path), qv, k=10)
+            queries["topk_similar"] = round(time.perf_counter() - t0, 3)
+
+        total = round(sum(queries.values()), 3)
+        return {
+            "metric": "pipeline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": float(_sf_of(sf_dir)),
+            "num_cpus": num_cpus,
+            "bench_turns": n_turns,
+            "turns_per_sec": round(n_turns / queries["extract_ordered"], 1)
+            if queries.get("extract_ordered") else None,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str, base_cpus: int = 8, big_cpus: int = 32) -> dict:
+    """Same job at two parallelism levels in fresh processes; reports
+    throughput at both + efficiency = tput_big / (scale * tput_base)."""
+    results = {}
+    for cpus in (base_cpus, big_cpus):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--single", "--cpus", str(cpus)],
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            capture_output=True, text=True, timeout=3600)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            results[cpus] = json.loads(line)
+        except json.JSONDecodeError:
+            raise RuntimeError(
+                f"bench subprocess (cpus={cpus}) failed:\n{proc.stdout}\n{proc.stderr}")
+    tput_base = results[base_cpus]["turns_per_sec"]
+    tput_big = results[big_cpus]["turns_per_sec"]
+    scale = big_cpus / base_cpus
+    efficiency = tput_big / (scale * tput_base) if tput_base else None
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3) if efficiency else None,
+        "unit": "ratio",
+        "queries": {
+            f"turns_per_sec_cpus{base_cpus}": tput_base,
+            f"turns_per_sec_cpus{big_cpus}": tput_big,
+            f"extract_sec_cpus{base_cpus}":
+                results[base_cpus]["queries"]["extract_ordered"],
+            f"extract_sec_cpus{big_cpus}":
+                results[big_cpus]["queries"]["extract_ordered"],
+        },
+        "sf": results[big_cpus]["sf"],
+        "num_cpus": big_cpus,
+        "scale_factor": scale,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    if "--cpus" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--cpus") + 1])
+    print(json.dumps(run_benchmarks(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

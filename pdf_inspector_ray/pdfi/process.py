@@ -14,10 +14,10 @@ import time
 from dataclasses import dataclass
 from typing import Optional
 
-from .detect import DetectionConfig, PdfTypeResult, detect_pdf_type_mem
-from .extract import extract_text_with_positions_mem
+from .detect import DetectionConfig, PdfTypeResult, detect_from_document
+from .extract import extract_positioned_text_from_doc
 from .markdown import MarkdownOptions, to_markdown_from_items
-from .objects import PdfError
+from .objects import Document, PdfError
 from .tounicode import FontCMaps
 
 
@@ -46,10 +46,17 @@ def process_pdf_mem(
     repeated payloads skip the raw-bytes pre-pass.
     """
     start = time.perf_counter()
-    detection = detect_pdf_type_mem(buffer, detection_config)
+    # One parse shared between classify and extract (the reference parses the
+    # buffer three times — detect metadata, detect full, extract full; the
+    # compatibility contract is behavior, not structure — SURVEY.md §3.3).
+    doc = Document.load_mem(buffer)
+    detection = detect_from_document(doc, doc.page_count(),
+                                     detection_config or DetectionConfig())
 
     if detection.pdf_type == "TextBased":
-        items = extract_text_with_positions_mem(buffer, font_cmaps=font_cmaps)
+        if font_cmaps is None:
+            font_cmaps = FontCMaps.from_pdf_bytes(buffer)
+        items = extract_positioned_text_from_doc(doc, font_cmaps)
         markdown = to_markdown_from_items(items, markdown_options)
         return PdfProcessResult(
             pdf_type="TextBased",
@@ -71,7 +78,9 @@ def process_pdf_mem(
     # Mixed: best-effort extraction (errors swallowed — lib.rs:119 .ok())
     markdown = None
     try:
-        items = extract_text_with_positions_mem(buffer, font_cmaps=font_cmaps)
+        if font_cmaps is None:
+            font_cmaps = FontCMaps.from_pdf_bytes(buffer)
+        items = extract_positioned_text_from_doc(doc, font_cmaps)
         markdown = to_markdown_from_items(items, markdown_options)
     except PdfError:
         pass
