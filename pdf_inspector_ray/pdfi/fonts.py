@@ -199,10 +199,18 @@ def compute_string_width_ts(data: bytes, font_info: FontWidthInfo, font_size: fl
 
 
 def build_font_widths(doc: Document, fonts: dict[str, dict]) -> dict[str, FontWidthInfo]:
-    """extractor.rs:64-78."""
+    """extractor.rs:64-78. Parsed width info is cached per Document (pages
+    share font objects, so multi-page docs parse each font once)."""
+    cache = getattr(doc, "_font_width_cache", None)
+    if cache is None:
+        cache = {}
+        doc._font_width_cache = cache  # type: ignore[attr-defined]
     out: dict[str, FontWidthInfo] = {}
     for resource_name, font_dict in fonts.items():
-        info = parse_font_widths(doc, font_dict)
+        key = id(font_dict)
+        if key not in cache:
+            cache[key] = parse_font_widths(doc, font_dict)
+        info = cache[key]
         if info is not None:
             out[resource_name] = info
     return out
@@ -245,10 +253,17 @@ def parse_font_encoding(doc: Document, font_dict: dict) -> Optional[dict[int, st
 
 
 def build_font_encodings(doc: Document, fonts: dict[str, dict]) -> dict[str, dict[int, str]]:
-    """extractor.rs:382-397."""
+    """extractor.rs:382-397 (cached per Document like build_font_widths)."""
+    cache = getattr(doc, "_font_enc_cache", None)
+    if cache is None:
+        cache = {}
+        doc._font_enc_cache = cache  # type: ignore[attr-defined]
     out: dict[str, dict[int, str]] = {}
     for resource_name, font_dict in fonts.items():
-        enc = parse_font_encoding(doc, font_dict)
+        key = id(font_dict)
+        if key not in cache:
+            cache[key] = parse_font_encoding(doc, font_dict)
+        enc = cache[key]
         if enc is not None:
             out[resource_name] = enc
     return out

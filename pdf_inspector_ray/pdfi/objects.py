@@ -179,18 +179,9 @@ class Lexer:
         self.pos = pos
 
     def skip_ws(self) -> None:
-        d, n = self.data, len(self.data)
-        p = self.pos
-        while p < n:
-            c = d[p]
-            if c in _WHITESPACE:
-                p += 1
-            elif c == 0x25:  # '%' comment
-                while p < n and d[p] not in b"\r\n":
-                    p += 1
-            else:
-                break
-        self.pos = p
+        m = _WS_RE.match(self.data, self.pos)
+        if m is not None:
+            self.pos = m.end()
 
     def peek(self) -> int:
         return self.data[self.pos] if self.pos < len(self.data) else -1
@@ -222,7 +213,23 @@ class Lexer:
             return self._parse_array()
         if c == 0x5D:  # ']'
             raise PdfError("unexpected ]")
-        # number / keyword / reference
+        # number fast path (covers Widths / W / kern arrays — the hot loop)
+        m = _NUM_RE.match(d, self.pos)
+        if m is not None:
+            end = m.end()
+            nxt = d[end] if end < len(d) else 0x20
+            if nxt in _WHITESPACE or nxt in _DELIMS:
+                text = m.group(0)
+                self.pos = end
+                if b"." in text:
+                    return float(text)
+                # "N G R" reference lookahead as one regex
+                m2 = _REF_RE.match(d, end)
+                if m2 is not None:
+                    self.pos = m2.end()
+                    return Reference(int(text), int(m2.group(1)))
+                return int(text)
+        # keyword
         tok = self._read_token_word()
         if not tok:
             raise PdfError(f"bad token at {self.pos}")
@@ -232,19 +239,6 @@ class Lexer:
             return False
         if tok == b"null":
             return None
-        # Possibly "N G R" reference
-        if _INT_RE.match(tok):
-            save = self.pos
-            self.skip_ws()
-            tok2_start = self.pos
-            tok2 = self._read_token_word()
-            if tok2 and _INT_RE.match(tok2):
-                self.skip_ws()
-                tok3 = self._read_token_word()
-                if tok3 == b"R":
-                    return Reference(int(tok), int(tok2))
-            self.pos = save
-            return int(tok)
         try:
             return float(tok)
         except ValueError:
@@ -405,6 +399,9 @@ class Lexer:
 
 
 _INT_RE = re.compile(rb"^[+-]?\d+$")
+_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_REF_RE = re.compile(rb"[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![0-9A-Za-z])")
 _OBJ_HEADER_RE = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj\b")
 
 
@@ -788,48 +785,102 @@ class Operation:
         return f"Operation({self.operator!r}, {self.operands!r})"
 
 
-_OPERATOR_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
+_CONTENT_TOKEN_RE = re.compile(
+    rb"[\x00\t\n\x0c\r ]*"
+    rb"(?:(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    rb"|/(?P<name>[^\x00\t\n\x0c\r /<>\[\]{}()%]*)"
+    rb"|(?P<lb>\[)|(?P<rb>\])"
+    rb"|(?P<lit>\()"
+    rb"|(?P<dict><<)"
+    rb"|(?P<hex><)"
+    rb"|(?P<cmt>%[^\r\n]*)"
+    rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    rb"|(?P<junk>.))",
+    re.DOTALL,
+)
 
 
 def decode_content(data: bytes) -> list[Operation]:
-    """Parse a content stream into operations (lopdf ``Content::decode``).
+    """Parse a content stream into operations (lopdf ``Content::decode``)
+    with a single-regex token scanner — content streams contain no indirect
+    references, so numbers need no ``N G R`` lookahead.
 
     Inline images (BI ... ID ... EI) are skipped. Malformed trailing bytes
     are tolerated (operands without an operator are dropped).
     """
     ops: list[Operation] = []
-    lex = Lexer(data)
     operands: list = []
+    stack: list[list] = []  # open arrays
     n = len(data)
-    while True:
-        lex.skip_ws()
-        if lex.pos >= n:
+    pos = 0
+    lex = None
+    target = operands
+    while pos < n:
+        m = _CONTENT_TOKEN_RE.match(data, pos)
+        if m is None:
             break
-        c = lex.peek()
-        if c in (0x2F, 0x28, 0x3C, 0x5B) or (48 <= c <= 57) or c in (0x2B, 0x2D, 0x2E):
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "num":
+            text = m.group("num")
+            target.append(float(text) if b"." in text else int(text))
+        elif kind == "name":
+            target.append(Name(m.group("name").decode("latin-1")))
+        elif kind == "op":
+            op = m.group("op").decode("latin-1")
+            if op == "BI":
+                idx = data.find(b"EI", pos)
+                pos = (idx + 2) if idx >= 0 else n
+                operands = []
+                target = operands
+                stack = []
+            elif op == "true":
+                target.append(True)
+            elif op == "false":
+                target.append(False)
+            elif op == "null":
+                target.append(None)
+            else:
+                ops.append(Operation(op, operands))
+                operands = []
+                target = operands
+                stack = []
+        elif kind == "lb":
+            new: list = []
+            target.append(new)
+            stack.append(target)
+            target = new
+        elif kind == "rb":
+            if stack:
+                target = stack.pop()
+        elif kind == "lit":
+            if lex is None:
+                lex = Lexer(data)
+            lex.pos = pos - 1
             try:
-                operands.append(lex.parse_object())
+                target.append(lex._parse_literal_string())
             except PdfError:
                 break
-            continue
-        m = _OPERATOR_RE.match(data, lex.pos)
-        if not m:
-            lex.pos += 1
-            continue
-        op = m.group(0).decode("latin-1")
-        lex.pos = m.end()
-        if op == "BI":
-            # skip inline image to EI
-            idx = data.find(b"EI", lex.pos)
-            lex.pos = (idx + 2) if idx >= 0 else n
-            operands = []
-            continue
-        # numbers like "1" are handled above; keywords true/false/null:
-        if op in ("true", "false", "null"):
-            operands.append({"true": True, "false": False, "null": None}[op])
-            continue
-        ops.append(Operation(op, operands))
-        operands = []
+            pos = lex.pos
+        elif kind == "hex":
+            if lex is None:
+                lex = Lexer(data)
+            lex.pos = pos - 1
+            try:
+                target.append(lex._parse_hex_string())
+            except PdfError:
+                break
+            pos = lex.pos
+        elif kind == "dict":
+            if lex is None:
+                lex = Lexer(data)
+            lex.pos = pos - 2
+            try:
+                target.append(lex._parse_dict_or_stream())
+            except PdfError:
+                break
+            pos = lex.pos
+        # cmt / junk: skip
     return ops
 
 
