@@ -283,6 +283,20 @@ def _q_media_features(sf_dir: str):
                                "n_bytes"])
 
 
+def _q_html_extract(sf_dir: str):
+    """HTML boilerplate strip (the north rule's HTML axis) over the
+    deterministic synthetic HTML corpus; rows-only check."""
+    import ray.data
+    from pdf_inspector_ray.sources.htmlgen import build_html_table
+    from pdf_inspector_ray.stages.html_stage import html_extract_batch
+
+    n = {"0.001": 100, "0.01": 500, "0.1": 2000}.get(_sf_of(sf_dir), 500)
+    ds = ray.data.from_arrow(build_html_table(n))
+    out = ds.map_batches(html_extract_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fixture", "title", "n_blocks",
+                               "n_content_blocks", "markdown", "error_kind"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # PDF pipelines (SURVEY.md §2.2-2.6) — non-SQL-expressible, rows-only
@@ -290,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": _q_pdf_extract,
         "pdf_extract_salted": _q_pdf_extract_salted,
         "pdf_type_histogram": _q_pdf_type_histogram,
+        "html_extract": _q_html_extract,
         # text analysis (SURVEY.md §2.7 additions)
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
