@@ -27,9 +27,10 @@ import sys
 import time
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
-# bench ≈ 200k turns at sf0.1 (FIXTURES.md §1) so per-turn work dominates
-# fixed overhead (actor-pool startup) and the N→4N efficiency is meaningful
-BENCH_TURNS = {"0.001": 1000, "0.01": 4000, "0.1": 200000}
+# Large corpus at sf0.1 so per-turn parse work dominates fixed overhead
+# (actor-pool startup, shuffle barriers) and the N→4N efficiency is
+# meaningful: 600k turns ≈ 11 core-minutes of parse work
+BENCH_TURNS = {"0.001": 1000, "0.01": 4000, "0.1": 600000}
 
 
 def _sf_of(sf_dir: str) -> str:
@@ -64,25 +65,29 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True)
     try:
+        import shutil
+
         import ray.data
 
         from pdf_inspector_ray.pipelines.flagship import (
-            classify_pipeline, extract_pipeline, read_transcripts,
-            restore_turn_order)
+            classify_pipeline, read_transcripts, run_to_partitioned_output,
+            sized_concurrency)
 
         corpus = _bench_corpus(sf_dir)
         queries: dict[str, float] = {}
-        n_turns = 0
+        pool = sized_concurrency()
 
-        # q_extract: the headline — fused classify+extract + ordering restore
+        # Headline: the full resumable job — extract (fixed actor pool) →
+        # salted ordering → partitioned parquet write with lineage, all
+        # distributed (the driver only orchestrates).
+        out_dir = f"/tmp/pdf_inspector_ray_bench_out/cpus{num_cpus}"
+        shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
         ds = read_transcripts(corpus)
-        out = extract_pipeline(ds, use_payload_cache=False,
-                               concurrency=(2, num_cpus))
-        out = restore_turn_order(out, strategy="salted",
-                                 num_buckets=max(16, num_cpus * 2))
-        n_turns = sum(
-            b.num_rows for b in out.iter_batches(batch_format="pyarrow"))
+        metrics = run_to_partitioned_output(
+            ds, out_dir, num_buckets=max(16, num_cpus * 2), resume=False,
+            use_payload_cache=False, concurrency=pool)
+        n_turns = metrics["rows"]
         queries["extract_ordered"] = round(time.perf_counter() - t0, 3)
 
         # q_classify: detection-only pass

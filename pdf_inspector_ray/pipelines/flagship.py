@@ -29,6 +29,18 @@ DEFAULT_BATCH_SIZE = 64          # PDF parse cost dominates; small batches keep
 DEFAULT_CONCURRENCY = (2, 32)
 
 
+def sized_concurrency() -> int:
+    """Fixed actor-pool size for the current cluster: total CPUs minus two
+    slots for read/shuffle tasks. An AUTOSCALING pool ((min,max)) under a
+    downstream all-to-all gets starved by Ray's per-operator resource
+    reservation (observed ~2 active actors of 8); a fixed pool sized to
+    leave headroom avoids both the starvation and the all-CPUs deadlock."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, cpus - 2)
+
+
 def read_transcripts(path: Union[str, list[str]],
                      columns: Optional[list[str]] = None) -> ray.data.Dataset:
     """Column-pruned parquet read (only ship what the stage needs)."""
@@ -80,6 +92,8 @@ def run_to_partitioned_output(ds: ray.data.Dataset,
                               out_dir: str,
                               num_buckets: int = 64,
                               resume: bool = True,
+                              drop_payload: bool = True,
+                              payload_column: str = "text",
                               **extract_kwargs) -> dict:
     """The full resumable job: salt → (skip completed parts) → extract →
     per-bucket sort → partitioned write with lineage sidecars.
@@ -100,6 +114,10 @@ def run_to_partitioned_output(ds: ray.data.Dataset,
             batch_format="pyarrow")
 
     extracted = extract_pipeline(salted, **extract_kwargs)
+    if drop_payload:
+        # don't move the raw payload through the shuffle — the markdown is
+        # the product; the payload stays in the input parquet
+        extracted = extracted.drop_columns([payload_column])
     ordered_written = extracted.groupby("part").map_groups(
         lambda g: write_partition(sort_within_group(g), out_dir),
         batch_format="pyarrow")

@@ -622,6 +622,69 @@ def f17_multipage_table() -> bytes:
     return w.build(_catalog(w, pages))
 
 
+def f19_xrefstream() -> bytes:
+    """PDF 1.5 layout: cross-reference STREAM (W [1 2 2], Flate) + an
+    object STREAM holding the catalog/pages/page/font dicts — exercises
+    Document._parse_xref_stream and _from_objstm."""
+    # object numbering: 1=catalog 2=pages 3=page 4=font (all in objstm 6),
+    # 5=content stream, 6=objstm, 7=xref stream
+    font_body = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    catalog_body = b"<< /Type /Catalog /Pages 2 0 R >>"
+    pages_body = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    page_body = (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                 b"/Contents 5 0 R /Resources << /Font << /F1 4 0 R >> >> >>")
+    inner = [(1, catalog_body), (2, pages_body), (3, page_body), (4, font_body)]
+    offsets = []
+    payload = bytearray()
+    for num, body in inner:
+        offsets.append((num, len(payload)))
+        payload += body + b"\n"
+    header = " ".join(f"{n} {o}" for n, o in offsets).encode() + b"\n"
+    objstm_data = header + bytes(payload)
+    first = len(header)
+
+    content_data = (
+        b"BT /F1 18 Tf 72 720 Td (Xref stream fixture title) Tj ET\n"
+        b"BT /F1 12 Tf 72 690 Td (Body line one inside an object stream pdf) Tj ET\n"
+        b"BT /F1 12 Tf 72 676 Td (Body line two for detection threshold) Tj ET\n"
+        b"BT /F1 12 Tf 72 662 Td (Body line three to finish the page) Tj ET\n"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    positions: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        positions[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    comp_content = zlib.compress(content_data)
+    emit(5, b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp_content)
+         + comp_content + b"\nendstream")
+    comp_objstm = zlib.compress(objstm_data)
+    emit(6, b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>\nstream\n"
+         % (len(inner), first, len(comp_objstm)) + comp_objstm + b"\nendstream")
+
+    xref_pos = len(out)
+    # entries for objects 0..7, W = [1 2 2]
+    rows = []
+    rows.append(bytes([0]) + (0).to_bytes(2, "big") + (0xFFFF).to_bytes(2, "big"))
+    for num in (1, 2, 3, 4):
+        idx = [n for n, _ in inner].index(num)
+        rows.append(bytes([2]) + (6).to_bytes(2, "big") + idx.to_bytes(2, "big"))
+    rows.append(bytes([1]) + positions[5].to_bytes(2, "big") + (0).to_bytes(2, "big"))
+    rows.append(bytes([1]) + positions[6].to_bytes(2, "big") + (0).to_bytes(2, "big"))
+    rows.append(bytes([1]) + xref_pos.to_bytes(2, "big") + (0).to_bytes(2, "big"))
+    xref_data = zlib.compress(b"".join(rows))
+    out.extend(b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 2 2] /Root 1 0 R "
+               b"/Filter /FlateDecode /Length %d >>\nstream\n" % len(xref_data))
+    out.extend(xref_data)
+    out.extend(b"\nendstream\nendobj\n")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % xref_pos)
+    return bytes(out)
+
+
 def f18_corrupt() -> bytes:
     """Truncated xref / garbage — must produce the error column."""
     good = f01_tj_simple()
@@ -647,6 +710,7 @@ FIXTURES = {
     "f16_cjk": f16_cjk,
     "f17_multipage_table": f17_multipage_table,
     "f18_corrupt": f18_corrupt,
+    "f19_xrefstream": f19_xrefstream,
 }
 
 

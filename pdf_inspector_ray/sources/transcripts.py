@@ -101,7 +101,7 @@ def build_transcript_table(n_turns: int, seed: int = 42,
 
 def write_transcript_corpus(out_dir: str, n_turns: int, seed: int = 42,
                             corrupt_frac: float = 0.05,
-                            rows_per_file: int = 50_000) -> list[str]:
+                            rows_per_file: int = 12_500) -> list[str]:
     """Write the corpus as one-or-more parquet files (row-group sized for
     streaming reads). Returns the file paths."""
     os.makedirs(out_dir, exist_ok=True)

@@ -44,6 +44,7 @@ EXPECTED_TYPES = {
     "f15_pagenumbers_toc": "TextBased",
     "f16_cjk": "TextBased",
     "f17_multipage_table": "TextBased",
+    "f19_xrefstream": "TextBased",
 }
 
 
