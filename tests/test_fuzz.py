@@ -1,0 +1,71 @@
+"""Fuzz robustness: mutated/truncated payloads must NEVER raise anything
+but PdfError from the library, and never escape the pipeline error column.
+At 10^12 turns, every weird byte pattern exists — the poison-pill guard is
+a correctness feature (SURVEY.md §4.2)."""
+
+import zlib
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pdf_inspector_ray.pdfi.objects import PdfError
+from pdf_inspector_ray.pdfi.process import process_pdf_mem
+from pdf_inspector_ray.sources.pdfgen import fixture_pool
+
+POOL = sorted(fixture_pool().items())
+
+
+def _process(data: bytes) -> None:
+    try:
+        process_pdf_mem(data)
+    except PdfError:
+        pass  # the only allowed failure mode
+
+
+@given(st.binary(min_size=0, max_size=4096))
+@settings(max_examples=120, deadline=None)
+def test_random_bytes_never_crash(data):
+    _process(data)
+
+
+@given(st.integers(0, len(POOL) - 1), st.data())
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_mutated_fixtures_never_crash(idx, data):
+    name, pdf = POOL[idx]
+    n = len(pdf)
+    mutated = bytearray(pdf)
+    for _ in range(data.draw(st.integers(1, 8))):
+        pos = data.draw(st.integers(0, n - 1))
+        mutated[pos] = data.draw(st.integers(0, 255))
+    _process(bytes(mutated))
+
+
+@given(st.integers(0, len(POOL) - 1), st.floats(0.01, 0.99))
+@settings(max_examples=80, deadline=None)
+def test_truncated_fixtures_never_crash(idx, frac):
+    name, pdf = POOL[idx]
+    _process(pdf[: max(1, int(len(pdf) * frac))])
+
+
+@given(st.integers(0, len(POOL) - 1), st.integers(0, 60))
+@settings(max_examples=60, deadline=None)
+def test_garbage_prefix_suffix(idx, pad):
+    name, pdf = POOL[idx]
+    _process(b"\xff" * pad + pdf + b"\x00" * pad)
+
+
+def test_deflate_bomb_is_contained():
+    """A wildly over-long /Length with valid flate data must not hang."""
+    bomb = zlib.compress(b"A" * 1_000_000)
+    pdf = (b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(bomb)).encode()
+           + b" /Filter /FlateDecode >>\nstream\n" + bomb
+           + b"\nendstream\nendobj\n")
+    _process(pdf)
+
+
+def test_pdf_header_only_variants():
+    for data in (b"%PDF", b"%PDF-1.7", b"%PDF-1.4\n%%EOF",
+                 b"%PDF-1.4\nstartxref\n99999999\n%%EOF\n"):
+        _process(data)

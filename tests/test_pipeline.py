@@ -158,3 +158,27 @@ def test_classify_pipeline(ray_session, corpus_dir):
     ok = out[out.error_kind.isna()]
     assert set(ok.pdf_type.unique()) <= {"TextBased", "Scanned",
                                          "ImageBased", "Mixed"}
+
+
+def test_golden_compare_join(ray_session, corpus_dir, flagship_df, corpus_table):
+    """SURVEY §2.7 golden-compare join: 100% per-turn equality rate when
+    comparing the pipeline against itself-as-golden."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_inspector_ray.functions.compare import compare_to_golden, equality_rate
+
+    golden = pa.Table.from_pandas(
+        flagship_df[["conv_id", "turn_idx", "pdf_type", "markdown",
+                     "error_kind"]])
+    ds = ray.data.from_pandas(flagship_df)
+    verdicts = compare_to_golden(ds, golden)
+    assert equality_rate(verdicts) == 1.0
+    # perturb one golden row -> rate drops below 1 and names the column
+    bad = golden.set_column(
+        golden.schema.get_field_index("markdown"), "markdown",
+        pa.array(["XX"] + golden["markdown"].to_pylist()[1:],
+                 golden["markdown"].type))
+    verdicts2 = compare_to_golden(ray.data.from_pandas(flagship_df), bad).to_pandas()
+    assert (~verdicts2["match"]).sum() >= 1
+    assert "markdown" in set(verdicts2.loc[~verdicts2["match"], "mismatch_column"])
