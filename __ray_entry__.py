@@ -263,6 +263,15 @@ def _q_orders_by_segment(sf_dir: str):
                   .map_groups(merge, batch_format="pyarrow"))
 
 
+def _q_asof_join(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import asof_join_events
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    return asof_join_events(ds, left_type="purchase", right_type="signup")
+
+
 def _q_windowed_events(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.relational import windowed_event_counts
@@ -323,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
         "windowed_events": _q_windowed_events,
+        "asof_join": _q_asof_join,
         # multimodal plumbing
         "media_features": _q_media_features,
     }
@@ -432,6 +442,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_mktsegment, COUNT(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "asof_join": """
+            SELECT a.event_id, a.ts, a.user_id,
+                   b.event_id AS prior_event_id,
+                   b.ts AS prior_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') a
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'signup') b
+              ON a.user_id = b.user_id AND a.ts >= b.ts
         """,
         "windowed_events": """
             SELECT date_trunc('hour', ts) AS window_start,

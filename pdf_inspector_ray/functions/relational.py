@@ -85,6 +85,60 @@ def broadcast_join_orders_customers(orders_ds, customers_table: pa.Table) -> "ra
     return orders_ds.map_batches(join, batch_format="pyarrow")
 
 
+def asof_join_events(ds, left_type: str, right_type: str) -> "ray.data.Dataset":
+    """As-of join — an operator Ray Data lacks, composed as
+    ``groupby(key).map_groups(sorted merge)``: for each ``left_type`` event,
+    attach the most recent ``right_type`` event of the same user at or
+    before its timestamp.
+
+    Partitioning assumption: co-location by ``user_id`` (the groupby
+    shuffle provides it); within a group a single sorted sweep is O(n).
+    Skewed users would need salting by time-range + boundary pass — user
+    activity here is uniform so the plain key is used.
+    """
+    import pyarrow.compute as pc
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                  ("event_id", "ascending")])
+        g = group.take(order)
+        types = g["event_type"].to_pylist()
+        ids = g["event_id"].to_pylist()
+        ts = g["ts"].to_pylist()
+        out_left: list[int] = []
+        out_left_ts: list = []
+        out_right: list = []
+        out_right_ts: list = []
+        last_right_id = None
+        last_right_ts = None
+        for i in range(g.num_rows):
+            if types[i] == right_type:
+                last_right_id = ids[i]
+                last_right_ts = ts[i]
+            elif types[i] == left_type:
+                out_left.append(ids[i])
+                out_left_ts.append(ts[i])
+                out_right.append(last_right_id)
+                out_right_ts.append(last_right_ts)
+        return pa.table({
+            "event_id": pa.array(out_left, pa.int64()),
+            "ts": pa.array(out_left_ts, pa.timestamp("us")),
+            "user_id": pa.array([g["user_id"][0].as_py()] * len(out_left),
+                                pa.int64()),
+            "prior_event_id": pa.array(out_right, pa.int64()),
+            "prior_ts": pa.array(out_right_ts, pa.timestamp("us")),
+        })
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        return batch.filter(mask)
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(merge_group, batch_format="pyarrow"))
+
+
 def windowed_event_counts(ds, window: str = "hour") -> "ray.data.Dataset":
     """Tumbling-window aggregate over the events table: count + sum(value)
     per (window_start, event_type). Pre-aggregated per batch before the
