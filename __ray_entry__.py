@@ -33,13 +33,14 @@ def _sf_of(sf_dir: str) -> str:
 def _corpus_dir(sf_dir: str) -> str:
     """Build (once) and return the transcript corpus for this scale."""
     from pdf_inspector_ray.sources.pdfgen import fixture_pool
-    from pdf_inspector_ray.sources.transcripts import write_transcript_corpus
+    from pdf_inspector_ray.sources.transcripts import (
+        GENERATOR_VERSION, write_transcript_corpus)
 
     sf = _sf_of(sf_dir)
     n_turns = _SF_TURNS.get(sf, 2000)
     digest = hashlib.md5(
         b"".join(v for _, v in sorted(fixture_pool().items())),
-        usedforsecurity=False).hexdigest()[:10]
+        usedforsecurity=False).hexdigest()[:10] + f"v{GENERATOR_VERSION}"
     out = os.path.join(_CORPUS_ROOT, f"sf{sf}-{digest}")
     marker = os.path.join(out, "_complete")
     if not os.path.exists(marker):

@@ -43,13 +43,14 @@ def _bench_corpus(sf_dir: str) -> str:
     import hashlib
 
     from pdf_inspector_ray.sources.pdfgen import fixture_pool
-    from pdf_inspector_ray.sources.transcripts import write_transcript_corpus
+    from pdf_inspector_ray.sources.transcripts import (
+        GENERATOR_VERSION, write_transcript_corpus)
 
     sf = _sf_of(sf_dir)
     n_turns = BENCH_TURNS.get(sf, 20000)
     digest = hashlib.md5(
         b"".join(v for _, v in sorted(fixture_pool().items())),
-        usedforsecurity=False).hexdigest()[:10]
+        usedforsecurity=False).hexdigest()[:10] + f"v{GENERATOR_VERSION}"
     out = f"/tmp/pdf_inspector_ray_bench/sf{sf}-{digest}-n{n_turns}"
     marker = os.path.join(out, "_complete")
     if not os.path.exists(marker):

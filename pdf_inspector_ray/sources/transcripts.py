@@ -24,6 +24,7 @@ import pyarrow.parquet as pq
 from .pdfgen import fixture_pool
 
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
+GENERATOR_VERSION = 2  # bump when build_transcript_table output changes
 
 SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -46,55 +47,52 @@ def build_transcript_table(n_turns: int, seed: int = 42,
     pool_names = sorted(pool)
     payloads = [pool[n] for n in pool_names]
     payload_strs = [p.decode("latin-1") for p in payloads]
+    corrupt_strs = [s[: max(10, len(s) // 3)] + "\x00TRUNCATED"
+                    for s in payload_strs]
     payload_hashes = [hashlib.sha256(p).hexdigest() for p in payloads]
+    corrupt_hashes = ["corrupt:" + h for h in payload_hashes]
 
-    # Zipf conversation sizes until we cover n_turns
+    # Zipf conversation sizes until we cover n_turns (vectorized draws)
     conv_sizes: list[int] = []
     total = 0
     while total < n_turns:
-        size = int(min(2000, max(1, rng.zipf(1.5))))
-        size = min(size, n_turns - total)
-        conv_sizes.append(size)
-        total += size
+        draws = np.minimum(np.maximum(rng.zipf(1.5, size=4096), 1), 2000)
+        for size in draws:
+            size = int(min(size, n_turns - total))
+            conv_sizes.append(size)
+            total += size
+            if total >= n_turns:
+                break
 
-    conv_ids: list[str] = []
-    turn_idxs: list[int] = []
-    for ci, size in enumerate(conv_sizes):
-        cid = f"conv-{ci:06d}"
-        conv_ids.extend([cid] * size)
-        turn_idxs.extend(range(size))
+    sizes = np.asarray(conv_sizes, dtype=np.int64)
+    conv_idx = np.repeat(np.arange(len(sizes)), sizes)
+    ends = np.cumsum(sizes)
+    turn_idxs = np.arange(len(conv_idx)) - np.repeat(ends - sizes, sizes)
+    n = len(conv_idx)
 
-    n = len(conv_ids)
     payload_idx = rng.integers(0, len(payloads), size=n)
     corrupt = rng.random(n) < corrupt_frac
-    roles = [_ROLES[i % 3] for i in range(n)]
+    # dictionary-style assembly: index into the small payload pools
+    text_choice = payload_idx + corrupt.astype(np.int64) * len(payloads)
+    text_pool = np.array(payload_strs + corrupt_strs, dtype=object)
+    hash_pool = np.array(payload_hashes + corrupt_hashes, dtype=object)
 
-    texts: list[str] = []
-    hashes: list[str] = []
-    for i in range(n):
-        pi = int(payload_idx[i])
-        if corrupt[i]:
-            s = payload_strs[pi]
-            cut = max(10, len(s) // 3)
-            texts.append(s[:cut] + "\x00TRUNCATED")
-            hashes.append("corrupt:" + payload_hashes[pi])
-        else:
-            texts.append(payload_strs[pi])
-            hashes.append(payload_hashes[pi])
+    perm = rng.permutation(n)  # seeded shuffle: ordering must be restored
+    conv_names = np.array([f"conv-{i:06d}" for i in range(len(sizes))],
+                          dtype=object)
+    roles_pool = np.array(_ROLES, dtype=object)
+    roles = roles_pool[np.arange(n) % 3]
+    tools = np.where(roles == "tool", "pdf_reader", "")
+    ts = EPOCH_US + 60_000_000 * np.arange(n, dtype=np.int64)
 
-    ts = [EPOCH_US + 60_000_000 * i for i in range(n)]
-    tools = ["pdf_reader" if r == "tool" else "" for r in roles]
-
-    # seeded shuffle so turn ordering must be restored by the pipeline
-    perm = rng.permutation(n)
     table = pa.table({
-        "conv_id": pa.array([conv_ids[i] for i in perm], pa.string()),
-        "turn_idx": pa.array([turn_idxs[i] for i in perm], pa.int32()),
-        "role": pa.array([roles[i] for i in perm], pa.string()),
-        "text": pa.array([texts[i] for i in perm], pa.string()),
-        "tool": pa.array([tools[i] for i in perm], pa.string()),
-        "ts": pa.array([ts[i] for i in perm], pa.timestamp("us")),
-        "pdf_sha256": pa.array([hashes[i] for i in perm], pa.string()),
+        "conv_id": pa.array(conv_names[conv_idx[perm]], pa.string()),
+        "turn_idx": pa.array(turn_idxs[perm].astype(np.int32), pa.int32()),
+        "role": pa.array(roles[perm], pa.string()),
+        "text": pa.array(text_pool[text_choice[perm]], pa.string()),
+        "tool": pa.array(tools[perm].astype(object), pa.string()),
+        "ts": pa.array(ts[perm], pa.timestamp("us")),
+        "pdf_sha256": pa.array(hash_pool[text_choice[perm]], pa.string()),
     }, schema=SCHEMA)
     return table
 
