@@ -273,6 +273,14 @@ def _q_asof_join(sf_dir: str):
     return asof_join_events(ds, left_type="purchase", right_type="signup")
 
 
+def _q_session_windows(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import session_windows
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id", "value"])
+    return session_windows(ds, gap_minutes=30)
+
+
 def _q_windowed_events(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.relational import windowed_event_counts
@@ -334,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "windowed_events": _q_windowed_events,
         "asof_join": _q_asof_join,
+        "session_windows": _q_session_windows,
         # multimodal plumbing
         "media_features": _q_media_features,
     }
@@ -443,6 +452,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_mktsegment, COUNT(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "session_windows": """
+            WITH ordered AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                           AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT *, SUM(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+                FROM ordered
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM numbered
+            GROUP BY user_id, session_id
         """,
         "asof_join": """
             SELECT a.event_id, a.ts, a.user_id,

@@ -139,6 +139,60 @@ def asof_join_events(ds, left_type: str, right_type: str) -> "ray.data.Dataset":
               .map_groups(merge_group, batch_format="pyarrow"))
 
 
+def session_windows(ds, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Session windows (gap-based) per user: consecutive events closer than
+    ``gap_minutes`` belong to one session. Ray Data has no session-window
+    primitive — composed as ``groupby(user_id).map_groups(sorted sweep)``.
+
+    Partitioning assumption: all of a user's events fit one group (events
+    are small; a pathological user would need time-range salting plus a
+    boundary-merge pass)."""
+    import pyarrow.compute as pc
+
+    gap_us = gap_minutes * 60_000_000
+
+    def sessions(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                  ("event_id", "ascending")])
+        g = group.take(order)
+        ts = pc.cast(g["ts"], pa.int64()).to_pylist()
+        user = g["user_id"][0].as_py()
+        out = {"user_id": [], "session_start": [], "session_end": [],
+               "n_events": [], "sum_value": []}
+        values = g["value"].to_pylist()
+        start = ts[0]
+        last = ts[0]
+        count = 0
+        val_sum = 0.0
+        for i, t in enumerate(ts):
+            if t - last > gap_us:
+                out["user_id"].append(user)
+                out["session_start"].append(start)
+                out["session_end"].append(last)
+                out["n_events"].append(count)
+                out["sum_value"].append(round(val_sum, 2))
+                start = t
+                count = 0
+                val_sum = 0.0
+            count += 1
+            val_sum += values[i]
+            last = t
+        out["user_id"].append(user)
+        out["session_start"].append(start)
+        out["session_end"].append(last)
+        out["n_events"].append(count)
+        out["sum_value"].append(round(val_sum, 2))
+        return pa.table({
+            "user_id": pa.array(out["user_id"], pa.int64()),
+            "session_start": pa.array(out["session_start"], pa.timestamp("us")),
+            "session_end": pa.array(out["session_end"], pa.timestamp("us")),
+            "n_events": pa.array(out["n_events"], pa.int64()),
+            "sum_value": pa.array(out["sum_value"], pa.float64()),
+        })
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+
+
 def windowed_event_counts(ds, window: str = "hour") -> "ray.data.Dataset":
     """Tumbling-window aggregate over the events table: count + sum(value)
     per (window_start, event_type). Pre-aggregated per batch before the

@@ -159,3 +159,35 @@ def test_windowed_events(ray_session):
     out = windowed_event_counts(ds, window="hour").to_pandas()
     assert out.n_events.sum() == 1000
     assert (out.groupby(["window_start", "event_type"]).size() == 1).all()
+
+
+def test_asof_join(ray_session):
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import asof_join_events
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    out = asof_join_events(ds, "purchase", "signup").to_pandas()
+    assert len(out) > 0
+    # prior ts never after the event ts
+    got = out.dropna(subset=["prior_ts"])
+    assert (got.prior_ts <= got.ts).all()
+
+
+def test_session_windows(ray_session):
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import session_windows
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/events.parquet",
+                               columns=["event_id", "ts", "user_id", "value"])
+    out = session_windows(ds, gap_minutes=30).to_pandas()
+    assert out.n_events.sum() == 1000
+    assert (out.session_start <= out.session_end).all()
+    # sessions of one user never overlap
+    for _, grp in out.groupby("user_id"):
+        g = grp.sort_values("session_start")
+        assert (g.session_start.iloc[1:].values
+                > g.session_end.iloc[:-1].values).all()
