@@ -892,15 +892,21 @@ def detect_columns(items: list[TextItem], page: int) -> list[ColumnRegion]:
         return [ColumnRegion(x_min, x_max)]
 
     num_bins = max(1, math.ceil(page_width / BIN_WIDTH))
-    histogram = [0] * num_bins
-    for item in page_items:
-        w = effective_width(item)
-        left = int((item.x - x_min) / BIN_WIDTH)
-        right = math.ceil(((item.x + w) - x_min) / BIN_WIDTH)
-        left = min(left, num_bins)
-        right = min(right, num_bins)
-        for b in range(left, right):
-            histogram[b] += 1
+    # difference-array histogram (numpy): identical integer semantics to the
+    # reference's per-bin loop (extractor.rs:2044-2053), vectorized
+    import numpy as np
+
+    lefts = np.fromiter(
+        (min(int((i.x - x_min) / BIN_WIDTH), num_bins) for i in page_items),
+        dtype=np.int64, count=len(page_items))
+    rights = np.fromiter(
+        (min(math.ceil((i.x + effective_width(i) - x_min) / BIN_WIDTH),
+             num_bins) for i in page_items),
+        dtype=np.int64, count=len(page_items))
+    diff = np.zeros(num_bins + 1, dtype=np.int64)
+    np.add.at(diff, lefts, 1)
+    np.add.at(diff, rights, -1)
+    histogram = np.cumsum(diff[:-1]).tolist()
 
     max_count = max(histogram) if histogram else 0
     noise_threshold = int(max_count * NOISE_FRACTION)
