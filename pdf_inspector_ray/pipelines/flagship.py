@@ -30,15 +30,18 @@ DEFAULT_CONCURRENCY = (2, 32)
 
 
 def sized_concurrency() -> int:
-    """Fixed actor-pool size for the current cluster: total CPUs minus two
-    slots for read/shuffle tasks. An AUTOSCALING pool ((min,max)) under a
-    downstream all-to-all gets starved by Ray's per-operator resource
-    reservation (observed ~2 active actors of 8); a fixed pool sized to
-    leave headroom avoids both the starvation and the all-CPUs deadlock."""
+    """Fixed actor-pool size for the current cluster: ~3/4 of CPUs, leaving
+    a PROPORTIONAL share for read/shuffle/write tasks so every pipeline
+    component scales with the cluster (a constant 2-slot slack capped the
+    non-parse work at the same absolute rate at N and 4N CPUs → efficiency
+    sag). An AUTOSCALING pool ((min,max)) under a downstream all-to-all is
+    starved by Ray's per-operator resource reservation (observed ~2 active
+    actors of 8); an all-CPUs fixed pool deadlocks against the read/shuffle
+    tasks."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(2, cpus - 2)
+    return max(2, cpus - max(2, cpus // 4))
 
 
 def read_transcripts(path: Union[str, list[str]],

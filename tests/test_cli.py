@@ -1,0 +1,69 @@
+"""CLI surface tests (reference bins pdf2md / detect_pdf parity:
+exit codes 1/2, --json fields)."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from pdf_inspector_ray.sources.pdfgen import fixture_pool
+
+
+@pytest.fixture(scope="module")
+def pdf_files(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pdfs")
+    pool = fixture_pool()
+    paths = {}
+    for name in ("f01_tj_simple", "f06_scanned", "f18_corrupt"):
+        p = d / f"{name}.pdf"
+        p.write_bytes(pool[name])
+        paths[name] = str(p)
+    return paths
+
+
+def _run(*args):
+    return subprocess.run(
+        [sys.executable, "-m", "pdf_inspector_ray.cli", *args],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+
+
+def test_detect_json(pdf_files):
+    r = _run("detect", pdf_files["f01_tj_simple"], "--json")
+    assert r.returncode == 0
+    out = json.loads(r.stdout)
+    assert out["pdf_type"] == "text_based"
+    assert out["title"] == "Annual Report"
+    assert out["page_count"] == 1
+
+
+def test_pdf2md_stdout(pdf_files):
+    r = _run("pdf2md", pdf_files["f01_tj_simple"])
+    assert r.returncode == 0
+    assert "# Annual Report" in r.stdout
+
+
+def test_pdf2md_json(pdf_files):
+    r = _run("pdf2md", pdf_files["f01_tj_simple"], "--json")
+    out = json.loads(r.stdout)
+    assert out["pdf_type"] == "text_based"
+    assert out["markdown"].startswith("# Annual Report")
+
+
+def test_pdf2md_ocr_exit_2(pdf_files):
+    r = _run("pdf2md", pdf_files["f06_scanned"])
+    assert r.returncode == 2
+    assert "OCR" in r.stderr
+
+
+def test_pdf2md_error_exit_1(pdf_files):
+    r = _run("pdf2md", pdf_files["f18_corrupt"])
+    assert r.returncode == 1
+    assert "Error" in r.stderr
+
+
+def test_output_file(pdf_files, tmp_path):
+    out = tmp_path / "out.md"
+    r = _run("pdf2md", pdf_files["f01_tj_simple"], str(out))
+    assert r.returncode == 0
+    assert out.read_text().startswith("# Annual Report")
