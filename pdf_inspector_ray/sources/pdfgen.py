@@ -685,6 +685,45 @@ def f19_xrefstream() -> bytes:
     return bytes(out)
 
 
+def f20_manypages() -> bytes:
+    """12 pages (first 8 with text, last 4 image-only) — exercises the
+    sampling strategy at total_pages > max_pages_to_sample
+    (detector.rs:114-142): samples pages {1, 12, 3, 5, 7} → 4/5 text...
+    actually sampled interior = 1+step*i with step=(12-2)//4=2 → {1,3,5,7,12}:
+    pages 1,3,5,7 have text, 12 does not → ratio 0.8 → TextBased."""
+    w = PdfWriter()
+    pages = w.reserve()
+    font = _font_simple(w, b"Helvetica")
+    kids = []
+    for p in range(12):
+        if p < 8:
+            body = _tj_lines([
+                (72, 720, 12, f"Page {p + 1} line one of body text here"),
+                (72, 706, 12, f"Page {p + 1} line two with more words"),
+                (72, 692, 12, f"Page {p + 1} line three closes the page"),
+            ])
+            c = w.add(w.stream(b"", body))
+            kids.append(_page(w, pages, c,
+                              resources=b"/Resources << /Font << /F1 %d 0 R >> >> " % font))
+        else:
+            img = w.add(w.stream(
+                b"/Type /XObject /Subtype /Image /Width 100 /Height 100 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8", b"\x55" * 32))
+            c = w.add(w.stream(b"", b"q 612 0 0 792 0 0 cm /Im0 Do Q\n"))
+            kids.append(_page(w, pages, c,
+                              resources=b"/Resources << /XObject << /Im0 %d 0 R >> >> " % img))
+    _pages_tree(w, pages, kids)
+    return w.build(_catalog(w, pages))
+
+
+def f21_encrypted() -> bytes:
+    """Trailer carries /Encrypt → the loader must raise PdfError(Encrypted)
+    (lib.rs:141 PdfError::Encrypted)."""
+    base = f01_tj_simple()
+    # splice an /Encrypt entry into the trailer dict
+    return base.replace(b"trailer\n<< /Size", b"trailer\n<< /Encrypt 99 0 R /Size")
+
+
 def f18_corrupt() -> bytes:
     """Truncated xref / garbage — must produce the error column."""
     good = f01_tj_simple()
@@ -711,6 +750,8 @@ FIXTURES = {
     "f17_multipage_table": f17_multipage_table,
     "f18_corrupt": f18_corrupt,
     "f19_xrefstream": f19_xrefstream,
+    "f20_manypages": f20_manypages,
+    "f21_encrypted": f21_encrypted,
 }
 
 

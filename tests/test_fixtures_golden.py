@@ -45,6 +45,7 @@ EXPECTED_TYPES = {
     "f16_cjk": "TextBased",
     "f17_multipage_table": "TextBased",
     "f19_xrefstream": "TextBased",
+    "f20_manypages": "TextBased",
 }
 
 
@@ -58,6 +59,19 @@ def test_classification_labels(results):
 def test_corrupt_raises_typed_error(pool):
     with pytest.raises(PdfError):
         process_pdf_mem(pool["f18_corrupt"])
+
+
+def test_encrypted_raises_encrypted_kind(pool):
+    with pytest.raises(PdfError) as ei:
+        process_pdf_mem(pool["f21_encrypted"])
+    assert ei.value.kind == "Encrypted"
+
+
+def test_manypages_sampling(results):
+    d = results["f20_manypages"].detection
+    assert d.pages_sampled == 5       # max_pages_to_sample
+    assert d.pages_with_text == 4     # pages 1,3,5,7 text; 12 image-only
+    assert d.confidence == pytest.approx(0.8)
 
 
 def test_scanned_routes_early(results):
