@@ -305,3 +305,33 @@ def embedding_neardup_candidates(ds, dim: int = 64, num_planes: int = 12,
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
     return buckets.groupby("bucket").map_groups(
         _pairs_from_bucket, batch_format="pyarrow")
+
+
+def verify_pairs_cosine(pairs_ds, vectors: dict[int, "np.ndarray"],
+                        threshold: float = 0.9):
+    """Verify candidate pairs with exact cosine similarity. ``vectors`` is
+    the broadcast small side (ray.put once); swap for a join at corpus
+    scale."""
+    import ray
+
+    norm = {k: np.asarray(v, dtype=np.float64) for k, v in vectors.items()}
+    for k, v in norm.items():
+        n = np.linalg.norm(v)
+        norm[k] = v / n if n else v
+    vec_ref = ray.put(norm)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lk = ray.get(vec_ref)
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        sims = []
+        for x, y in zip(a, b):
+            va, vb = lk.get(x), lk.get(y)
+            sims.append(round(float(va @ vb), 6)
+                        if va is not None and vb is not None else 0.0)
+        t = batch.append_column(pa.field("cos_sim", pa.float64()),
+                                pa.array(sims, pa.float64()))
+        return t.filter(pc.greater_equal(t["cos_sim"], pa.scalar(threshold)))
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")

@@ -191,3 +191,22 @@ def test_session_windows(ray_session):
         g = grp.sort_values("session_start")
         assert (g.session_start.iloc[1:].values
                 > g.session_end.iloc[:-1].values).all()
+
+
+def test_embedding_neardup_with_verification(ray_session):
+    import ray.data
+
+    from pdf_inspector_ray.functions.dedup import (
+        embedding_neardup_candidates, verify_pairs_cosine)
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((120, 32))
+    vecs[77] = vecs[11] + rng.standard_normal(32) * 0.01  # planted near-dup
+    t = pa.table({"vec_id": pa.array(range(120), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    cands = embedding_neardup_candidates(ray.data.from_arrow(t), dim=32)
+    lookup = {i: vecs[i] for i in range(120)}
+    verified = verify_pairs_cosine(cands, lookup, threshold=0.95).to_pandas()
+    got = {tuple(sorted(p)) for p in zip(verified.doc_a, verified.doc_b)}
+    assert (11, 77) in got
+    assert (verified.cos_sim >= 0.95).all()
