@@ -45,7 +45,8 @@ class PdfTypeResult:
     ocr_recommended: bool
 
 
-_WS = frozenset(b"\t\n\x0b\x0c\r ")
+# Rust's u8::is_ascii_whitespace: space, \t, \n, \x0C, \r — NO vertical tab
+_WS = frozenset(b"\t\n\x0c\r ")
 
 
 def scan_content_for_text_operators(content: bytes) -> tuple[int, bool]:

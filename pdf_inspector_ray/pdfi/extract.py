@@ -88,7 +88,6 @@ class TextLine:
     def text_with_formatting(self, format_bold: bool, format_italic: bool) -> str:
         if not format_bold and not format_italic:
             return self._text_plain()
-        result: list[str] = []
         res_str = ""
         current_bold = False
         current_italic = False
