@@ -27,10 +27,11 @@ import sys
 import time
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.1"
-# Large corpus at sf0.1 so per-turn parse work dominates fixed overhead
-# (actor-pool startup, shuffle barriers) and the N→4N efficiency is
-# meaningful: 600k turns ≈ 11 core-minutes of parse work
-BENCH_TURNS = {"0.001": 1000, "0.01": 4000, "0.1": 600000}
+# Large corpus at sf0.1 so per-turn parse work dominates the fixed
+# post-barrier tail (ordering-shuffle reduce + partition writes, ~12s at
+# 32 cpus) and the N→4N efficiency reflects steady-state throughput:
+# 1M turns ≈ 24 core-minutes of parse work
+BENCH_TURNS = {"0.001": 1000, "0.01": 4000, "0.1": 1_000_000}
 
 
 def _sf_of(sf_dir: str) -> str:
@@ -84,7 +85,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         out_dir = f"/tmp/pdf_inspector_ray_bench_out/cpus{num_cpus}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.perf_counter()
-        ds = read_transcripts(corpus)
+        ds = read_transcripts(corpus, num_blocks=4 * num_cpus)
         metrics = run_to_partitioned_output(
             ds, out_dir, num_buckets=max(16, num_cpus * 2), resume=False,
             use_payload_cache=False, concurrency=pool)

@@ -45,9 +45,18 @@ def sized_concurrency() -> int:
 
 
 def read_transcripts(path: Union[str, list[str]],
-                     columns: Optional[list[str]] = None) -> ray.data.Dataset:
-    """Column-pruned parquet read (only ship what the stage needs)."""
-    return ray.data.read_parquet(path, columns=columns)
+                     columns: Optional[list[str]] = None,
+                     num_blocks: Optional[int] = None) -> ray.data.Dataset:
+    """Column-pruned parquet read (only ship what the stage needs).
+
+    ``num_blocks``: block granularity. Coarse blocks (≈4× the actor pool)
+    cut the ordering shuffle's map-side object count (blocks × buckets tiny
+    slices) — measured ~10% end-to-end at 32 CPUs — while staying fine
+    enough that the pool doesn't straggle."""
+    if num_blocks is None:
+        return ray.data.read_parquet(path, columns=columns)
+    return ray.data.read_parquet(path, columns=columns,
+                                 override_num_blocks=num_blocks)
 
 
 def classify_pipeline(ds: ray.data.Dataset,

@@ -48,16 +48,27 @@ def list_completed_partitions(out_dir: str) -> set[int]:
 
 
 def content_hash(table: pa.Table, columns: list[str]) -> str:
-    """Order-sensitive content hash over the named columns."""
-    h = hashlib.sha256()
-    for col in columns:
-        if col not in table.column_names:
-            continue
-        for v in table[col].to_pylist():
-            h.update(repr(v).encode("utf-8", "replace"))
-            h.update(b"\x1f")
-        h.update(b"\x1e")
+    """Order-sensitive content hash over the named columns (Arrow IPC
+    serialization hashed at C speed — a Python per-row loop here costs
+    tens of core-seconds per million rows)."""
+    import pyarrow.ipc as ipc
+
+    cols = [c for c in columns if c in table.column_names]
+    sub = table.select(cols).combine_chunks()
+    sink = pa.BufferOutputStream()
+    with ipc.new_stream(sink, sub.schema) as writer:
+        writer.write_table(sub)
+    h = hashlib.sha256(sink.getvalue().to_pybytes())
     return h.hexdigest()
+
+
+def _count_errors(group: pa.Table) -> int:
+    if "error_kind" not in group.column_names:
+        return 0
+    import pyarrow.compute as pc
+
+    valid = pc.sum(pc.cast(pc.is_valid(group["error_kind"]), pa.int64()))
+    return int(valid.as_py() or 0)
 
 
 def write_partition(group: pa.Table, out_dir: str,
@@ -100,9 +111,7 @@ def write_partition(group: pa.Table, out_dir: str,
         },
         "content_sha256": chash,
         "wall_ms": int((time.perf_counter() - start) * 1000),
-        "error_rows": int(sum(
-            1 for v in group["error_kind"].to_pylist() if v is not None
-        )) if "error_kind" in group.column_names else 0,
+        "error_rows": _count_errors(group),
     }
     tmp_lineage = lpath + ".tmp"
     with open(tmp_lineage, "w") as f:
