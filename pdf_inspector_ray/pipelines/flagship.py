@@ -106,13 +106,25 @@ def run_to_partitioned_output(ds: ray.data.Dataset,
                               resume: bool = True,
                               drop_payload: bool = True,
                               payload_column: str = "text",
+                              shuffle: str = "file",
                               **extract_kwargs) -> dict:
     """The full resumable job: salt → (skip completed parts) → extract →
-    per-bucket sort → partitioned write with lineage sidecars.
+    repartition by salted bucket → per-partition sort + write with lineage.
 
     Salting happens BEFORE extraction so a resumed run skips the expensive
     parse for completed partitions, not just the write.
+
+    ``shuffle="file"`` (default): map tasks append per-partition parquet
+    shards while extraction streams (overlapped), then one finalize task
+    per partition reads+sorts+writes — no object-store all-to-all, no
+    post-extraction barrier beyond the per-partition reads. On multi-node,
+    point the shard root at shared storage. ``shuffle="object"``: Ray's
+    sort-based groupby exchange (simpler, but its reduce runs post-barrier
+    and costs ~2% of total work × the reducer imbalance).
     """
+    import shutil
+    import uuid
+
     os.makedirs(out_dir, exist_ok=True)
     completed = frozenset(list_completed_partitions(out_dir)) if resume else frozenset()
 
@@ -125,18 +137,63 @@ def run_to_partitioned_output(ds: ray.data.Dataset,
             filter_completed, fn_kwargs={"completed": completed},
             batch_format="pyarrow")
 
-    extracted = extract_pipeline(salted, **extract_kwargs)
-    if drop_payload:
-        # don't move the raw payload through the shuffle — the markdown is
-        # the product; the payload stays in the input parquet
-        extracted = extracted.drop_columns([payload_column])
-    ordered_written = extracted.groupby("part").map_groups(
-        lambda g: write_partition(sort_within_group(g), out_dir),
-        batch_format="pyarrow")
-    lineage = ordered_written.to_pandas()  # tiny: one row per partition
+    if shuffle == "object":
+        extracted = extract_pipeline(salted, **extract_kwargs)
+        if drop_payload:
+            # don't move the raw payload through the shuffle — the markdown
+            # is the product; the payload stays in the input parquet
+            extracted = extracted.drop_columns([payload_column])
+        ordered_written = extracted.groupby("part").map_groups(
+            lambda g: write_partition(sort_within_group(g), out_dir),
+            batch_format="pyarrow")
+        lineage = ordered_written.to_pandas()  # tiny: one row per partition
+        written = int((~lineage["skipped"]).sum()) if len(lineage) else 0
+    elif shuffle == "file":
+        from ..stages.extract_stage import ExtractAndShard
+        from ..state.checkpoint import finalize_partition
+
+        run_nonce = uuid.uuid4().hex[:12]
+        shard_root = os.path.join(out_dir, f"_shards-{run_nonce}")
+        os.makedirs(shard_root, exist_ok=True)
+        batch_size = extract_kwargs.pop("batch_size", DEFAULT_BATCH_SIZE)
+        concurrency = extract_kwargs.pop("concurrency", DEFAULT_CONCURRENCY)
+        manifests = salted.map_batches(
+            ExtractAndShard,
+            fn_constructor_kwargs={
+                "shard_root": shard_root,
+                "drop_columns": [payload_column] if drop_payload else [],
+                **extract_kwargs,
+            },
+            batch_size=None,  # whole block per call: one shard per (block, part)
+            concurrency=concurrency,
+            num_cpus=1,
+            batch_format="pyarrow")
+        # consume manifests (tiny) to drive the map side to completion
+        touched_parts = sorted({
+            p for b in manifests.iter_batches(batch_format="pyarrow")
+            for p in b["part"].to_pylist()})
+        finalize_ds = ray.data.from_items(
+            [{"part": p} for p in touched_parts])
+        import pyarrow as pa
+
+        def _finalize(batch: pa.Table) -> pa.Table:
+            recs = [finalize_partition(int(p), shard_root, out_dir)
+                    for p in batch["part"].to_pylist()]
+            return pa.table({
+                "part": pa.array([r["part"] for r in recs], pa.int32()),
+                "rows": pa.array([r["rows"] for r in recs], pa.int64()),
+                "skipped": pa.array([r["skipped"] for r in recs], pa.bool_()),
+            })
+
+        lineage = finalize_ds.map_batches(
+            _finalize, batch_size=1, batch_format="pyarrow").to_pandas()
+        written = int((~lineage["skipped"]).sum()) if len(lineage) else 0
+        shutil.rmtree(shard_root, ignore_errors=True)
+    else:
+        raise ValueError(f"unknown shuffle strategy {shuffle!r}")
+
     from ..state.checkpoint import aggregate_metrics
     metrics = aggregate_metrics(out_dir)
-    metrics["partitions_written_this_run"] = int(
-        (~lineage["skipped"]).sum()) if len(lineage) else 0
+    metrics["partitions_written_this_run"] = written
     metrics["partitions_skipped_this_run"] = len(completed)
     return metrics

@@ -103,6 +103,9 @@ class ExtractRender:
 
     # -- per-batch ----------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.process_batch(batch)
+
+    def process_batch(self, batch: pa.Table) -> pa.Table:
         payloads = batch[self.payload_column]
         n = len(payloads)
         cols: list[list] = [[None] * n for _ in EXTRACT_FIELDS]
@@ -120,3 +123,61 @@ class ExtractRender:
         for (name, typ), vals in zip(EXTRACT_FIELDS, cols):
             out = out.append_column(pa.field(name, typ), pa.array(vals, typ))
         return out
+
+
+class ExtractAndShard(ExtractRender):
+    """Extract fused with map-side shard writing (the file-shuffle's map
+    phase, SURVEY.md §4.2 skew/partitioning). Runs INSIDE the actor so the
+    parquet encode overlaps extraction instead of competing with the pool
+    for free task slots. Returns only a tiny (part, rows) manifest — the
+    data goes straight to the partition shard files.
+
+    Shard names are deterministic over the batch's key column, so a Ray
+    task retry overwrites its own half-written shards instead of
+    duplicating rows.
+    """
+
+    def __init__(self, shard_root: str, drop_columns: list[str] | None = None,
+                 **kwargs):
+        super().__init__(**kwargs)
+        self.shard_root = shard_root
+        self.drop = drop_columns or []
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        out = self.process_batch(batch)
+        for col in self.drop:
+            if col in out.column_names:
+                out = out.remove_column(out.schema.get_field_index(col))
+        if out.num_rows == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        # deterministic per-batch nonce: hash of the batch's key columns
+        key_digest = hashlib.md5(usedforsecurity=False)
+        for col in ("conv_id", "turn_idx"):
+            if col in out.column_names:
+                for chunk in out[col].chunks:
+                    for buf in chunk.buffers():
+                        if buf is not None:
+                            key_digest.update(buf)
+        nonce = key_digest.hexdigest()[:16]
+        parts_col = out["part"]
+        uniq = pc.unique(parts_col).to_pylist()
+        man_parts: list[int] = []
+        man_rows: list[int] = []
+        for part in uniq:
+            mask = pc.equal(parts_col, pa.scalar(part, parts_col.type))
+            sub = out.filter(mask)
+            pdir = os.path.join(self.shard_root, f"part={int(part)}")
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, f".{nonce}.tmp")
+            pq.write_table(sub, tmp, row_group_size=65536, compression="snappy")
+            os.replace(tmp, os.path.join(pdir, f"{nonce}.parquet"))
+            man_parts.append(int(part))
+            man_rows.append(sub.num_rows)
+        return pa.table({"part": pa.array(man_parts, pa.int32()),
+                         "rows": pa.array(man_rows, pa.int64())})

@@ -122,6 +122,92 @@ def write_partition(group: pa.Table, out_dir: str,
                      "skipped": [False]})
 
 
+# -- file-based shuffle (map-side shards + per-partition finalize) ----------
+#
+# The object-store sort shuffle is a post-extraction barrier whose reduce
+# cost scales with data (~1.7% of total work × 4 at the reducer count we
+# use) and caps N→4N efficiency near 0.71. Instead, the map side splits
+# each extracted block by `part` and appends parquet shard files while
+# extraction is still streaming (fully overlapped); the finalize step is
+# one task per partition: read that partition's shards, sort, write
+# data.parquet + lineage. On a multi-node cluster the shard root must be
+# shared storage (object store / NFS) — the standard external-shuffle
+# layout; locally it's /tmp.
+
+def write_shards(batch: pa.Table, shard_root: str, task_nonce: str) -> pa.Table:
+    """Map-side: append one parquet shard per (task-batch, part). Returns a
+    small manifest (part, rows)."""
+    import uuid
+
+    parts_col = batch["part"]
+    import pyarrow.compute as pc
+    uniq = pc.unique(parts_col).to_pylist()
+    out_parts: list[int] = []
+    out_rows: list[int] = []
+    for part in uniq:
+        mask = pc.equal(parts_col, pa.scalar(part, parts_col.type))
+        sub = batch.filter(mask)
+        pdir = os.path.join(shard_root, f"part={int(part)}")
+        os.makedirs(pdir, exist_ok=True)
+        name = f"{task_nonce}-{uuid.uuid4().hex[:12]}.parquet"
+        pq.write_table(sub, os.path.join(pdir, name), row_group_size=65536,
+                       compression="snappy")
+        out_parts.append(int(part))
+        out_rows.append(sub.num_rows)
+    return pa.table({"part": pa.array(out_parts, pa.int32()),
+                     "rows": pa.array(out_rows, pa.int64())})
+
+
+def finalize_partition(part: int, shard_root: str, out_dir: str,
+                       hash_columns: list[str] | None = None) -> dict:
+    """Reduce-side: one partition's shards → sorted data.parquet + lineage."""
+    import glob as _glob
+
+    import pyarrow.compute as pc
+
+    lpath = lineage_path(out_dir, part)
+    if os.path.exists(lpath):
+        with open(lpath) as f:
+            rec = json.load(f)
+        return {"part": part, "rows": rec["rows"],
+                "content_sha256": rec["content_sha256"], "wall_ms": 0,
+                "skipped": True}
+    start = time.perf_counter()
+    shard_files = sorted(_glob.glob(os.path.join(shard_root, f"part={part}", "*.parquet")))
+    if not shard_files:
+        return {"part": part, "rows": 0, "content_sha256": "", "wall_ms": 0,
+                "skipped": False}
+    table = pa.concat_tables([pq.read_table(f) for f in shard_files])
+    order = pc.sort_indices(table, sort_keys=[("conv_id", "ascending"),
+                                              ("turn_idx", "ascending")])
+    table = table.take(order)
+    pdir = partition_dir(out_dir, part)
+    os.makedirs(pdir, exist_ok=True)
+    hash_cols = hash_columns or ["conv_id", "turn_idx", "pdf_type", "markdown",
+                                 "error_kind"]
+    chash = content_hash(table, hash_cols)
+    tmp = os.path.join(pdir, ".data.parquet.tmp")
+    pq.write_table(table, tmp, row_group_size=8192)
+    os.replace(tmp, os.path.join(pdir, "data.parquet"))
+    rec = {
+        "part": part,
+        "rows": table.num_rows,
+        "row_range": {
+            "conv_id_min": table["conv_id"][0].as_py(),
+            "conv_id_max": table["conv_id"][-1].as_py(),
+        },
+        "content_sha256": chash,
+        "wall_ms": int((time.perf_counter() - start) * 1000),
+        "error_rows": _count_errors(table),
+    }
+    tmp_lineage = lpath + ".tmp"
+    with open(tmp_lineage, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp_lineage, lpath)
+    return {"part": part, "rows": table.num_rows, "content_sha256": chash,
+            "wall_ms": rec["wall_ms"], "skipped": False}
+
+
 def filter_completed(batch: pa.Table, completed: frozenset[int]) -> pa.Table:
     """SB filter UDF: drop rows whose salted partition already finished."""
     if not completed:
