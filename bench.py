@@ -92,11 +92,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         n_turns = metrics["rows"]
         queries["extract_ordered"] = round(time.perf_counter() - t0, 3)
 
-        # q_classify: detection-only pass
+        # q_classify: detection-only pass (count() = distributed consume;
+        # pulling every block to the driver would serialize the tail)
         t0 = time.perf_counter()
-        ds = read_transcripts(corpus)
-        c = classify_pipeline(ds)
-        sum(b.num_rows for b in c.iter_batches(batch_format="pyarrow"))
+        ds = read_transcripts(corpus, num_blocks=4 * num_cpus)
+        classify_pipeline(ds).count()
         queries["classify"] = round(time.perf_counter() - t0, 3)
 
         # documents-table operators at the requested sf
