@@ -182,3 +182,18 @@ def test_golden_compare_join(ray_session, corpus_dir, flagship_df, corpus_table)
     verdicts2 = compare_to_golden(ray.data.from_pandas(flagship_df), bad).to_pandas()
     assert (~verdicts2["match"]).sum() >= 1
     assert "markdown" in set(verdicts2.loc[~verdicts2["match"], "mismatch_column"])
+
+
+def test_mega_conversation_salting_splits_buckets():
+    """A 2000-turn mega-conversation must land in MULTIPLE buckets (no
+    single reducer gets the whole conversation) and remain reconstructable
+    from (conv_id, turn_idx)."""
+    from pdf_inspector_ray.pipelines.ordering import DEFAULT_STRIDE, stable_bucket
+
+    buckets = {stable_bucket("conv-000000", t // DEFAULT_STRIDE, 16)
+               for t in range(2000)}
+    assert len(buckets) == min(16, -(-2000 // DEFAULT_STRIDE))  # 4 blocks -> 4 buckets
+    # deterministic across calls/processes (md5-based, not hash())
+    again = {stable_bucket("conv-000000", t // DEFAULT_STRIDE, 16)
+             for t in range(2000)}
+    assert buckets == again
