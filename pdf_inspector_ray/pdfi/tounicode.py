@@ -317,6 +317,28 @@ def extract_stream_from_raw_pdf(pdf_bytes: bytes, obj_num: int) -> Optional[byte
     return stream_data
 
 
+# Per-process CMap parse cache keyed by stream-content digest: transcript
+# corpora repeat a small set of fonts across billions of turns, so each
+# worker parses any given ToUnicode stream once (the per-document "object
+# store" cache the north star names — SURVEY.md §2.3 E19). Parsed CMaps
+# are immutable after parse, so sharing across documents is safe.
+_CMAP_PARSE_CACHE: dict[bytes, Optional[ToUnicodeCMap]] = {}
+_CMAP_PARSE_CACHE_MAX = 4096
+
+
+def _parse_cmap_cached(stream_data: bytes) -> Optional[ToUnicodeCMap]:
+    import hashlib
+
+    key = hashlib.md5(stream_data, usedforsecurity=False).digest()
+    if key in _CMAP_PARSE_CACHE:
+        return _CMAP_PARSE_CACHE[key]
+    cmap = ToUnicodeCMap.parse(stream_data)
+    if len(_CMAP_PARSE_CACHE) >= _CMAP_PARSE_CACHE_MAX:
+        _CMAP_PARSE_CACHE.clear()  # rare; simple reset beats LRU bookkeeping
+    _CMAP_PARSE_CACHE[key] = cmap
+    return cmap
+
+
 def extract_tounicode_cmaps(pdf_bytes: bytes) -> dict[int, ToUnicodeCMap]:
     """tounicode.rs:477-514: find /ToUnicode N 0 R refs, pull + parse streams."""
     cmaps: dict[int, ToUnicodeCMap] = {}
@@ -338,7 +360,7 @@ def extract_tounicode_cmaps(pdf_bytes: bytes) -> dict[int, ToUnicodeCMap]:
             if obj_num not in cmaps:
                 stream_data = extract_stream_from_raw_pdf(pdf_bytes, obj_num)
                 if stream_data is not None:
-                    cmap = ToUnicodeCMap.parse(stream_data)
+                    cmap = _parse_cmap_cached(stream_data)
                     if cmap is not None:
                         cmaps[obj_num] = cmap
         pos = ref_start

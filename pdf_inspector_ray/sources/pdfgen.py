@@ -724,6 +724,32 @@ def f21_encrypted() -> bytes:
     return base.replace(b"trailer\n<< /Size", b"trailer\n<< /Encrypt 99 0 R /Size")
 
 
+def f22_textops() -> bytes:
+    """T* next-line, ' (move+show), and a scaled Tm — exercises the
+    remaining text operators (extractor.rs:1039-1043, 1209-1251) and
+    effective_font_size via matrix scale (extractor.rs:1791-1800):
+    12pt base with Tm scale 2 → rendered 24pt → heading tier."""
+    w = PdfWriter()
+    pages = w.reserve()
+    font = _font_simple(w, b"Helvetica")
+    content_data = (
+        # Tm with scale 2: 12pt font renders at 24pt -> H1
+        b"BT /F1 12 Tf 2 0 0 2 72 740 Tm (Scaled Title Line) Tj ET\n"
+        # Td start, then T* line advances (-1.2 * 12 = 14.4pt each)
+        b"BT /F1 12 Tf 72 700 Td (first line via Td) Tj "
+        b"T* (second line via Tstar) Tj "
+        b"T* (third line via Tstar) Tj ET\n"
+        # ' operator: newline + show
+        b"BT /F1 12 Tf 72 640 Td (before quote op) Tj "
+        b"(line from quote op) ' "
+        b"(another quote line) ' ET\n"
+    )
+    content = w.add(w.stream(b"", content_data))
+    page = _page(w, pages, content, resources=b"/Resources << /Font << /F1 %d 0 R >> >> " % font)
+    _pages_tree(w, pages, [page])
+    return w.build(_catalog(w, pages))
+
+
 def f18_corrupt() -> bytes:
     """Truncated xref / garbage — must produce the error column."""
     good = f01_tj_simple()
@@ -752,6 +778,7 @@ FIXTURES = {
     "f19_xrefstream": f19_xrefstream,
     "f20_manypages": f20_manypages,
     "f21_encrypted": f21_encrypted,
+    "f22_textops": f22_textops,
 }
 
 

@@ -46,6 +46,7 @@ EXPECTED_TYPES = {
     "f17_multipage_table": "TextBased",
     "f19_xrefstream": "TextBased",
     "f20_manypages": "TextBased",
+    "f22_textops": "TextBased",
 }
 
 
@@ -185,6 +186,15 @@ def test_multipage_table_merge(results):
     # continuation merge: ONE header, all 12 data rows
     assert md.count("| Code") == 1
     assert "X000" in md and "X011" in md
+
+
+def test_textops_tstar_quote_tm(results):
+    md = results["f22_textops"].markdown
+    assert "# Scaled Title Line" in md         # Tm scale 2 -> 24pt -> H1
+    assert "second line via Tstar" in md       # T* advanced the line
+    assert "line from quote op" in md          # ' operator shows text
+    # T*/' lines are distinct lines (joined as one paragraph, in order)
+    assert md.index("first line via Td") < md.index("second line via Tstar")
 
 
 def test_determinism(pool):
