@@ -785,3 +785,62 @@ FIXTURES = {
 def fixture_pool() -> dict[str, bytes]:
     """All fixture PDFs, generated deterministically."""
     return {name: fn() for name, fn in FIXTURES.items()}
+
+
+# -- parametrized generator (test-only; NOT in FIXTURES so corpus digests
+# stay stable) ------------------------------------------------------------
+
+_PROSE_WORDS = ("report quarter revenue margin growth capital region plan "
+                "board market supply order line value data stream batch "
+                "window merge system process review result summary").split()
+
+
+def make_prose_pdf(seed: int) -> bytes:
+    """Seeded multi-page document: varied page counts, heading tiers,
+    paragraphs, lists, and an optional small-font table. Used by the
+    broadened golden-equality tests (tests/test_prose_corpus.py)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    w = PdfWriter()
+    pages = w.reserve()
+    font = _font_simple(w, b"Helvetica")
+    n_pages = int(rng.integers(1, 5))
+    kids = []
+
+    def sentence(n=8):
+        return " ".join(str(rng.choice(_PROSE_WORDS)) for _ in range(n))
+
+    for p in range(n_pages):
+        lines = []
+        y = 740.0
+        if p == 0:
+            lines.append((72, y, 22, f"Document {seed} Overview".title()))
+            y -= 36
+        n_sections = int(rng.integers(1, 4))
+        for s in range(n_sections):
+            lines.append((72, y, 16, sentence(3).title()))
+            y -= 24
+            for _ in range(int(rng.integers(2, 6))):
+                lines.append((72, y, 11, sentence(int(rng.integers(6, 11)))))
+                y -= 13.5
+            y -= 8
+            if rng.random() < 0.4:
+                for li in range(int(rng.integers(2, 5))):
+                    lines.append((72, y, 11, f"- {sentence(4)}"))
+                    y -= 13.5
+                y -= 8
+            if y < 140:
+                break
+        if rng.random() < 0.35 and y > 260:
+            rows = [["Metric", "Q1", "Q2", "Q3"]]
+            for r in range(int(rng.integers(3, 6))):
+                rows.append([sentence(1), f"{rng.integers(1, 99)}.{rng.integers(0, 9)}",
+                             f"{rng.integers(1, 99)}.{rng.integers(0, 9)}",
+                             f"{rng.integers(1, 99)}.{rng.integers(0, 9)}"])
+            lines.extend(_grid_lines(72, y - 10, rows, 8.0))
+        content = w.add(w.stream(b"", _tj_lines(lines)))
+        kids.append(_page(w, pages, content,
+                          resources=b"/Resources << /Font << /F1 %d 0 R >> >> " % font))
+    _pages_tree(w, pages, kids)
+    return w.build(_catalog(w, pages))
