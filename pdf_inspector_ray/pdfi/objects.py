@@ -245,25 +245,25 @@ class Lexer:
             raise PdfError(f"bad token {tok!r} at {self.pos}")
 
     def _parse_name(self) -> Name:
-        assert self.data[self.pos] == 0x2F
-        self.pos += 1
-        d, n = self.data, len(self.data)
+        # fast path: one regex grab; '#xx' escapes handled only if present
+        m = _NAME_RE.match(self.data, self.pos)
+        raw = m.group(1)
+        self.pos = m.end()
+        if b"#" not in raw:
+            return Name(raw.decode("latin-1"))
         out = bytearray()
-        p = self.pos
-        while p < n:
-            c = d[p]
-            if c in _WHITESPACE or c in _DELIMS:
-                break
-            if c == 0x23 and p + 2 < n:  # '#xx'
+        i, n = 0, len(raw)
+        while i < n:
+            c = raw[i]
+            if c == 0x23 and i + 2 < n:
                 try:
-                    out.append(int(d[p + 1 : p + 3], 16))
-                    p += 3
+                    out.append(int(raw[i + 1 : i + 3], 16))
+                    i += 3
                     continue
                 except ValueError:
                     pass
             out.append(c)
-            p += 1
-        self.pos = p
+            i += 1
         return Name(out.decode("latin-1"))
 
     def _parse_literal_string(self) -> PdfString:
@@ -335,29 +335,33 @@ class Lexer:
     def _parse_array(self) -> list:
         self.pos += 1
         out = []
+        d, n = self.data, len(self.data)
         while True:
             self.skip_ws()
-            if self.peek() == 0x5D:
-                self.pos += 1
-                return out
-            if self.peek() == -1:
+            p = self.pos
+            if p >= n:
                 raise PdfError("unterminated array")
+            if d[p] == 0x5D:
+                self.pos = p + 1
+                return out
             out.append(self.parse_object())
 
     def _parse_dict_or_stream(self) -> Union[dict, Stream]:
         self.pos += 2
         d = {}
+        data, n = self.data, len(self.data)
         while True:
             self.skip_ws()
-            c = self.peek()
-            if c == 0x3E:  # '>>'
-                self.pos += 2
-                break
-            if c == -1:
+            p = self.pos
+            if p >= n:
                 raise PdfError("unterminated dict")
-            key = self.parse_object()
-            if not isinstance(key, Name):
-                raise PdfError(f"dict key not a name: {key!r}")
+            c = data[p]
+            if c == 0x3E:  # '>>'
+                self.pos = p + 2
+                break
+            if c != 0x2F:
+                raise PdfError(f"dict key not a name at {p}")
+            key = self._parse_name()
             val = self.parse_object()
             d[str(key)] = val
         # stream?
@@ -399,6 +403,7 @@ class Lexer:
 
 
 _INT_RE = re.compile(rb"^[+-]?\d+$")
+_NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r /<>\[\]{}()%]*)")
 _WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 _REF_RE = re.compile(rb"[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![0-9A-Za-z])")
