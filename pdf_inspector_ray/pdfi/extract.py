@@ -13,6 +13,7 @@ Pure per-document code; runs inside the Ray extract actor's ``__call__``.
 from __future__ import annotations
 
 import math
+import re
 from typing import Optional
 
 from .fonts import (
@@ -298,12 +299,16 @@ def is_italic_font(font_name: str) -> bool:
     )
 
 
+_CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+_LIG_RE = re.compile(r"[ﬀﬁﬂﬃﬄ]")
+
+
 def expand_ligatures(text: str) -> str:
     """extractor.rs:1961-1987: strip controls <0x20 (keep \\n\\r\\t), expand
     U+FB00..FB04."""
-    if any(ord(c) < 0x20 and c not in "\n\r\t" for c in text):
-        text = "".join(c for c in text if c >= " " or c in "\n\r\t")
-    if not any(c in text for c in "ﬀﬁﬂﬃﬄ"):
+    if _CTRL_RE.search(text) is not None:
+        text = _CTRL_RE.sub("", text)
+    if _LIG_RE.search(text) is None:
         return text
     return (
         text.replace("ﬀ", "ff")

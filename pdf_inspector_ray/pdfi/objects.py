@@ -267,6 +267,11 @@ class Lexer:
         return Name(out.decode("latin-1"))
 
     def _parse_literal_string(self) -> PdfString:
+        # fast path: no escapes, no nested parens
+        m = _SIMPLE_STR_RE.match(self.data, self.pos)
+        if m is not None:
+            self.pos = m.end()
+            return PdfString(m.group(1))
         d, n = self.data, len(self.data)
         p = self.pos + 1
         out = bytearray()
@@ -404,6 +409,7 @@ class Lexer:
 
 _INT_RE = re.compile(rb"^[+-]?\d+$")
 _NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r /<>\[\]{}()%]*)")
+_SIMPLE_STR_RE = re.compile(rb"\(([^()\\]*)\)")
 _WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
 _NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 _REF_RE = re.compile(rb"[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+R(?![0-9A-Za-z])")
