@@ -750,6 +750,80 @@ def f22_textops() -> bytes:
     return w.build(_catalog(w, pages))
 
 
+def f23_dropcap_captions() -> bytes:
+    """Standalone drop cap (own line, different y → exercises
+    merge_drop_caps markdown.rs:950-1027 rather than line-grouping),
+    Figure/Source caption lines (markdown.rs:1173-1214), a UTF-16BE
+    document title (detector.rs:409-416), and real • bullets via an
+    Encoding /Differences mapping (markdown.rs:1221-1227)."""
+    w = PdfWriter()
+    pages = w.reserve()
+    font = _font_simple(w, b"Helvetica")
+    enc = w.add(b"<< /Type /Encoding /Differences [ 149 /bullet ] >>")
+    bfont = w.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                  b"/Encoding %d 0 R >>" % enc)
+    body = (
+        # heading so the drop-cap target line is a paragraph start
+        b"BT /F1 18 Tf 72 740 Td (Chapter One Heading) Tj ET\n"
+        # standalone drop cap: emitted AFTER its paragraph line (the stream
+        # order the reference's merge targets — markdown.rs:894 comment),
+        # own line via y 706 vs 700 (> 3pt line tolerance)
+        b"BT /F1 12 Tf 95 700 Td (hen the winter came the village prepared) Tj ET\n"
+        b"BT /F1 30 Tf 72 706 Td (W) Tj ET\n"
+        b"BT /F1 12 Tf 72 686 Td (for the long season ahead with quiet care.) Tj ET\n"
+        # caption lines
+        b"BT /F1 12 Tf 72 650 Td (Figure 3: seasonal temperature trends) Tj ET\n"
+        b"BT /F1 12 Tf 72 622 Td (Source: village records office) Tj ET\n"
+        # bullet list via Differences byte 0x95 -> U+2022
+        b"BT /F2 12 Tf 72 590 Td (\x95 first bullet point) Tj ET\n"
+        b"BT /F2 12 Tf 72 576 Td (\x95 second bullet point) Tj ET\n"
+    )
+    content = w.add(w.stream(b"", body))
+    page = _page(
+        w, pages, content,
+        resources=b"/Resources << /Font << /F1 %d 0 R /F2 %d 0 R >> >> " % (font, bfont))
+    _pages_tree(w, pages, [page])
+    root = _catalog(w, pages)
+    # UTF-16BE title with BOM: "Über Winter"
+    title_utf16 = "Über Winter".encode("utf-16-be")
+    info = w.add(b"<< /Title <FEFF" +
+                 title_utf16.hex().upper().encode() + b"> >>")
+    return w.build(root, info)
+
+
+def f24_chaotic_order() -> bytes:
+    """Content stream emits lines in jumbled Y order (>40% upward jumps of
+    >50pt) → should_use_y_sorting fires (extractor.rs:2324-2357) and the
+    output restores top-to-bottom reading order. Also a TJ array inside a
+    form XObject (extractor.rs:1526-1622)."""
+    w = PdfWriter()
+    pages = w.reserve()
+    font = _font_simple(w, b"Helvetica")
+    # emission order: line3 (y=500), line1 (y=700), line4 (y=400),
+    # line2 (y=600), line6 (y=200), line5 (y=300) — 3 up-jumps of 100-200pt
+    jumbled = [
+        (72, 500, 12, "third line of the document body"),
+        (72, 700, 12, "first line of the document body"),
+        (72, 400, 12, "fourth line of the document body"),
+        (72, 600, 12, "second line of the document body"),
+        (72, 200, 12, "sixth line of the document body"),
+        (72, 300, 12, "fifth line of the document body"),
+    ]
+    form_font = _font_simple(w, b"Times-Roman")
+    form_content = b"BT /FF1 11 Tf 5 8 Td [(form) -300 (kerned) -50 (text)] TJ ET\n"
+    form = w.add(w.stream(
+        b"/Type /XObject /Subtype /Form /BBox [0 0 200 30] "
+        b"/Resources << /Font << /FF1 %d 0 R >> >>" % form_font, form_content))
+    content = w.add(w.stream(
+        b"", _tj_lines(jumbled) + b"q 1 0 0 1 72 120 cm /Fm1 Do Q\n"))
+    page = _page(
+        w, pages, content,
+        resources=b"/Resources << /Font << /F1 %d 0 R >> /XObject << /Fm1 %d 0 R >> >> "
+        % (font, form))
+    _pages_tree(w, pages, [page])
+    return w.build(_catalog(w, pages))
+
+
 def f18_corrupt() -> bytes:
     """Truncated xref / garbage — must produce the error column."""
     good = f01_tj_simple()
@@ -779,6 +853,8 @@ FIXTURES = {
     "f20_manypages": f20_manypages,
     "f21_encrypted": f21_encrypted,
     "f22_textops": f22_textops,
+    "f23_dropcap_captions": f23_dropcap_captions,
+    "f24_chaotic_order": f24_chaotic_order,
 }
 
 

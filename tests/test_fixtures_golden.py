@@ -47,6 +47,8 @@ EXPECTED_TYPES = {
     "f19_xrefstream": "TextBased",
     "f20_manypages": "TextBased",
     "f22_textops": "TextBased",
+    "f23_dropcap_captions": "TextBased",
+    "f24_chaotic_order": "TextBased",
 }
 
 
@@ -195,6 +197,36 @@ def test_textops_tstar_quote_tm(results):
     assert "line from quote op" in md          # ' operator shows text
     # T*/' lines are distinct lines (joined as one paragraph, in order)
     assert md.index("first line via Td") < md.index("second line via Tstar")
+
+
+def test_standalone_dropcap_merge(results):
+    md = results["f23_dropcap_captions"].markdown
+    assert "When the winter came" in md       # W merged into the paragraph
+    assert "\nW\n" not in md                  # no orphan drop-cap line
+
+
+def test_captions_own_line(results):
+    md = results["f23_dropcap_captions"].markdown
+    assert "Figure 3: seasonal temperature trends\n" in md
+    assert "Source: village records office\n" in md
+
+
+def test_utf16be_title(results):
+    assert results["f23_dropcap_captions"].detection.title == "Über Winter"
+
+
+def test_differences_bullets(results):
+    md = results["f23_dropcap_captions"].markdown
+    assert "- first bullet point" in md
+    assert "- second bullet point" in md
+
+
+def test_chaotic_order_y_sorted(results):
+    md = results["f24_chaotic_order"].markdown
+    order = [md.index(f"{w} line of the document body")
+             for w in ("first", "second", "third", "fourth", "fifth", "sixth")]
+    assert order == sorted(order)
+    assert "form kernedtext" in md             # TJ inside a form XObject
 
 
 def test_determinism(pool):
