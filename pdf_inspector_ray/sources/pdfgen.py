@@ -824,6 +824,37 @@ def f24_chaotic_order() -> bytes:
     return w.build(_catalog(w, pages))
 
 
+def f25_type3_font() -> bytes:
+    """Type3 font with FontMatrix [0.02 ...] — units_scale comes from the
+    matrix, not the 1/1000 default (extractor.rs:162-179). Glyphs decode
+    via Encoding /Differences; widths 300 font units × 0.02 = 6pt at
+    size 1... the fixture uses size 12 so advance = 300*0.02*12 = 72pt?
+    No: Type3 glyph space: width*scale*font_size. Widths chosen so words
+    join/space plausibly."""
+    w = PdfWriter()
+    pages = w.reserve()
+    helv = _font_simple(w, b"Helvetica")
+    charprocs = w.add(b"<< >>")  # glyph programs unused by extraction
+    enc = w.add(b"<< /Type /Encoding /Differences [ 65 /A /B /C 97 /a /b /c ] >>")
+    t3 = w.add(
+        b"<< /Type /Font /Subtype /Type3 /FontMatrix [0.02 0 0 0.02 0 0] "
+        b"/FontBBox [0 0 50 50] /FirstChar 65 /LastChar 99 "
+        b"/Widths [25 25 25 " + b"0 " * 29 + b"25 25 25] "
+        b"/CharProcs %d 0 R /Encoding %d 0 R >>" % (charprocs, enc))
+    body = (
+        b"BT /F1 12 Tf 72 720 Td (Regular helvetica line above the glyphs) Tj ET\n"
+        b"BT /F3 12 Tf 72 690 Td (ABC) Tj ET\n"
+        b"BT /F3 12 Tf 72 670 Td (abc) Tj ET\n"
+        b"BT /F1 12 Tf 72 640 Td (Closing line for detection threshold) Tj ET\n"
+    )
+    content = w.add(w.stream(b"", body))
+    page = _page(
+        w, pages, content,
+        resources=b"/Resources << /Font << /F1 %d 0 R /F3 %d 0 R >> >> " % (helv, t3))
+    _pages_tree(w, pages, [page])
+    return w.build(_catalog(w, pages))
+
+
 def f18_corrupt() -> bytes:
     """Truncated xref / garbage — must produce the error column."""
     good = f01_tj_simple()
@@ -855,6 +886,7 @@ FIXTURES = {
     "f22_textops": f22_textops,
     "f23_dropcap_captions": f23_dropcap_captions,
     "f24_chaotic_order": f24_chaotic_order,
+    "f25_type3_font": f25_type3_font,
 }
 
 

@@ -49,6 +49,7 @@ EXPECTED_TYPES = {
     "f22_textops": "TextBased",
     "f23_dropcap_captions": "TextBased",
     "f24_chaotic_order": "TextBased",
+    "f25_type3_font": "TextBased",
 }
 
 

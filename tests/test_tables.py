@@ -145,3 +145,40 @@ def test_uniform_spacing_rows_not_merged():
     assert len(tables) == 1
     assert len(tables[0].rows) == 8, \
         f"Each company must be on its own row, got {len(tables[0].rows)}"
+
+
+def test_form_header_rows_skipped():
+    """tables.rs:999-1115: leading rows with colon-label form patterns are
+    excluded; the grid starts at the first dense/numeric row."""
+    items = [
+        # form metadata rows (colon labels, sparse)
+        make_item("Name:", 100.0, 540.0, 8.0),
+        make_item("Acme Corp", 220.0, 540.0, 8.0),
+        make_item("Date:", 100.0, 524.0, 8.0),
+        make_item("2026-01-01", 220.0, 524.0, 8.0),
+        # real table: dense header + numeric data
+        make_item("Item", 100.0, 500.0, 8.0),
+        make_item("Qty", 200.0, 500.0, 8.0),
+        make_item("Price", 300.0, 500.0, 8.0),
+        make_item("Total", 400.0, 500.0, 8.0),
+        make_item("Bolt", 100.0, 480.0, 8.0),
+        make_item("10", 200.0, 480.0, 8.0),
+        make_item("1.50", 300.0, 480.0, 8.0),
+        make_item("15.00", 400.0, 480.0, 8.0),
+        make_item("Nut", 100.0, 460.0, 8.0),
+        make_item("20", 200.0, 460.0, 8.0),
+        make_item("0.75", 300.0, 460.0, 8.0),
+        make_item("15.00", 400.0, 460.0, 8.0),
+        make_item("Washer", 100.0, 440.0, 8.0),
+        make_item("30", 200.0, 440.0, 8.0),
+        make_item("0.10", 300.0, 440.0, 8.0),
+        make_item("3.00", 400.0, 440.0, 8.0),
+    ]
+    tables = detect_tables(items, 10.0)
+    assert len(tables) == 1
+    cells = tables[0].cells
+    # the colon-label rows must not be part of the grid
+    flat = " | ".join(c for row in cells for c in row)
+    assert "Name:" not in flat
+    assert "Date:" not in flat
+    assert cells[0][0] == "Item"

@@ -115,3 +115,31 @@ endbfrange
     assert cmap.lookup(0x10) == "a"
     assert cmap.lookup(0x13) == "d"
     assert cmap.lookup(0x14) is None
+
+
+def test_fontcmaps_fuzzy_lookup():
+    """tounicode.rs:588-607: exact name, then F-strip substring match
+    (only when the stripped name is >= 4 chars)."""
+    from pdf_inspector_ray.pdfi.tounicode import FontCMaps
+
+    fc = FontCMaps()
+    cmap = ToUnicodeCMap.parse(CMAP_2BYTE)
+    fc.by_name["NotoSans0"] = cmap
+    assert fc.get("NotoSans0") is cmap           # exact
+    assert fc.get("FNotoSans0") is cmap          # strip leading F, substring
+    assert fc.get("FNoto") is cmap               # "Noto" in "NotoSans0"
+    assert fc.get("F1") is None                  # stripped "1" too short
+    assert fc.get("Zzz") is None
+
+
+def test_fontcmaps_get_with_obj():
+    from pdf_inspector_ray.pdfi.tounicode import FontCMaps
+
+    fc = FontCMaps()
+    cmap_a = ToUnicodeCMap.parse(CMAP_2BYTE)
+    cmap_b = ToUnicodeCMap.parse(CMAP_2BYTE)
+    fc.by_name["Base_7"] = cmap_a
+    fc.by_obj_num[9] = cmap_b
+    assert fc.get_with_obj("Base", 7) is cmap_a   # unique key first
+    assert fc.get_with_obj("Base", 9) is cmap_b   # falls back to obj lookup
+    assert fc.get_by_obj(9) is cmap_b
