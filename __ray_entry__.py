@@ -101,6 +101,50 @@ def _q_pdf_extract_salted(sf_dir: str):
         "markdown", "error_kind"])
 
 
+def _q_pdf_equality_rate(sf_dir: str):
+    """THE north-star correctness metric, self-measured: run the pipeline,
+    compare every turn's (pdf_type, markdown, error_kind) against the
+    per-document library applied to its payload (goldens computed once per
+    distinct payload). Returns one row: n_turns, n_matched, equality_rate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_inspector_ray.functions.compare import compare_to_golden, equality_rate
+    from pdf_inspector_ray.pipelines.flagship import flagship
+    from pdf_inspector_ray.sources.transcripts import golden_expectations
+
+    corpus = _corpus_dir(sf_dir)
+    ds = _transcripts_ds(sf_dir)
+    out = flagship(ds, concurrency=(1, 8))
+
+    # goldens: one library call per distinct payload (small pool)
+    import glob as _glob
+    tables = [pq.read_table(p, columns=["text", "pdf_sha256"])
+              for p in sorted(_glob.glob(corpus + "/*.parquet"))]
+    corpus_table = pa.concat_tables(tables)
+    goldens = golden_expectations(corpus_table)
+
+    # golden table keyed by (conv_id, turn_idx) built from the pipeline's
+    # own keys + per-payload goldens
+    keyed = out.select_columns(["conv_id", "turn_idx", "pdf_sha256",
+                                "pdf_type", "markdown", "error_kind"])
+    rows = keyed.to_pandas()
+    g = pa.table({
+        "conv_id": pa.array(rows.conv_id, pa.string()),
+        "turn_idx": pa.array(rows.turn_idx, pa.int32()),
+        "pdf_type": pa.array([goldens[h][0] for h in rows.pdf_sha256], pa.string()),
+        "markdown": pa.array([goldens[h][1] for h in rows.pdf_sha256], pa.large_string()),
+        "error_kind": pa.array([goldens[h][2] for h in rows.pdf_sha256], pa.string()),
+    })
+    import ray.data
+    verdicts = compare_to_golden(ray.data.from_pandas(rows), g)
+    rate = equality_rate(verdicts)
+    return pa.table({
+        "n_turns": pa.array([len(rows)], pa.int64()),
+        "n_matched": pa.array([int(round(rate * len(rows)))], pa.int64()),
+        "equality_rate": pa.array([rate], pa.float64()),
+    })
+
+
 def _q_pdf_type_histogram(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -322,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": _q_pdf_extract,
         "pdf_extract_salted": _q_pdf_extract_salted,
         "pdf_type_histogram": _q_pdf_type_histogram,
+        "pdf_equality_rate": _q_pdf_equality_rate,
         "html_extract": _q_html_extract,
         # text analysis (SURVEY.md §2.7 additions)
         "doc_stats": _q_doc_stats,
