@@ -855,6 +855,58 @@ def f25_type3_font() -> bytes:
     return w.build(_catalog(w, pages))
 
 
+def f26_incremental_update() -> bytes:
+    """Incremental update: a second body + xref section chained via /Prev
+    overrides the page's content stream (the newest definition must win —
+    exercises Document._parse_xref_table's Prev chain and first-entry-wins
+    xref precedence)."""
+    base = f01_tj_simple()
+    # object 3 is the content stream in f01 (pages=1? ordering: 1=pages
+    # reserve,2=font,3=content,4=page,5=catalog,6=info). Override obj 3.
+    new_content = (
+        b"BT /F1 24 Tf 72 720 Td (Updated Report) Tj ET\n"
+        b"BT /F1 12 Tf 72 680 Td (This replacement body came from an) Tj ET\n"
+        b"BT /F1 12 Tf 72 666 Td (incremental update appended to the file.) Tj ET\n"
+        b"BT /F1 12 Tf 72 652 Td (The original body must not appear.) Tj ET\n"
+    )
+    body = b"<< /Length %d >>\nstream\n" % len(new_content) + new_content + b"\nendstream"
+    out = bytearray(base)
+    obj_offset = len(out)
+    out += b"3 0 obj\n" + body + b"\nendobj\n"
+    # locate the ORIGINAL startxref offset in the base file
+    import re as _re
+    m = None
+    for m in _re.finditer(rb"startxref\s+(\d+)", base):
+        pass
+    prev_xref = int(m.group(1))
+    xref_pos = len(out)
+    out += b"xref\n3 1\n%010d 00000 n \n" % obj_offset
+    out += (b"trailer\n<< /Size 7 /Root 5 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (prev_xref, xref_pos))
+    return bytes(out)
+
+
+def f27_three_columns() -> bytes:
+    """Three-column layout (two gutters) with a spanning footer line —
+    exercises multi-gutter detection and the ≤3-gutter cap logic
+    (extractor.rs:2157-2167)."""
+    w = PdfWriter()
+    pages = w.reserve()
+    font = _font_simple(w, b"Helvetica")
+    lines = []
+    # columns at x=40..170, 220..350, 400..530 (gutters ~50pt)
+    for i in range(25):
+        y = 720 - i * 14
+        lines.append((40, y, 9, f"alpha col line {i} text"))
+        lines.append((220, y, 9, f"beta col line {i} text"))
+        lines.append((400, y, 9, f"gamma col line {i} text"))
+    lines.append((40, 340, 14, "Spanning footer line across all three columns here"))
+    content = w.add(w.stream(b"", _tj_lines(lines)))
+    page = _page(w, pages, content, resources=b"/Resources << /Font << /F1 %d 0 R >> >> " % font)
+    _pages_tree(w, pages, [page])
+    return w.build(_catalog(w, pages))
+
+
 def f18_corrupt() -> bytes:
     """Truncated xref / garbage — must produce the error column."""
     good = f01_tj_simple()
@@ -887,6 +939,8 @@ FIXTURES = {
     "f23_dropcap_captions": f23_dropcap_captions,
     "f24_chaotic_order": f24_chaotic_order,
     "f25_type3_font": f25_type3_font,
+    "f26_incremental_update": f26_incremental_update,
+    "f27_three_columns": f27_three_columns,
 }
 
 

@@ -50,6 +50,8 @@ EXPECTED_TYPES = {
     "f23_dropcap_captions": "TextBased",
     "f24_chaotic_order": "TextBased",
     "f25_type3_font": "TextBased",
+    "f26_incremental_update": "TextBased",
+    "f27_three_columns": "TextBased",
 }
 
 
@@ -228,6 +230,20 @@ def test_chaotic_order_y_sorted(results):
              for w in ("first", "second", "third", "fourth", "fifth", "sixth")]
     assert order == sorted(order)
     assert "form kernedtext" in md             # TJ inside a form XObject
+
+
+def test_incremental_update_overrides(results):
+    md = results["f26_incremental_update"].markdown
+    assert "# Updated Report" in md
+    assert "incremental update appended" in md
+    assert "first paragraph of the report" not in md   # old body replaced
+
+
+def test_three_column_reading_order(results):
+    md = results["f27_three_columns"].markdown
+    assert (md.index("alpha col line 24") < md.index("beta col line 0")
+            < md.index("beta col line 24") < md.index("gamma col line 0"))
+    assert "Spanning footer line" in md
 
 
 def test_determinism(pool):
