@@ -172,6 +172,33 @@ def _q_pdf_type_histogram(sf_dir: str):
                .groupby("pdf_type").map_groups(merge, batch_format="pyarrow"))
 
 
+def _q_docs_by_lang(sf_dir: str):
+    """Native Dataset groupby/aggregate (Count + Sum) — no custom combiner."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"))
+    return out
+
+
+def _q_docs_head(sf_dir: str):
+    """Native sort + limit (driver-side take of a tiny result)."""
+    import ray.data
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang", "n_chars"])
+    import pyarrow as pa
+    rows = ds.sort("doc_id").limit(20).take_all()
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+    })
+
+
 def _q_doc_stats(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.text_stats import doc_stats_batch
@@ -368,6 +395,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_type_histogram": _q_pdf_type_histogram,
         "pdf_equality_rate": _q_pdf_equality_rate,
         "html_extract": _q_html_extract,
+        # native relational primitives
+        "docs_by_lang": _q_docs_by_lang,
+        "docs_head": _q_docs_head,
         # text analysis (SURVEY.md §2.7 additions)
         "doc_stats": _q_doc_stats,
         "lang_id": _q_lang_id,
@@ -410,6 +440,15 @@ def oracle_sql() -> dict[str, str]:
     s_fr = " + ".join(_count_sql(w) for w in ("le", "et", "les"))
     s_es = " + ".join(_count_sql(w) for w in ("el", "y", "los"))
     return {
+        "docs_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "docs_head": """
+            SELECT doc_id, lang, n_chars FROM documents
+            ORDER BY doc_id LIMIT 20
+        """,
         "doc_stats": r"""
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars_computed,
