@@ -169,14 +169,19 @@ _WHITESPACE = b"\x00\t\n\x0c\r "
 _DELIMS = b"()<>[]{}/%"
 
 
+MAX_NESTING = 100  # container depth cap: malicious inputs must raise
+                   # PdfError, never RecursionError
+
+
 class Lexer:
     """Tokenizer / object parser over a byte buffer."""
 
-    __slots__ = ("data", "pos")
+    __slots__ = ("data", "pos", "depth")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
         self.pos = pos
+        self.depth = 0
 
     def skip_ws(self) -> None:
         m = _WS_RE.match(self.data, self.pos)
@@ -339,36 +344,48 @@ class Lexer:
 
     def _parse_array(self) -> list:
         self.pos += 1
+        self.depth += 1
+        if self.depth > MAX_NESTING:
+            raise PdfError("container nesting too deep")
         out = []
         d, n = self.data, len(self.data)
-        while True:
-            self.skip_ws()
-            p = self.pos
-            if p >= n:
-                raise PdfError("unterminated array")
-            if d[p] == 0x5D:
-                self.pos = p + 1
-                return out
-            out.append(self.parse_object())
+        try:
+            while True:
+                self.skip_ws()
+                p = self.pos
+                if p >= n:
+                    raise PdfError("unterminated array")
+                if d[p] == 0x5D:
+                    self.pos = p + 1
+                    return out
+                out.append(self.parse_object())
+        finally:
+            self.depth -= 1
 
     def _parse_dict_or_stream(self) -> Union[dict, Stream]:
         self.pos += 2
+        self.depth += 1
+        if self.depth > MAX_NESTING:
+            raise PdfError("container nesting too deep")
         d = {}
         data, n = self.data, len(self.data)
-        while True:
-            self.skip_ws()
-            p = self.pos
-            if p >= n:
-                raise PdfError("unterminated dict")
-            c = data[p]
-            if c == 0x3E:  # '>>'
-                self.pos = p + 2
-                break
-            if c != 0x2F:
-                raise PdfError(f"dict key not a name at {p}")
-            key = self._parse_name()
-            val = self.parse_object()
-            d[str(key)] = val
+        try:
+            while True:
+                self.skip_ws()
+                p = self.pos
+                if p >= n:
+                    raise PdfError("unterminated dict")
+                c = data[p]
+                if c == 0x3E:  # '>>'
+                    self.pos = p + 2
+                    break
+                if c != 0x2F:
+                    raise PdfError(f"dict key not a name at {p}")
+                key = self._parse_name()
+                val = self.parse_object()
+                d[str(key)] = val
+        finally:
+            self.depth -= 1
         # stream?
         save = self.pos
         self.skip_ws()
@@ -684,30 +701,27 @@ class Document:
             self._pages = pages
             return pages
         top = root.get("Pages")
-        count = 0
-        stack = [top]
-        visited = set()
+        visited: set[int] = set()
         order: list[Reference] = []
-        # iterative DFS preserving Kids order
-        def walk(node_ref):
-            nonlocal count
+        # iterative pre-order DFS preserving Kids order (no recursion —
+        # adversarial page trees must not raise RecursionError)
+        stack = [top]
+        while stack:
+            node_ref = stack.pop()
             if isinstance(node_ref, Reference):
                 if node_ref.num in visited:
-                    return
+                    continue
                 visited.add(node_ref.num)
             node = self.get_dict(node_ref)
             if node is None:
-                return
+                continue
             ntype = str(node.get("Type", ""))
             kids = self.get_array(node.get("Kids"))
             if ntype == "Pages" or (kids is not None and ntype != "Page"):
-                for kid in kids or []:
-                    walk(kid)
+                stack.extend(reversed(kids or []))
             elif ntype == "Page" or "Contents" in node or "MediaBox" in node:
                 if isinstance(node_ref, Reference):
                     order.append(node_ref)
-
-        walk(top)
         for i, ref in enumerate(order, start=1):
             pages[i] = ref
         self._pages = pages
