@@ -639,6 +639,12 @@ class Document:
     def _from_objstm(self, stm_num: int, idx: int, expect_num: int) -> PdfObject:
         table = self._objstm_cache.get(stm_num)
         if table is None:
+            # cycle guard: the container of an ObjStm must be a direct
+            # ("n") entry per spec; a malicious chain of "c" entries would
+            # otherwise recurse forever
+            entry = self.xref.get(stm_num)
+            if entry is None or entry[0] != "n":
+                raise PdfError(f"object stream {stm_num} not a direct object")
             stm = self.get_object(Reference(stm_num))
             if not isinstance(stm, Stream):
                 raise PdfError(f"object stream {stm_num} missing")
