@@ -87,3 +87,44 @@ def test_html_ray_pipeline(ray_session):
 
 def test_fixture_pool_deterministic():
     assert html_fixture_pool() == html_fixture_pool()
+
+
+def test_mixed_payload_routing_pipeline(ray_session):
+    """Mixed corpus: route payload_kind, then fan PDF rows through the PDF
+    extractor and HTML rows through the boilerplate stripper — the general
+    main-content extraction shape."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from pdf_inspector_ray.sources.htmlgen import make_article_page
+    from pdf_inspector_ray.sources.pdfgen import fixture_pool
+    from pdf_inspector_ray.stages.extract_stage import ExtractRender
+    from pdf_inspector_ray.stages.html_stage import (
+        html_extract_batch, route_payload_batch)
+
+    pdfs = fixture_pool()
+    payloads = [pdfs["f01_tj_simple"].decode("latin-1"),
+                make_article_page(0),
+                pdfs["f09_headers_lists_code"].decode("latin-1"),
+                make_article_page(1),
+                "just plain words"]
+    t = pa.table({"doc_id": pa.array(range(len(payloads)), pa.int64()),
+                  "text": pa.array(payloads, pa.string())})
+    routed = ray.data.from_arrow(t).map_batches(
+        route_payload_batch, batch_format="pyarrow")
+
+    pdf_rows = routed.filter(expr="payload_kind == 'pdf'")
+    html_rows = routed.filter(expr="payload_kind == 'html'")
+
+    pdf_out = pdf_rows.map_batches(ExtractRender, concurrency=(1, 2),
+                                   batch_format="pyarrow").to_pandas()
+    html_out = html_rows.map_batches(
+        lambda b: html_extract_batch(b, html_column="text"),
+        batch_format="pyarrow").to_pandas()
+
+    assert len(pdf_out) == 2 and len(html_out) == 2
+    assert pdf_out.markdown.str.contains("Annual Report").any()
+    assert html_out.markdown.str.contains("Deep Dive 0").any()
+    unknown = routed.filter(expr="payload_kind == 'unknown'").count()
+    assert unknown == 1

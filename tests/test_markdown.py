@@ -62,3 +62,45 @@ def test_to_markdown():
     md = to_markdown(text, MarkdownOptions())
     assert "- First item" in md
     assert "- Second item" in md
+
+
+def test_merge_continuation_tables_three_pages():
+    """markdown.rs:267-368: a chain of 3 consecutive table-only pages with
+    matching column counts merges into the first page's table."""
+    from pdf_inspector_ray.pdfi.markdown import merge_continuation_tables
+
+    def md_table(rows):
+        out = ["| A   | B   |", "| --- | --- |"]
+        out += [f"| {a}   | {b}   |" for a, b in rows]
+        return "\n".join(out) + "\n"
+
+    page_tables = {
+        1: [(700.0, md_table([("a1", "b1")]))],
+        2: [(700.0, md_table([("a2", "b2")]))],
+        3: [(700.0, md_table([("a3", "b3")]))],
+    }
+    merge_continuation_tables(page_tables, {1, 2, 3})
+    assert set(page_tables) == {1}
+    merged = page_tables[1][0][1]
+    assert "a1" in merged and "a2" in merged and "a3" in merged
+    sep_lines = [l for l in merged.splitlines() if l.startswith("| ---")]
+    assert len(sep_lines) == 1  # single separator row survives
+
+
+def test_merge_continuation_stops_on_column_mismatch():
+    from pdf_inspector_ray.pdfi.markdown import merge_continuation_tables
+
+    two_col = "| A | B |\n| --- | --- |\n| x | y |\n"
+    three_col = "| A | B | C |\n| --- | --- | --- |\n| x | y | z |\n"
+    page_tables = {1: [(700.0, two_col)], 2: [(700.0, three_col)]}
+    merge_continuation_tables(page_tables, {1, 2})
+    assert set(page_tables) == {1, 2}  # no merge across differing widths
+
+
+def test_merge_continuation_requires_table_only_pages():
+    from pdf_inspector_ray.pdfi.markdown import merge_continuation_tables
+
+    t = "| A | B |\n| --- | --- |\n| x | y |\n"
+    page_tables = {1: [(700.0, t)], 2: [(700.0, t)]}
+    merge_continuation_tables(page_tables, {2})  # page 1 has text -> no chain
+    assert set(page_tables) == {1, 2}
