@@ -462,10 +462,6 @@ def _get_page_xobjects(doc: Document, page_ref: Reference) -> dict[str, tuple[st
     return out
 
 
-class _TJResult:
-    __slots__ = ("combined_text", "total_width_ts")
-
-
 def _process_tj_array(
     array: list,
     font_info: Optional[FontWidthInfo],

@@ -64,8 +64,6 @@ class PdfWriter:
         return bytes(out)
 
 
-HELV_WIDTHS = None  # simple fixtures omit /Widths (width=0 fallback paths)
-
 # Approximate Helvetica advance widths (thousandths of em) for the printable
 # ASCII range — used when a fixture wants real width metrics.
 _HELVETICA = {

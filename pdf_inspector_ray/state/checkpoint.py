@@ -134,30 +134,6 @@ def write_partition(group: pa.Table, out_dir: str,
 # shared storage (object store / NFS) — the standard external-shuffle
 # layout; locally it's /tmp.
 
-def write_shards(batch: pa.Table, shard_root: str, task_nonce: str) -> pa.Table:
-    """Map-side: append one parquet shard per (task-batch, part). Returns a
-    small manifest (part, rows)."""
-    import uuid
-
-    parts_col = batch["part"]
-    import pyarrow.compute as pc
-    uniq = pc.unique(parts_col).to_pylist()
-    out_parts: list[int] = []
-    out_rows: list[int] = []
-    for part in uniq:
-        mask = pc.equal(parts_col, pa.scalar(part, parts_col.type))
-        sub = batch.filter(mask)
-        pdir = os.path.join(shard_root, f"part={int(part)}")
-        os.makedirs(pdir, exist_ok=True)
-        name = f"{task_nonce}-{uuid.uuid4().hex[:12]}.parquet"
-        pq.write_table(sub, os.path.join(pdir, name), row_group_size=65536,
-                       compression="snappy")
-        out_parts.append(int(part))
-        out_rows.append(sub.num_rows)
-    return pa.table({"part": pa.array(out_parts, pa.int32()),
-                     "rows": pa.array(out_rows, pa.int64())})
-
-
 def finalize_partition(part: int, shard_root: str, out_dir: str,
                        hash_columns: list[str] | None = None) -> dict:
     """Reduce-side: one partition's shards → sorted data.parquet + lineage."""
