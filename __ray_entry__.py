@@ -50,9 +50,16 @@ def _corpus_dir(sf_dir: str) -> str:
     return out
 
 
-def _transcripts_ds(sf_dir: str):
+# the pipeline's input columns (BASELINE.json input_hint + payload identity);
+# the golden_* oracle columns stay in the parquet — never shipped through Ray
+_INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
+                  "pdf_sha256"]
+
+
+def _transcripts_ds(sf_dir: str, columns: list[str] | None = None):
     import ray.data
-    return ray.data.read_parquet(_corpus_dir(sf_dir))
+    return ray.data.read_parquet(_corpus_dir(sf_dir),
+                                 columns=columns or _INPUT_COLUMNS)
 
 
 def entry() -> Any:
@@ -76,9 +83,30 @@ def _q_pdf_classify(sf_dir: str):
     from pdf_inspector_ray.pipelines.flagship import classify_pipeline
     ds = _transcripts_ds(sf_dir)
     out = classify_pipeline(ds)
+
+    def fill_bool(batch):
+        # error rows have null ocr_recommended; nullable-bool null repr
+        # differs between arrow→pandas and duckdb→pandas, so both this and
+        # the oracle coalesce to FALSE for a representation-stable compare
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        i = batch.schema.get_field_index("ocr_recommended")
+        return batch.set_column(
+            i, "ocr_recommended",
+            pc.fill_null(batch["ocr_recommended"], False))
+
     return out.select_columns([
         "conv_id", "turn_idx", "pdf_type", "page_count", "pages_sampled",
-        "pages_with_text", "confidence", "ocr_recommended", "error_kind"])
+        "pages_with_text", "confidence", "ocr_recommended",
+        "error_kind"]).map_batches(fill_bool, batch_format="pyarrow")
+
+
+def _cast_markdown_str(batch):
+    """large_string → string so the Ray result's arrow schema matches what
+    DuckDB hands the driver for the golden_markdown oracle column."""
+    import pyarrow as pa
+    i = batch.schema.get_field_index("markdown")
+    return batch.set_column(i, "markdown", batch["markdown"].cast(pa.string()))
 
 
 def _q_pdf_extract(sf_dir: str):
@@ -87,7 +115,8 @@ def _q_pdf_extract(sf_dir: str):
     out = flagship(ds, concurrency=(1, 8))
     return out.select_columns([
         "conv_id", "turn_idx", "pdf_sha256", "pdf_type", "page_count",
-        "markdown", "error_kind"])
+        "markdown", "error_kind"]).map_batches(
+            _cast_markdown_str, batch_format="pyarrow")
 
 
 def _q_pdf_extract_salted(sf_dir: str):
@@ -98,50 +127,46 @@ def _q_pdf_extract_salted(sf_dir: str):
     out = flagship(ds, ordering="salted", num_buckets=16, concurrency=(1, 8))
     return out.select_columns([
         "conv_id", "turn_idx", "pdf_sha256", "pdf_type", "page_count",
-        "markdown", "error_kind"])
+        "markdown", "error_kind"]).map_batches(
+            _cast_markdown_str, batch_format="pyarrow")
 
 
 def _q_pdf_equality_rate(sf_dir: str):
-    """THE north-star correctness metric, self-measured: run the pipeline,
+    """THE north-star correctness metric: run the flagship pipeline and
     compare every turn's (pdf_type, markdown, error_kind) against the
-    per-document library applied to its payload (goldens computed once per
-    distinct payload). Returns one row: n_turns, n_matched, equality_rate."""
+    per-payload library goldens. Fully distributed: the golden dict (small
+    payload pool) is ray.put once and read inside map_batches; only tiny
+    (n, n_matched) partials leave the workers (VERDICT r01 fix #1)."""
     import pyarrow as pa
-    import pyarrow.parquet as pq
-    from pdf_inspector_ray.functions.compare import compare_to_golden, equality_rate
+    import ray
     from pdf_inspector_ray.pipelines.flagship import flagship
-    from pdf_inspector_ray.sources.transcripts import golden_expectations
+    from pdf_inspector_ray.sources.transcripts import payload_pool_goldens
 
-    corpus = _corpus_dir(sf_dir)
     ds = _transcripts_ds(sf_dir)
     out = flagship(ds, concurrency=(1, 8))
+    goldens = {h: (g["golden_x_pdf_type"], g["golden_markdown"],
+                   g["golden_x_error_kind"])
+               for h, g in payload_pool_goldens().items()}
+    golden_ref = ray.put(goldens)
 
-    # goldens: one library call per distinct payload (small pool)
-    import glob as _glob
-    tables = [pq.read_table(p, columns=["text", "pdf_sha256"])
-              for p in sorted(_glob.glob(corpus + "/*.parquet"))]
-    corpus_table = pa.concat_tables(tables)
-    goldens = golden_expectations(corpus_table)
+    def check(batch: pa.Table) -> pa.Table:
+        lk = ray.get(golden_ref)
+        cols = [batch[c].to_pylist()
+                for c in ("pdf_sha256", "pdf_type", "markdown", "error_kind")]
+        matched = sum(
+            1 for h, pt, md, ek in zip(*cols) if lk.get(h) == (pt, md, ek))
+        return pa.table({"n": pa.array([len(batch)], pa.int64()),
+                         "n_matched": pa.array([matched], pa.int64())})
 
-    # golden table keyed by (conv_id, turn_idx) built from the pipeline's
-    # own keys + per-payload goldens
-    keyed = out.select_columns(["conv_id", "turn_idx", "pdf_sha256",
-                                "pdf_type", "markdown", "error_kind"])
-    rows = keyed.to_pandas()
-    g = pa.table({
-        "conv_id": pa.array(rows.conv_id, pa.string()),
-        "turn_idx": pa.array(rows.turn_idx, pa.int32()),
-        "pdf_type": pa.array([goldens[h][0] for h in rows.pdf_sha256], pa.string()),
-        "markdown": pa.array([goldens[h][1] for h in rows.pdf_sha256], pa.large_string()),
-        "error_kind": pa.array([goldens[h][2] for h in rows.pdf_sha256], pa.string()),
-    })
-    import ray.data
-    verdicts = compare_to_golden(ray.data.from_pandas(rows), g)
-    rate = equality_rate(verdicts)
+    partials = out.select_columns(
+        ["pdf_sha256", "pdf_type", "markdown", "error_kind"]).map_batches(
+            check, batch_format="pyarrow")
+    agg = partials.sum(["n", "n_matched"])  # tiny distributed reduce
+    n, m = int(agg["sum(n)"]), int(agg["sum(n_matched)"])
     return pa.table({
-        "n_turns": pa.array([len(rows)], pa.int64()),
-        "n_matched": pa.array([int(round(rate * len(rows)))], pa.int64()),
-        "equality_rate": pa.array([rate], pa.float64()),
+        "n_turns": pa.array([n], pa.int64()),
+        "n_matched": pa.array([m], pa.int64()),
+        "equality_rate": pa.array([m / n if n else 1.0], pa.float64()),
     })
 
 
@@ -439,7 +464,52 @@ def oracle_sql() -> dict[str, str]:
     s_de = " + ".join(_count_sql(w) for w in ("der", "und", "die"))
     s_fr = " + ".join(_count_sql(w) for w in ("le", "et", "les"))
     s_es = " + ".join(_count_sql(w) for w in ("el", "y", "los"))
+    # The transcript corpus (driver runs at sf0.01) carries per-payload
+    # golden_* columns frozen at synthesis by the per-document library —
+    # the DuckDB twins SELECT them back keyed by (conv_id, turn_idx), so
+    # the distributed pipeline is checked against a table it never reads.
+    corpus = (
+        f"read_parquet('{os.path.join(_corpus_dir('/root/testdata/sf0.01'), '*.parquet')}')"
+    )
     return {
+        "pdf_classify": f"""
+            SELECT conv_id, turn_idx,
+                   golden_pdf_type AS pdf_type,
+                   golden_page_count AS page_count,
+                   golden_pages_sampled AS pages_sampled,
+                   golden_pages_with_text AS pages_with_text,
+                   golden_confidence AS confidence,
+                   coalesce(golden_ocr_recommended, FALSE) AS ocr_recommended,
+                   golden_error_kind AS error_kind
+            FROM {corpus}
+        """,
+        "pdf_extract": f"""
+            SELECT conv_id, turn_idx, pdf_sha256,
+                   golden_x_pdf_type AS pdf_type,
+                   golden_x_page_count AS page_count,
+                   golden_markdown AS markdown,
+                   golden_x_error_kind AS error_kind
+            FROM {corpus}
+        """,
+        "pdf_extract_salted": f"""
+            SELECT conv_id, turn_idx, pdf_sha256,
+                   golden_x_pdf_type AS pdf_type,
+                   golden_x_page_count AS page_count,
+                   golden_markdown AS markdown,
+                   golden_x_error_kind AS error_kind
+            FROM {corpus}
+        """,
+        "pdf_type_histogram": f"""
+            SELECT coalesce(golden_x_pdf_type, 'Error') AS pdf_type,
+                   COUNT(*) AS n_turns
+            FROM {corpus}
+            GROUP BY coalesce(golden_x_pdf_type, 'Error')
+        """,
+        "pdf_equality_rate": f"""
+            SELECT COUNT(*) AS n_turns, COUNT(*) AS n_matched,
+                   CAST(1.0 AS DOUBLE) AS equality_rate
+            FROM {corpus}
+        """,
         "docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars

@@ -24,7 +24,30 @@ import pyarrow.parquet as pq
 from .pdfgen import fixture_pool
 
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
-GENERATOR_VERSION = 2  # bump when build_transcript_table output changes
+GENERATOR_VERSION = 3  # bump when build_transcript_table output changes
+
+# Golden columns: per-payload expected outputs of the per-document library,
+# frozen into the corpus at synthesis time. They are the driver-checkable
+# oracle for the distributed pipeline (oracle_sql SELECTs them back keyed by
+# (conv_id, turn_idx)); the pipeline itself never reads them. Types mirror
+# stages/classify.CLASSIFY_FIELDS and stages/extract_stage.EXTRACT_FIELDS.
+GOLDEN_FIELDS = [
+    # classify-stage goldens (detect_pdf_type_mem)
+    ("golden_pdf_type", pa.string()),
+    ("golden_page_count", pa.uint32()),
+    ("golden_pages_sampled", pa.uint32()),
+    ("golden_pages_with_text", pa.uint32()),
+    ("golden_confidence", pa.float32()),
+    ("golden_title", pa.string()),
+    ("golden_ocr_recommended", pa.bool_()),
+    ("golden_error_kind", pa.string()),
+    # extract-stage goldens (process_pdf_mem) — may differ from the classify
+    # goldens when extraction fails after a successful detection
+    ("golden_x_pdf_type", pa.string()),
+    ("golden_x_page_count", pa.uint32()),
+    ("golden_markdown", pa.large_string()),
+    ("golden_x_error_kind", pa.string()),
+]
 
 SCHEMA = pa.schema([
     ("conv_id", pa.string()),
@@ -34,15 +57,51 @@ SCHEMA = pa.schema([
     ("tool", pa.string()),
     ("ts", pa.timestamp("us")),
     ("pdf_sha256", pa.string()),
-])
+] + [pa.field(n, t) for n, t in GOLDEN_FIELDS])
 
 _ROLES = ("user", "assistant", "tool")
 
 
-def build_transcript_table(n_turns: int, seed: int = 42,
-                           corrupt_frac: float = 0.05) -> pa.Table:
-    """Build the corpus as one Arrow table (use for tests / small scales)."""
-    rng = np.random.default_rng(seed)
+def _golden_row(data: bytes) -> dict:
+    """Expected pipeline outputs for one payload, using EXACTLY the same
+    code paths and error handling as stages/classify.classify_batch and
+    stages/extract_stage.ExtractRender._process_one."""
+    from ..pdfi.detect import detect_pdf_type_mem
+    from ..pdfi.objects import PdfError
+    from ..pdfi.process import process_pdf_mem
+
+    row = {name: None for name, _ in GOLDEN_FIELDS}
+    try:
+        d = detect_pdf_type_mem(data)
+        row.update(golden_pdf_type=d.pdf_type, golden_page_count=d.page_count,
+                   golden_pages_sampled=d.pages_sampled,
+                   golden_pages_with_text=d.pages_with_text,
+                   golden_confidence=d.confidence, golden_title=d.title,
+                   golden_ocr_recommended=d.ocr_recommended)
+    except PdfError as e:
+        row["golden_error_kind"] = e.kind
+    except Exception:
+        row["golden_error_kind"] = "Parse"
+    try:
+        r = process_pdf_mem(data)
+        row.update(golden_x_pdf_type=r.pdf_type,
+                   golden_x_page_count=r.page_count,
+                   golden_markdown=r.markdown)
+    except PdfError as e:
+        row["golden_x_error_kind"] = e.kind
+    except Exception:
+        row["golden_x_error_kind"] = "Parse"
+    return row
+
+
+def payload_goldens(payloads: "dict[str, bytes]") -> dict[str, dict]:
+    """sha-or-tag → golden-row dict, one library run per distinct payload."""
+    return {h: _golden_row(data) for h, data in payloads.items()}
+
+
+def _payload_pools() -> tuple[list[str], list[str], list[str], list[str]]:
+    """(clean_strs, corrupt_strs, clean_hashes, corrupt_hashes) — the
+    distinct-payload pools every corpus row dictionary-indexes into."""
     pool = fixture_pool()
     pool_names = sorted(pool)
     payloads = [pool[n] for n in pool_names]
@@ -51,6 +110,22 @@ def build_transcript_table(n_turns: int, seed: int = 42,
                     for s in payload_strs]
     payload_hashes = [hashlib.sha256(p).hexdigest() for p in payloads]
     corrupt_hashes = ["corrupt:" + h for h in payload_hashes]
+    return payload_strs, corrupt_strs, payload_hashes, corrupt_hashes
+
+
+def payload_pool_goldens() -> dict[str, dict]:
+    """pdf_sha256 → golden-row dict for every payload the corpus can carry.
+    This is the broadcast small side of the distributed equality check."""
+    ps, cs, ph, ch = _payload_pools()
+    return {h: _golden_row(s.encode("latin-1"))
+            for h, s in zip(ph + ch, ps + cs)}
+
+
+def build_transcript_table(n_turns: int, seed: int = 42,
+                           corrupt_frac: float = 0.05) -> pa.Table:
+    """Build the corpus as one Arrow table (use for tests / small scales)."""
+    rng = np.random.default_rng(seed)
+    payload_strs, corrupt_strs, payload_hashes, corrupt_hashes = _payload_pools()
 
     # Zipf conversation sizes until we cover n_turns (vectorized draws)
     conv_sizes: list[int] = []
@@ -70,10 +145,10 @@ def build_transcript_table(n_turns: int, seed: int = 42,
     turn_idxs = np.arange(len(conv_idx)) - np.repeat(ends - sizes, sizes)
     n = len(conv_idx)
 
-    payload_idx = rng.integers(0, len(payloads), size=n)
+    payload_idx = rng.integers(0, len(payload_strs), size=n)
     corrupt = rng.random(n) < corrupt_frac
     # dictionary-style assembly: index into the small payload pools
-    text_choice = payload_idx + corrupt.astype(np.int64) * len(payloads)
+    text_choice = payload_idx + corrupt.astype(np.int64) * len(payload_strs)
     text_pool = np.array(payload_strs + corrupt_strs, dtype=object)
     hash_pool = np.array(payload_hashes + corrupt_hashes, dtype=object)
 
@@ -85,16 +160,24 @@ def build_transcript_table(n_turns: int, seed: int = 42,
     tools = np.where(roles == "tool", "pdf_reader", "")
     ts = EPOCH_US + 60_000_000 * np.arange(n, dtype=np.int64)
 
-    table = pa.table({
+    # per-payload goldens: one library run per pool entry (clean + corrupt),
+    # then dictionary-indexed out to every row like text/hash above
+    pool_goldens = [_golden_row(s.encode("latin-1"))
+                    for s in payload_strs + corrupt_strs]
+    choice = text_choice[perm]
+    cols = {
         "conv_id": pa.array(conv_names[conv_idx[perm]], pa.string()),
         "turn_idx": pa.array(turn_idxs[perm].astype(np.int32), pa.int32()),
         "role": pa.array(roles[perm], pa.string()),
-        "text": pa.array(text_pool[text_choice[perm]], pa.string()),
+        "text": pa.array(text_pool[choice], pa.string()),
         "tool": pa.array(tools[perm].astype(object), pa.string()),
         "ts": pa.array(ts[perm], pa.timestamp("us")),
-        "pdf_sha256": pa.array(hash_pool[text_choice[perm]], pa.string()),
-    }, schema=SCHEMA)
-    return table
+        "pdf_sha256": pa.array(hash_pool[choice], pa.string()),
+    }
+    for name, typ in GOLDEN_FIELDS:
+        field_pool = np.array([g[name] for g in pool_goldens], dtype=object)
+        cols[name] = pa.array(field_pool[choice], typ)
+    return pa.table(cols, schema=SCHEMA)
 
 
 def write_transcript_corpus(out_dir: str, n_turns: int, seed: int = 42,

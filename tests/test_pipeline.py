@@ -197,3 +197,40 @@ def test_mega_conversation_salting_splits_buckets():
     again = {stable_bucket("conv-000000", t // DEFAULT_STRIDE, 16)
              for t in range(2000)}
     assert buckets == again
+
+
+def test_golden_columns_match_stage_outputs(corpus_table):
+    """The frozen golden_* oracle columns must equal what the classify and
+    extract stages produce for the same payloads (the driver's DuckDB twin
+    SELECTs these columns back, so drift here = a red CORRECTNESS row)."""
+    from pdf_inspector_ray.stages.classify import classify_batch
+    from pdf_inspector_ray.stages.extract_stage import ExtractRender
+
+    inp = corpus_table.select(
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts", "pdf_sha256"])
+    classified = classify_batch(inp)
+    for out_col, g_col in [
+        ("pdf_type", "golden_pdf_type"), ("page_count", "golden_page_count"),
+        ("pages_sampled", "golden_pages_sampled"),
+        ("pages_with_text", "golden_pages_with_text"),
+        ("confidence", "golden_confidence"), ("title", "golden_title"),
+        ("ocr_recommended", "golden_ocr_recommended"),
+        ("error_kind", "golden_error_kind"),
+    ]:
+        assert classified[out_col].to_pylist() == corpus_table[g_col].to_pylist(), out_col
+    extracted = ExtractRender()(inp)
+    for out_col, g_col in [
+        ("pdf_type", "golden_x_pdf_type"),
+        ("page_count", "golden_x_page_count"),
+        ("markdown", "golden_markdown"),
+        ("error_kind", "golden_x_error_kind"),
+    ]:
+        assert extracted[out_col].to_pylist() == corpus_table[g_col].to_pylist(), out_col
+
+
+def test_payload_pool_goldens_cover_corpus(corpus_table):
+    from pdf_inspector_ray.sources.transcripts import payload_pool_goldens
+
+    goldens = payload_pool_goldens()
+    hashes = set(corpus_table["pdf_sha256"].to_pylist())
+    assert hashes <= set(goldens)
