@@ -56,6 +56,29 @@ _INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
                   "pdf_sha256"]
 
 
+_HTML_ROWS = {"0.001": 100, "0.01": 500, "0.1": 2000}
+
+
+def _html_corpus_dir(sf_dir: str) -> str:
+    """Build (once) and return the HTML corpus for this scale."""
+    from pdf_inspector_ray.sources.htmlgen import (
+        HTML_GENERATOR_VERSION, html_fixture_pool, write_html_corpus)
+
+    sf = _sf_of(sf_dir)
+    n = _HTML_ROWS.get(sf, 500)
+    pool = html_fixture_pool()
+    digest = hashlib.md5(
+        "".join(k + v for k, v in sorted(pool.items())).encode(),
+        usedforsecurity=False).hexdigest()[:10] + f"v{HTML_GENERATOR_VERSION}"
+    out = os.path.join(_CORPUS_ROOT, f"html-sf{sf}-{digest}")
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        write_html_corpus(out, n)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
 def _transcripts_ds(sf_dir: str, columns: list[str] | None = None):
     import ray.data
     return ray.data.read_parquet(_corpus_dir(sf_dir),
@@ -211,17 +234,24 @@ def _q_docs_by_lang(sf_dir: str):
 
 
 def _q_docs_head(sf_dir: str):
-    """Native sort + limit (driver-side take of a tiny result)."""
+    """Head-20 by key WITHOUT a global sort: per-batch top-20 prune inside
+    map_batches, then a tiny driver merge over ≤ 20 × num_batches rows
+    (same pattern as similarity.brute_force_topk; VERDICT r01 fix #3)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data
+
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "lang", "n_chars"])
-    import pyarrow as pa
-    rows = ds.sort("doc_id").limit(20).take_all()
-    return pa.table({
-        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
-        "lang": pa.array([r["lang"] for r in rows], pa.string()),
-        "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
-    })
+
+    def prune(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[("doc_id", "ascending")])
+        return batch.take(order.slice(0, 20))
+
+    candidates = ds.map_batches(prune, batch_format="pyarrow")
+    tbl = pa.concat_tables(candidates.iter_batches(batch_format="pyarrow"))
+    order = pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")])
+    return tbl.take(order).slice(0, 20)
 
 
 def _q_doc_stats(sf_dir: str):
@@ -385,12 +415,32 @@ def _q_windowed_events(sf_dir: str):
     return windowed_event_counts(ds, window="hour")
 
 
+_MEDIA_ROWS = {"0.001": 50, "0.01": 200, "0.1": 1000}
+
+
+def _media_dir(sf_dir: str) -> str:
+    """Write (once) the synthetic media parquet for this scale."""
+    import pyarrow.parquet as pq
+    from pdf_inspector_ray.functions.multimodal import (
+        MEDIA_GENERATOR_VERSION, synthesize_media_table)
+
+    sf = _sf_of(sf_dir)
+    n = _MEDIA_ROWS.get(sf, 200)
+    out = os.path.join(_CORPUS_ROOT, f"media-sf{sf}-v{MEDIA_GENERATOR_VERSION}")
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(synthesize_media_table(n),
+                       os.path.join(out, "media-00000.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
-    from pdf_inspector_ray.functions.multimodal import (
-        MediaFeatureExtractor, synthesize_media_table)
-    table = synthesize_media_table(200)
-    ds = ray.data.from_arrow(table)
+    from pdf_inspector_ray.functions.multimodal import MediaFeatureExtractor
+    ds = ray.data.read_parquet(_media_dir(sf_dir))
     out = ds.map_batches(MediaFeatureExtractor, batch_size=32,
                          concurrency=(1, 4), batch_format="pyarrow")
     return out.select_columns(["media_id", "media_type", "payload_sha256",
@@ -399,16 +449,18 @@ def _q_media_features(sf_dir: str):
 
 def _q_html_extract(sf_dir: str):
     """HTML boilerplate strip (the north rule's HTML axis) over the
-    deterministic synthetic HTML corpus; rows-only check."""
+    deterministic synthetic HTML corpus, driver-checked against golden
+    columns frozen at corpus synthesis."""
     import ray.data
-    from pdf_inspector_ray.sources.htmlgen import build_html_table
     from pdf_inspector_ray.stages.html_stage import html_extract_batch
 
-    n = {"0.001": 100, "0.01": 500, "0.1": 2000}.get(_sf_of(sf_dir), 500)
-    ds = ray.data.from_arrow(build_html_table(n))
+    ds = ray.data.read_parquet(_html_corpus_dir(sf_dir),
+                               columns=["doc_id", "fixture", "html"])
     out = ds.map_batches(html_extract_batch, batch_format="pyarrow")
     return out.select_columns(["doc_id", "fixture", "title", "n_blocks",
-                               "n_content_blocks", "markdown", "error_kind"])
+                               "n_content_blocks", "markdown",
+                               "error_kind"]).map_batches(
+                                   _cast_markdown_str, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -509,6 +561,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_turns, COUNT(*) AS n_matched,
                    CAST(1.0 AS DOUBLE) AS equality_rate
             FROM {corpus}
+        """,
+        "media_features": f"""
+            SELECT media_id, media_type,
+                   sha256(decode(payload)) AS payload_sha256,
+                   octet_length(payload) AS n_bytes
+            FROM read_parquet('{os.path.join(_media_dir('/root/testdata/sf0.01'), '*.parquet')}')
+        """,
+        "html_extract": f"""
+            SELECT doc_id, fixture,
+                   golden_title AS title,
+                   golden_n_blocks AS n_blocks,
+                   golden_n_content_blocks AS n_content_blocks,
+                   golden_markdown AS markdown,
+                   golden_error_kind AS error_kind
+            FROM read_parquet('{os.path.join(_html_corpus_dir('/root/testdata/sf0.01'), '*.parquet')}')
         """,
         "docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,

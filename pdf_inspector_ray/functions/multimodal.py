@@ -25,8 +25,16 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+MEDIA_GENERATOR_VERSION = 2  # bump when synthesize_media_table output changes
+
+
 def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media corpus for plumbing tests."""
+    """Deterministic fake media corpus for plumbing tests.
+
+    Payload bytes are drawn from the printable-ASCII range so the column
+    stays opaque ``binary`` for the engine while DuckDB's VARCHAR-only
+    ``sha256`` can still hash the identical bytes — that makes the driver
+    oracle an INDEPENDENT recomputation, not a frozen golden."""
     rng = np.random.default_rng(seed)
     types = ["image", "audio", "video"]
     rows = {k: [] for k in ("media_id", "media_type", "payload",
@@ -34,7 +42,7 @@ def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
     for i in range(n):
         t = types[i % 3]
         size = int(rng.integers(64, 2048))
-        payload = rng.integers(0, 256, size=size, dtype=np.uint8).tobytes()
+        payload = rng.integers(0x20, 0x7f, size=size, dtype=np.uint8).tobytes()
         rows["media_id"].append(i)
         rows["media_type"].append(t)
         rows["payload"].append(payload)

@@ -75,3 +75,51 @@ def build_html_table(n_rows: int = 200, seed: int = 42):
         "fixture": pa.array([names[i] for i in idx], pa.string()),
         "html": pa.array([pool[names[i]] for i in idx], pa.string()),
     })
+
+
+HTML_GENERATOR_VERSION = 1  # bump when corpus output changes
+
+
+def write_html_corpus(out_dir: str, n_rows: int, seed: int = 42,
+                      rows_per_file: int = 2000) -> list[str]:
+    """Write the HTML corpus as parquet with frozen golden_* columns (the
+    expected html_extract_batch outputs per distinct fixture) so the driver
+    can oracle the distributed extraction against a table the pipeline
+    never computes from."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.html_stage import html_extract_batch
+
+    table = build_html_table(n_rows, seed=seed)
+    pool = html_fixture_pool()
+    names = sorted(pool)
+    g = html_extract_batch(pa.table({
+        "doc_id": pa.array(range(len(names)), pa.int64()),
+        "html": pa.array([pool[n] for n in names], pa.string()),
+    }))
+    by_name = {
+        n: i for i, n in enumerate(names)}
+    idx = [by_name[f] for f in table["fixture"].to_pylist()]
+
+    def take(col, typ):
+        vals = g[col].to_pylist()
+        return pa.array([vals[i] for i in idx], typ)
+
+    table = (table
+             .append_column("golden_title", take("title", pa.string()))
+             .append_column("golden_markdown", take("markdown", pa.large_string()))
+             .append_column("golden_n_blocks", take("n_blocks", pa.int32()))
+             .append_column("golden_n_content_blocks",
+                            take("n_content_blocks", pa.int32()))
+             .append_column("golden_error_kind", take("error_kind", pa.string())))
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for start in range(0, table.num_rows, rows_per_file):
+        path = os.path.join(out_dir, f"html-{start // rows_per_file:05d}.parquet")
+        pq.write_table(table.slice(start, rows_per_file), path,
+                       row_group_size=2000)
+        paths.append(path)
+    return paths
