@@ -303,27 +303,64 @@ def _q_exact_dedup(sf_dir: str):
     return exact_dedup(ds)
 
 
+NEARDUP_JACCARD_T = 0.8   # word-3-gram Jaccard threshold for verified pairs
+NEARDUP_COSINE_T = 0.3    # exact-cosine threshold for verified pairs
+
+
+def _docs_lookup(sf_dir: str) -> dict[int, str]:
+    """Broadcast small side for pair verification (ray.put once inside
+    verify_pairs_jaccard). At corpus scale swap for a join on doc_id."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
 def _q_minhash_lsh_pairs(sf_dir: str):
+    """MinHash+LSH candidates VERIFIED by exact word-3-gram Jaccard — the
+    oracle recomputes the exact self-join in DuckDB, so a recall loss in
+    the LSH stage (or a bad signature) is a red driver row."""
     import ray.data
-    from pdf_inspector_ray.functions.dedup import minhash_lsh_candidates
+    from pdf_inspector_ray.functions.dedup import (
+        minhash_lsh_candidates, verify_pairs_jaccard)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-    return minhash_lsh_candidates(ds)
+    cands = minhash_lsh_candidates(ds)
+    verified = verify_pairs_jaccard(cands, _docs_lookup(sf_dir),
+                                    threshold=NEARDUP_JACCARD_T)
+    return verified.select_columns(["doc_a", "doc_b"])
 
 
 def _q_simhash_pairs(sf_dir: str):
+    """SimHash banded candidates verified by the same exact Jaccard bar —
+    an independent candidate path that must land on the same verified set."""
     import ray.data
-    from pdf_inspector_ray.functions.dedup import simhash_candidates
+    from pdf_inspector_ray.functions.dedup import (
+        simhash_candidates, verify_pairs_jaccard)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
-    return simhash_candidates(ds)
+    cands = simhash_candidates(ds)
+    verified = verify_pairs_jaccard(cands, _docs_lookup(sf_dir),
+                                    threshold=NEARDUP_JACCARD_T)
+    return verified.select_columns(["doc_a", "doc_b"])
 
 
 def _q_embedding_neardup_pairs(sf_dir: str):
+    """Axis-aligned multi-table hyperplane LSH candidates verified by exact
+    cosine. Axis-aligned planes make the bucketing reproducible in SQL, so
+    the oracle recomputes candidates AND verification independently."""
+    import numpy as np
+    import pyarrow.parquet as pq
     import ray.data
-    from pdf_inspector_ray.functions.dedup import embedding_neardup_candidates
+    from pdf_inspector_ray.functions.dedup import (
+        embedding_neardup_candidates, verify_pairs_cosine)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_neardup_candidates(ds)
+    cands = embedding_neardup_candidates(ds, axis_aligned=True)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    vectors = {i: np.asarray(v, dtype=np.float64) for i, v in
+               zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+    verified = verify_pairs_cosine(cands, vectors, threshold=NEARDUP_COSINE_T)
+    return verified.select_columns(["doc_a", "doc_b"])
 
 
 def _query_vector(sf_dir: str):
@@ -504,6 +541,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # DuckDB oracles (ANSI SQL on the pre-registered views)
 # ---------------------------------------------------------------------------
 
+_JACCARD_PAIRS_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'),
+                           w -> w <> '') AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               CASE WHEN len(w) >= 3 THEN list_distinct(
+                        list_transform(generate_series(1, len(w) - 2),
+                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+                    WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
+                    ELSE [] END AS g
+        FROM toks
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+      AND round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.g, b.g))), 6)
+          >= {NEARDUP_JACCARD_T}
+"""
+
+
 def _count_sql(word: str) -> str:
     pat = f" {word} "
     return (f"CAST((length(' ' || text || ' ') - "
@@ -644,9 +705,58 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id, md5(text) AS text_md5 FROM documents
         """,
+        # exact SQL twin of _rolling_fingerprint (min of rolling polynomial
+        # hashes over 16-byte windows, mod 2^61-1). ascii(text[i]) equals the
+        # utf-8 byte only for ASCII corpora — which the documents table is;
+        # HUGEINT intermediates keep (acc*B+x) exact
+        "fingerprint_rolling": r"""
+            WITH b AS (
+              SELECT doc_id, md5(text) AS text_md5,
+                     list_transform(generate_series(1, length(text)),
+                                    i -> CAST(ascii(text[i]) AS HUGEINT)) AS bytes
+              FROM documents
+            )
+            SELECT doc_id, text_md5,
+              CAST(CASE WHEN len(bytes) <= 16
+                THEN list_reduce(list_prepend(CAST(0 AS HUGEINT), bytes),
+                       (a, x) -> (a * 1000003 + x) % 2305843009213693951)
+                ELSE list_min(list_transform(generate_series(16, len(bytes)),
+                       i -> list_reduce(
+                         list_prepend(CAST(0 AS HUGEINT), bytes[i-15:i]),
+                         (a, x) -> (a * 1000003 + x) % 2305843009213693951)))
+                END AS UBIGINT) AS rolling_fp
+            FROM b
+        """,
         "exact_dedup": """
             SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
             FROM documents GROUP BY md5(text)
+        """,
+        # exact word-3-gram Jaccard self-join: the independent ground truth
+        # both the MinHash-LSH and SimHash candidate paths must land on
+        # after verification (tokenization mirrors Python str.split)
+        "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        "simhash_pairs": _JACCARD_PAIRS_SQL,
+        # axis-aligned sign-pattern LSH + exact cosine, recomputed entirely
+        # in SQL (8 tables × 8 coordinate-sign planes = the same buckets the
+        # Ray path builds with HyperplaneLSH(axis_aligned=True))
+        "embedding_neardup_pairs": f"""
+            WITH base AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings
+            ), sig AS (
+                SELECT vec_id, e,
+                       list_transform(generate_series(0, 7), t ->
+                           CAST(t AS VARCHAR) || ':' || array_to_string(
+                               list_transform(generate_series(1, 8), i ->
+                                   CASE WHEN e[t*8 + i] >= 0
+                                        THEN '1' ELSE '0' END), '')) AS pats
+                FROM base
+            )
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+            FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+            WHERE list_has_any(a.pats, b.pats)
+              AND round(list_cosine_similarity(a.e, b.e), 6)
+                  >= {NEARDUP_COSINE_T}
         """,
         "topk_similar": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -71,16 +71,18 @@ def broadcast_join_orders_customers(orders_ds, customers_table: pa.Table) -> "ra
     Returns orders + (c_custkey → joined marker columns)."""
     import ray
 
-    cust_map = dict(zip(customers_table["c_custkey"].to_pylist(),
-                        customers_table["c_mktsegment"].to_pylist()))
-    small_ref = ray.put(cust_map)
+    # broadcast the small side ONCE as arrow arrays; the probe is a fully
+    # vectorized pc.index_in + take (no per-row Python — VERDICT r01 fix #4)
+    small_ref = ray.put((customers_table["c_custkey"].combine_chunks(),
+                         customers_table["c_mktsegment"].combine_chunks()))
 
     def join(batch: pa.Table) -> pa.Table:
-        lk = ray.get(small_ref)
-        keys = batch["o_custkey"].to_pylist()
-        segs = [lk.get(k) for k in keys]
+        keys, segments = ray.get(small_ref)
+        idx = pc.index_in(batch["o_custkey"], value_set=keys)
+        segs = pc.take(segments, idx)  # null idx (no match) → null segment
         return batch.append_column(
-            pa.field("c_mktsegment", pa.string()), pa.array(segs, pa.string()))
+            pa.field("c_mktsegment", pa.string()),
+            pc.cast(segs, pa.string()))
 
     return orders_ds.map_batches(join, batch_format="pyarrow")
 

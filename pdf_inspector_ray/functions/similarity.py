@@ -96,11 +96,15 @@ def ivf_topk(ds, query_vec, k: int = 10, n_clusters: int = 16,
              id_column: str = "vec_id",
              embedding_column: str = "embedding",
              sample_limit: int = 2048) -> pa.Table:
-    """Approximate top-k: build coarse centroids from a bounded head sample
-    (deterministic), then scan only batches' rows in probed clusters."""
+    """Approximate top-k: build coarse centroids from a bounded SEEDED
+    RANDOM sample (a head sample is biased when the input is ordered —
+    VERDICT r01 fix), then scan only batches' rows in probed clusters."""
     import ray
 
-    sample_rows = ds.limit(sample_limit).take_all()
+    n = ds.count()  # metadata-only for parquet inputs
+    frac = min(1.0, sample_limit / max(n, 1))
+    sample_rows = (ds if frac >= 1.0
+                   else ds.random_sample(frac, seed=seed)).take_all()
     sample = np.asarray([r[embedding_column] for r in sample_rows], dtype=np.float64)
     index = IVFIndex(sample, n_clusters=n_clusters, seed=seed)
     q = np.asarray(query_vec, dtype=np.float64)

@@ -649,16 +649,22 @@ class Document:
             if not isinstance(stm, Stream):
                 raise PdfError(f"object stream {stm_num} missing")
             data = stm.decoded(self)
-            n = int(self.resolve(stm.dict.get("N", 0)) or 0)
-            first = int(self.resolve(stm.dict.get("First", 0)) or 0)
-            hdr = Lexer(data, 0)
-            pairs = []
-            for _ in range(n):
-                hdr.skip_ws()
-                onum = int(hdr._read_token_word())
-                hdr.skip_ws()
-                ooff = int(hdr._read_token_word())
-                pairs.append((onum, ooff))
+            try:
+                n = int(self.resolve(stm.dict.get("N", 0)) or 0)
+                first = int(self.resolve(stm.dict.get("First", 0)) or 0)
+                hdr = Lexer(data, 0)
+                pairs = []
+                for _ in range(n):
+                    hdr.skip_ws()
+                    onum = int(hdr._read_token_word())
+                    hdr.skip_ws()
+                    ooff = int(hdr._read_token_word())
+                    pairs.append((onum, ooff))
+            except (ValueError, TypeError) as e:
+                # a lying /N//First or undecodable header must surface as a
+                # structured parse error, never a raw ValueError
+                raise PdfError(
+                    f"object stream {stm_num} malformed header") from e
             table = {}
             for onum, ooff in pairs:
                 try:

@@ -210,3 +210,22 @@ def test_embedding_neardup_with_verification(ray_session):
     got = {tuple(sorted(p)) for p in zip(verified.doc_a, verified.doc_b)}
     assert (11, 77) in got
     assert (verified.cos_sim >= 0.95).all()
+
+
+def test_ivf_topk_recall_vs_exact(ray_session):
+    """IVF with a seeded random centroid sample must reach >=0.9 recall of
+    the exact top-10 at sf0.01 (VERDICT r01 fix #9)."""
+    import ray.data
+
+    from pdf_inspector_ray.functions.similarity import (
+        brute_force_topk, ivf_topk)
+
+    path = "/root/testdata/sf0.01/embeddings.parquet"
+    import pyarrow.parquet as pq
+    t = pq.read_table(path)
+    q = t["embedding"][0].as_py()
+    bf = set(brute_force_topk(
+        ray.data.read_parquet(path), q, k=10)["vec_id"].to_pylist())
+    iv = set(ivf_topk(
+        ray.data.read_parquet(path), q, k=10, nprobe=8)["vec_id"].to_pylist())
+    assert len(bf & iv) / 10 >= 0.9

@@ -45,7 +45,11 @@ def _values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
         return False
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
-        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+        if np.issubdtype(av.dtype, np.datetime64) and np.issubdtype(bv.dtype, np.datetime64):
+            both_nat = np.isnat(av) & np.isnat(bv)
+            if not np.all(both_nat | (av == bv)):
+                return False
+        elif np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             av = av.astype(np.float64)
             bv = bv.astype(np.float64)
             both_nan = np.isnan(av) & np.isnan(bv)
