@@ -33,6 +33,37 @@ class PdfProcessResult:
     detection: Optional[PdfTypeResult] = None
 
 
+def _read_pdf_file(path: str) -> bytes:
+    """File → bytes with the reference's error contract (lib.rs:44-47,
+    61-64: a missing/unreadable path is an Io error, not a raw OSError)."""
+    try:
+        with open(path, "rb") as f:
+            return f.read()
+    except OSError as e:
+        raise PdfError(f"cannot read {path}: {e}", kind="Io") from e
+
+
+def process_pdf(
+    path: str,
+    detection_config: Optional[DetectionConfig] = None,
+    markdown_options: Optional[MarkdownOptions] = None,
+) -> PdfProcessResult:
+    """File-path variant of ``process_pdf_mem`` (lib.rs:36-56
+    ``extract_text`` / ``extract_text_with_positions`` entry shape)."""
+    return process_pdf_mem(_read_pdf_file(path), detection_config,
+                           markdown_options)
+
+
+def detect_pdf_type(
+    path: str,
+    detection_config: Optional[DetectionConfig] = None,
+) -> PdfTypeResult:
+    """File-path variant of detection (lib.rs:58-66 ``detect_pdf_type``)."""
+    from .detect import detect_pdf_type_mem
+
+    return detect_pdf_type_mem(_read_pdf_file(path), detection_config)
+
+
 def process_pdf_mem(
     buffer: bytes,
     detection_config: Optional[DetectionConfig] = None,
