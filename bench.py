@@ -55,7 +55,9 @@ def _bench_corpus(sf_dir: str) -> str:
     out = f"/tmp/pdf_inspector_ray_bench/sf{sf}-{digest}-n{n_turns}"
     marker = os.path.join(out, "_complete")
     if not os.path.exists(marker):
-        write_transcript_corpus(out, n_turns)
+        # goldens are the driver-correctness surface, not a bench input —
+        # at 1.5M rows materializing golden markdown would dominate build
+        write_transcript_corpus(out, n_turns, include_goldens=False)
         with open(marker, "w") as f:
             f.write("ok")
     return out
@@ -129,12 +131,19 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         if os.path.exists(emb_path):
             import pyarrow.parquet as pq
 
+            from pdf_inspector_ray.functions.dedup import (
+                embedding_neardup_candidates)
             from pdf_inspector_ray.functions.similarity import brute_force_topk
 
             qv = pq.read_table(emb_path).slice(0, 1)["embedding"][0].as_py()
             t0 = time.perf_counter()
             brute_force_topk(ray.data.read_parquet(emb_path), qv, k=10)
             queries["topk_similar"] = round(time.perf_counter() - t0, 3)
+
+            t0 = time.perf_counter()
+            embedding_neardup_candidates(
+                ray.data.read_parquet(emb_path), axis_aligned=True).count()
+            queries["embedding_neardup"] = round(time.perf_counter() - t0, 3)
 
         total = round(sum(queries.values()), 3)
         return {
@@ -212,6 +221,9 @@ def run_scaling(sf_dir: str, base_cpus: int = 8, big_cpus: int = 32) -> dict:
             f"extract_sec_cpus{big_cpus}":
                 results[big_cpus]["queries"]["extract_ordered"],
         },
+        # full per-query timings at both scales so later rounds can grade
+        # regressions per pipeline, not just the suite total
+        "per_scale": {str(c): results[c]["queries"] for c in results},
         "sf": results[big_cpus]["sf"],
         "num_cpus": big_cpus,
         "scale_factor": scale,

@@ -150,47 +150,96 @@ class MinHashSignatures:
         })
 
 
-def _pairs_from_bucket(group: pa.Table) -> pa.Table:
-    ids = sorted(set(group["doc_id"].to_pylist()))
-    if len(ids) > MAX_BUCKET:
-        # no silent caps: a pathological bucket (giant duplicate cluster)
-        # drops candidates — say how many (visible in worker logs)
-        dropped = (len(ids) * (len(ids) - 1)
-                   - MAX_BUCKET * (MAX_BUCKET - 1)) // 2
-        _log.warning(
-            "LSH bucket %r has %d members > MAX_BUCKET=%d; dropping %d "
-            "candidate pairs", group["bucket"][0].as_py()
-            if "bucket" in group.column_names else "?",
-            len(ids), MAX_BUCKET, dropped)
-        ids = ids[:MAX_BUCKET]
-    a_out: list[int] = []
-    b_out: list[int] = []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a_out.append(ids[i])
-            b_out.append(ids[j])
+# Coarse hash partitions for the pair machinery: a groupby on the RAW
+# bucket/pair key makes Ray call the group UDF once per tiny group (tens of
+# thousands of Python calls); grouping on hash(key) % P instead co-locates
+# whole key families so each UDF call processes ~n/P rows vectorized.
+PAIR_PARTITIONS = 256
+
+
+def _add_bucket_part(batch: pa.Table) -> pa.Table:
+    import zlib
+    parts = [zlib.crc32(b.encode()) % PAIR_PARTITIONS
+             for b in batch["bucket"].to_pylist()]
+    return batch.append_column(pa.field("part", pa.int32()),
+                               pa.array(parts, pa.int32()))
+
+
+_EMPTY_PAIRS = pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+
+
+def _pairs_from_bucket_block(group: pa.Table) -> pa.Table:
+    """All buckets of one coarse partition → candidate pairs. Bucket runs
+    are found vectorized after a sort; the per-run pair expansion uses
+    np.triu_indices (runs are small — MAX_BUCKET caps and logs the rest)."""
+    import pyarrow.compute as pc
+    if group.num_rows == 0:
+        return _EMPTY_PAIRS
+    order = pc.sort_indices(group, sort_keys=[("bucket", "ascending"),
+                                              ("doc_id", "ascending")])
+    g = group.take(order)
+    buckets = np.asarray(g["bucket"].to_pylist(), dtype=object)
+    ids = np.asarray(g["doc_id"].to_pylist(), dtype=np.int64)
+    change = np.nonzero(buckets[1:] != buckets[:-1])[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(buckets)]])
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        mem = np.unique(ids[s:e])
+        if len(mem) > MAX_BUCKET:
+            # no silent caps: a pathological bucket (giant duplicate
+            # cluster) drops candidates — say how many (worker logs)
+            dropped = (len(mem) * (len(mem) - 1)
+                       - MAX_BUCKET * (MAX_BUCKET - 1)) // 2
+            _log.warning(
+                "LSH bucket %r has %d members > MAX_BUCKET=%d; dropping %d "
+                "candidate pairs", buckets[s], len(mem), MAX_BUCKET, dropped)
+            mem = mem[:MAX_BUCKET]
+        if len(mem) < 2:
+            continue
+        ii, jj = np.triu_indices(len(mem), 1)
+        a_out.append(mem[ii])
+        b_out.append(mem[jj])
+    if not a_out:
+        return _EMPTY_PAIRS
     return pa.table({
-        "doc_a": pa.array(a_out, pa.int64()),
-        "doc_b": pa.array(b_out, pa.int64()),
+        "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+        "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
     })
 
 
+def _bucket_pairs(buckets_ds):
+    """(doc_id, bucket) rows → deduped candidate pairs via the coarse
+    partition scheme above (two skew-free shuffles total)."""
+    pairs = (buckets_ds.map_batches(_add_bucket_part, batch_format="pyarrow")
+                       .groupby("part")
+                       .map_groups(_pairs_from_bucket_block,
+                                   batch_format="pyarrow"))
+    return _dedupe_pairs(pairs)
+
+
 def _dedupe_pairs(pairs_ds):
-    """Drop duplicate (doc_a, doc_b) rows produced by multiple bands."""
-    import pyarrow.compute as pc
+    """Drop duplicate (doc_a, doc_b) rows produced by multiple bands/tables:
+    coarse-partition groupby, then a vectorized arrow distinct per block."""
 
-    def first_per_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    def add_part(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((a * np.uint64(2654435761) + b)
+                    % np.uint64(PAIR_PARTITIONS)).astype(np.int32)
+        return batch.append_column(pa.field("part", pa.int32()),
+                                   pa.array(part, pa.int32()))
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        key = pc.binary_join_element_wise(
-            pc.cast(batch["doc_a"], pa.string()),
-            pc.cast(batch["doc_b"], pa.string()), ":")
-        return batch.append_column(pa.field("pair_key", pa.string()), key)
+    def distinct(group: pa.Table) -> pa.Table:
+        return (group.select(["doc_a", "doc_b"])
+                     .group_by(["doc_a", "doc_b"]).aggregate([]))
 
-    return (pairs_ds.map_batches(add_key, batch_format="pyarrow")
-                    .groupby("pair_key")
-                    .map_groups(first_per_pair, batch_format="pyarrow")
+    return (pairs_ds.map_batches(add_part, batch_format="pyarrow")
+                    .groupby("part")
+                    .map_groups(distinct, batch_format="pyarrow")
                     .select_columns(["doc_a", "doc_b"]))
 
 
@@ -204,9 +253,7 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 16,
                                "shingle_k": shingle_k, "seed": seed,
                                "text_column": text_column},
         concurrency=(1, 8), batch_format="pyarrow")
-    pairs = sigs.groupby("bucket").map_groups(
-        _pairs_from_bucket, batch_format="pyarrow")
-    return _dedupe_pairs(pairs)
+    return _bucket_pairs(sigs)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -313,9 +360,7 @@ def simhash_candidates(ds, text_column: str = "text", bands: int = 8):
                           fn_kwargs={"text_column": text_column},
                           batch_format="pyarrow")
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
-    pairs = buckets.groupby("bucket").map_groups(
-        _pairs_from_bucket, batch_format="pyarrow")
-    return _dedupe_pairs(pairs)
+    return _bucket_pairs(buckets)
 
 
 def hamming64(a: int, b: int) -> int:
@@ -385,9 +430,7 @@ def embedding_neardup_candidates(ds, dim: int = 64, num_tables: int = 8,
         })
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
-    pairs = buckets.groupby("bucket").map_groups(
-        _pairs_from_bucket, batch_format="pyarrow")
-    return _dedupe_pairs(pairs)
+    return _bucket_pairs(buckets)
 
 
 def verify_pairs_cosine(pairs_ds, vectors: dict[int, "np.ndarray"],

@@ -65,12 +65,27 @@ class MediaFeatureExtractor:
 
     def __init__(self, decode_stub: bool = True):
         self.decode_stub = decode_stub
+        # real decoder gated behind an import-try: when PIL is installed the
+        # image path decodes for real; otherwise the stub stays in charge
+        try:
+            from PIL import Image  # noqa: F401
+            self._pil = Image
+        except ImportError:
+            self._pil = None
 
     def _decode(self, payload: bytes, media_type: str) -> np.ndarray:
         if not self.decode_stub:
+            if self._pil is not None and media_type == "image":
+                import io
+                img = self._pil.open(io.BytesIO(payload)).convert("L")
+                arr = np.asarray(img, dtype=np.uint8).ravel()
+                hist, _ = np.histogram(arr, bins=self.FEATURE_DIM,
+                                       range=(0, 256))
+                return hist.astype(np.float64) / (hist.sum() or 1)
             raise NotImplementedError(
-                "real media decoding requires PIL/ffmpeg — not in this "
-                "container; run with decode_stub=True")
+                "real media decoding requires PIL (images) / ffmpeg "
+                "(audio+video) — not in this container; run with "
+                "decode_stub=True")
         # Deterministic fake decode: byte histogram, normalized
         arr = np.frombuffer(payload, dtype=np.uint8)
         hist, _ = np.histogram(arr, bins=self.FEATURE_DIM, range=(0, 256))

@@ -122,8 +122,14 @@ def payload_pool_goldens() -> dict[str, dict]:
 
 
 def build_transcript_table(n_turns: int, seed: int = 42,
-                           corrupt_frac: float = 0.05) -> pa.Table:
-    """Build the corpus as one Arrow table (use for tests / small scales)."""
+                           corrupt_frac: float = 0.05,
+                           include_goldens: bool = True) -> pa.Table:
+    """Build the corpus as one Arrow table (use for tests / small scales).
+
+    ``include_goldens=False`` skips the golden_* oracle columns — use for
+    throughput-bench corpora (millions of rows) where materializing the
+    per-row golden markdown would dominate build memory; the row data is
+    identical either way."""
     rng = np.random.default_rng(seed)
     payload_strs, corrupt_strs, payload_hashes, corrupt_hashes = _payload_pools()
 
@@ -160,10 +166,6 @@ def build_transcript_table(n_turns: int, seed: int = 42,
     tools = np.where(roles == "tool", "pdf_reader", "")
     ts = EPOCH_US + 60_000_000 * np.arange(n, dtype=np.int64)
 
-    # per-payload goldens: one library run per pool entry (clean + corrupt),
-    # then dictionary-indexed out to every row like text/hash above
-    pool_goldens = [_golden_row(s.encode("latin-1"))
-                    for s in payload_strs + corrupt_strs]
     choice = text_choice[perm]
     cols = {
         "conv_id": pa.array(conv_names[conv_idx[perm]], pa.string()),
@@ -174,6 +176,13 @@ def build_transcript_table(n_turns: int, seed: int = 42,
         "ts": pa.array(ts[perm], pa.timestamp("us")),
         "pdf_sha256": pa.array(hash_pool[choice], pa.string()),
     }
+    if not include_goldens:
+        return pa.table(cols, schema=pa.schema(
+            [SCHEMA.field(i) for i in range(7)]))
+    # per-payload goldens: one library run per pool entry (clean + corrupt),
+    # then dictionary-indexed out to every row like text/hash above
+    pool_goldens = [_golden_row(s.encode("latin-1"))
+                    for s in payload_strs + corrupt_strs]
     for name, typ in GOLDEN_FIELDS:
         field_pool = np.array([g[name] for g in pool_goldens], dtype=object)
         cols[name] = pa.array(field_pool[choice], typ)
@@ -182,11 +191,14 @@ def build_transcript_table(n_turns: int, seed: int = 42,
 
 def write_transcript_corpus(out_dir: str, n_turns: int, seed: int = 42,
                             corrupt_frac: float = 0.05,
-                            rows_per_file: int = 12_500) -> list[str]:
+                            rows_per_file: int = 12_500,
+                            include_goldens: bool = True) -> list[str]:
     """Write the corpus as one-or-more parquet files (row-group sized for
     streaming reads). Returns the file paths."""
     os.makedirs(out_dir, exist_ok=True)
-    table = build_transcript_table(n_turns, seed=seed, corrupt_frac=corrupt_frac)
+    table = build_transcript_table(n_turns, seed=seed,
+                                   corrupt_frac=corrupt_frac,
+                                   include_goldens=include_goldens)
     paths = []
     for start in range(0, table.num_rows, rows_per_file):
         chunk = table.slice(start, rows_per_file)

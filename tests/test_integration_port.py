@@ -304,3 +304,9 @@ def test_markdown_from_items_monospace_code():
     items = [make_text_item("let x = 5", 100.0, 700.0, 12.0, 1, font="Courier")]
     md = to_markdown_from_items(items, MarkdownOptions())
     assert "```" in md and "let x = 5" in md
+
+
+def test_text_line_single_item():
+    line = TextLine([make_text_item("Single", 100.0, 700.0, 12.0, 1)],
+                    700.0, 1)
+    assert line.text() == "Single"
