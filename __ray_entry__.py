@@ -452,6 +452,45 @@ def _q_windowed_events(sf_dir: str):
     return windowed_event_counts(ds, window="hour")
 
 
+_MIXED_ROWS = {"0.001": 100, "0.01": 600, "0.1": 3000}
+
+
+def _mixed_dir(sf_dir: str) -> str:
+    """Write (once) the mixed PDF/HTML corpus for this scale."""
+    from pdf_inspector_ray.sources.htmlgen import html_fixture_pool
+    from pdf_inspector_ray.sources.mixedgen import (
+        MIXED_GENERATOR_VERSION, write_mixed_corpus)
+    from pdf_inspector_ray.sources.pdfgen import fixture_pool
+
+    sf = _sf_of(sf_dir)
+    digest = hashlib.md5(
+        b"".join(v for _, v in sorted(fixture_pool().items()))
+        + "".join(k + v for k, v in sorted(html_fixture_pool().items())).encode(),
+        usedforsecurity=False).hexdigest()[:10] + f"v{MIXED_GENERATOR_VERSION}"
+    out = os.path.join(_CORPUS_ROOT, f"mixed-sf{sf}-{digest}")
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        write_mixed_corpus(out, _MIXED_ROWS.get(sf, 600))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def _q_routed_extract(sf_dir: str):
+    """Unified main-content extraction: one actor-pool pass sniffs each
+    payload (PDF vs HTML) and routes to the matching extractor; oracled
+    against golden columns frozen by the per-document library."""
+    import ray.data
+    from pdf_inspector_ray.stages.routed import RoutedExtract
+
+    ds = ray.data.read_parquet(_mixed_dir(sf_dir), columns=["doc_id", "text"])
+    out = ds.map_batches(RoutedExtract, batch_size=64, concurrency=(1, 4),
+                         num_cpus=1, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "payload_kind", "markdown", "error_kind"]).map_batches(
+            _cast_markdown_str, batch_format="pyarrow")
+
+
 _MEDIA_ROWS = {"0.001": 50, "0.01": 200, "0.1": 1000}
 
 
@@ -509,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_type_histogram": _q_pdf_type_histogram,
         "pdf_equality_rate": _q_pdf_equality_rate,
         "html_extract": _q_html_extract,
+        "routed_extract": _q_routed_extract,
         # native relational primitives
         "docs_by_lang": _q_docs_by_lang,
         "docs_head": _q_docs_head,
@@ -622,6 +662,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_turns, COUNT(*) AS n_matched,
                    CAST(1.0 AS DOUBLE) AS equality_rate
             FROM {corpus}
+        """,
+        "routed_extract": f"""
+            SELECT doc_id,
+                   golden_kind AS payload_kind,
+                   golden_markdown AS markdown,
+                   golden_error_kind AS error_kind
+            FROM read_parquet('{os.path.join(_mixed_dir('/root/testdata/sf0.01'), '*.parquet')}')
         """,
         "media_features": f"""
             SELECT media_id, media_type,

@@ -128,3 +128,29 @@ def test_mixed_payload_routing_pipeline(ray_session):
     assert html_out.markdown.str.contains("Deep Dive 0").any()
     unknown = routed.filter(expr="payload_kind == 'unknown'").count()
     assert unknown == 1
+
+
+def test_routed_extract_stage_unit():
+    """RoutedExtract: one pass routes PDF bytes, HTML markup, and garbage
+    to the right extractor / error column."""
+    import pyarrow as pa
+
+    from pdf_inspector_ray.pdfi.html import extract_main_content
+    from pdf_inspector_ray.pdfi.process import process_pdf_mem
+    from pdf_inspector_ray.sources.htmlgen import make_article_page
+    from pdf_inspector_ray.sources.pdfgen import fixture_pool
+    from pdf_inspector_ray.stages.routed import RoutedExtract
+
+    pdf = sorted(fixture_pool().items())[0][1].decode("latin-1")
+    html = make_article_page(3)
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([pdf, html, "no markup here"], pa.string()),
+    })
+    out = RoutedExtract()(batch)
+    kinds = out["payload_kind"].to_pylist()
+    assert kinds == ["pdf", "html", "unknown"]
+    mds = out["markdown"].to_pylist()
+    assert mds[0] == process_pdf_mem(pdf.encode("latin-1")).markdown
+    assert mds[1] == extract_main_content(html).markdown
+    assert out["error_kind"].to_pylist()[2] == "UnknownPayload"
