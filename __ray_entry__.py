@@ -345,6 +345,26 @@ def _q_simhash_pairs(sf_dir: str):
     return verified.select_columns(["doc_a", "doc_b"])
 
 
+def _q_neardup_dedup_docs(sf_dir: str):
+    """Corpus-level near-dup dedup: verified MinHash pairs → distributed
+    connected components (label propagation over the pair-sized edge set)
+    → keep each component's min doc_id. The oracle recomputes components
+    with a recursive transitive closure over the exact Jaccard pair set."""
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import (
+        connected_components, minhash_lsh_candidates, neardup_kept_docs,
+        verify_pairs_jaccard)
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    cands = minhash_lsh_candidates(docs)
+    verified = verify_pairs_jaccard(cands, _docs_lookup(sf_dir),
+                                    threshold=NEARDUP_JACCARD_T)
+    comp = connected_components(verified.select_columns(["doc_a", "doc_b"]))
+    docs_ids = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return neardup_kept_docs(docs_ids, comp)
+
+
 def _q_embedding_neardup_pairs(sf_dir: str):
     """Axis-aligned multi-table hyperplane LSH candidates verified by exact
     cosine. Axis-aligned planes make the bucketing reproducible in SQL, so
@@ -563,6 +583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
+        "neardup_dedup_docs": _q_neardup_dedup_docs,
         # similarity search
         "topk_similar": _q_topk_similar,
         "topk_similar_ivf": _q_topk_similar_ivf,
@@ -581,8 +602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # DuckDB oracles (ANSI SQL on the pre-registered views)
 # ---------------------------------------------------------------------------
 
-_JACCARD_PAIRS_SQL = f"""
-    WITH toks AS (
+_JACCARD_CTES = f"""
+    toks AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(text, '\\s+'),
                            w -> w <> '') AS w
@@ -595,13 +616,40 @@ _JACCARD_PAIRS_SQL = f"""
                     WHEN len(w) > 0 THEN [array_to_string(w, ' ')]
                     ELSE [] END AS g
         FROM toks
+    ), jpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
+          AND round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.g, b.g))), 6)
+              >= {NEARDUP_JACCARD_T}
+    )"""
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b FROM jpairs
+"""
+
+# components over the exact pair set via recursive transitive closure,
+# keep each component's min doc_id + all unpaired docs
+_NEARDUP_DEDUP_SQL = f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jpairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM jpairs
+    ),
+    reach(src, dst) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    roots AS (
+        SELECT src AS node, least(src, min(dst)) AS root
+        FROM reach GROUP BY src
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM grams a JOIN grams b ON a.doc_id < b.doc_id
-    WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
-      AND round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-                / len(list_distinct(list_concat(a.g, b.g))), 6)
-          >= {NEARDUP_JACCARD_T}
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM roots WHERE root < node)
 """
 
 
@@ -783,6 +831,7 @@ def oracle_sql() -> dict[str, str]:
         # after verification (tokenization mirrors Python str.split)
         "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
         "simhash_pairs": _JACCARD_PAIRS_SQL,
+        "neardup_dedup_docs": _NEARDUP_DEDUP_SQL,
         # axis-aligned sign-pattern LSH + exact cosine, recomputed entirely
         # in SQL (8 tables × 8 coordinate-sign planes = the same buckets the
         # Ray path builds with HyperplaneLSH(axis_aligned=True))

@@ -461,3 +461,122 @@ def verify_pairs_cosine(pairs_ds, vectors: dict[int, "np.ndarray"],
         return t.filter(pc.greater_equal(t["cos_sim"], pa.scalar(threshold)))
 
     return pairs_ds.map_batches(verify, batch_format="pyarrow")
+
+
+# -- corpus-level dedup: components over verified pairs ---------------------
+
+def connected_components(pairs_ds, num_partitions: int = 16,
+                         max_iters: int = 32):
+    """Verified near-dup pairs (doc_a, doc_b) → (node, label) with label =
+    min doc_id of each connected component, for every doc that appears in
+    a pair.
+
+    Distributed iterative min-label propagation: per round, one hash join
+    (labels onto edge sources) + one groupby-min — both shuffle only the
+    EDGE-sized data (the near-dup pair set, a small fraction of the
+    corpus), never the corpus itself. Converges in O(component diameter)
+    rounds; near-dup clusters are dense (band collisions ≈ cliques) so
+    2-4 rounds is typical. The per-round ``materialize()`` pins the small
+    label/edge sets so each iteration reads the previous result instead of
+    re-executing the whole lineage — this is the documented exception to
+    "never materialize mid-pipeline" (tiny side only).
+    """
+    import pyarrow.compute as pc
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a, b = batch["doc_a"], batch["doc_b"]
+        return pa.table({
+            "src": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+            "dst": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+        })
+
+    edges = pairs_ds.map_batches(to_edges,
+                                 batch_format="pyarrow").materialize()
+
+    from ray.data.aggregate import Min
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["src"], "label": batch["src"]})
+
+    labels = (edges.map_batches(init_labels, batch_format="pyarrow")
+                   .groupby("node")
+                   .aggregate(Min("label", alias_name="label"))
+                   .materialize())
+    # Reduce-side hash join, hand-rolled with the coarse-partition pattern:
+    # edge rows and label rows are tagged, unioned, co-located by
+    # hash(key) % P, and matched vectorized inside one map_groups call per
+    # partition. (Dataset.join would express this too, but as of Ray
+    # 2.49 its finalize loses the schema of empty right partitions.)
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"key": batch["src"], "dst": batch["dst"],
+                         "label": pa.nulls(n, pa.int64())})
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"key": batch["node"], "dst": pa.nulls(n, pa.int64()),
+                         "label": batch["label"]})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = batch["key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((key * np.uint64(2654435761))
+                    % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column(pa.field("part", pa.int32()),
+                                   pa.array(part, pa.int32()))
+
+    def probe(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_label = pc.is_valid(group["label"])
+        lab = group.filter(is_label)
+        edge = group.filter(pc.invert(is_label))
+        if edge.num_rows == 0 or lab.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        lk = dict(zip(lab["key"].to_pylist(), lab["label"].to_pylist()))
+        keys = edge["key"].to_pylist()
+        labs = [lk.get(k) for k in keys]
+        return pa.table({"node": edge["dst"],
+                         "label": pa.array(labs, pa.int64())})
+
+    prev_sum = None
+    for _ in range(max_iters):
+        tagged = (edges.map_batches(tag_edges, batch_format="pyarrow")
+                       .union(labels.map_batches(tag_labels,
+                                                 batch_format="pyarrow")))
+        cand = (tagged.map_batches(add_part, batch_format="pyarrow")
+                      .groupby("part")
+                      .map_groups(probe, batch_format="pyarrow"))
+        labels = (labels.union(cand)
+                        .groupby("node")
+                        .aggregate(Min("label", alias_name="label"))
+                        .materialize())
+        cur = labels.sum("label")  # monotone non-increasing per node
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels
+
+
+def neardup_kept_docs(docs_ds, components, id_column: str = "doc_id"):
+    """Corpus-level near-dup dedup: keep each component's min doc_id plus
+    every doc not in any pair. The dropped-id set (duplicate docs only — a
+    small fraction of the corpus by construction) is broadcast with
+    ``ray.put`` and applied as a vectorized per-batch mask; for corpora
+    where even the duplicate set is huge, swap for a left anti join."""
+    import pyarrow.compute as pc
+    import ray
+
+    dropped: set = set()
+    for batch in components.iter_batches(batch_format="pyarrow"):
+        mask = pc.less(batch["label"], batch["node"])
+        dropped.update(pc.filter(batch["node"], mask).to_pylist())
+    dropped_ref = ray.put(dropped)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        drop = ray.get(dropped_ref)
+        ids = batch[id_column]
+        mask = pa.array([v not in drop for v in ids.to_pylist()], pa.bool_())
+        return batch.filter(mask)
+
+    return docs_ds.map_batches(keep, batch_format="pyarrow")

@@ -229,3 +229,28 @@ def test_ivf_topk_recall_vs_exact(ray_session):
     iv = set(ivf_topk(
         ray.data.read_parquet(path), q, k=10, nprobe=8)["vec_id"].to_pylist())
     assert len(bf & iv) / 10 >= 0.9
+
+
+def test_connected_components_and_kept_docs(ray_session):
+    """Label propagation over a chain + a separate pair + isolated nodes:
+    components get min-id labels, dedup keeps one doc per component."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_inspector_ray.functions.dedup import (
+        connected_components, neardup_kept_docs)
+
+    # chain 1-2-3-4 (diameter 3 → needs >1 propagation round), pair 10-11
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 3, 10], pa.int64()),
+        "doc_b": pa.array([2, 3, 4, 11], pa.int64()),
+    }))
+    comp = connected_components(pairs)
+    labels = {r["node"]: r["label"] for r in comp.take_all()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 10, 11, 99], pa.int64()),
+    }))
+    kept = sorted(r["doc_id"] for r in neardup_kept_docs(docs, comp).take_all())
+    assert kept == [1, 5, 10, 99]
