@@ -295,6 +295,22 @@ def _q_fingerprint_rolling(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+def _q_doc_length_quantiles(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import value_quantiles
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["n_chars"])
+    return value_quantiles(ds, "n_chars")
+
+
+def _q_top_terms(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import top_terms
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+    return top_terms(ds, k=20)
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.dedup import exact_dedup
@@ -578,6 +594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "fingerprint": _q_fingerprint,
         "fingerprint_rolling": _q_fingerprint_rolling,
+        "doc_length_quantiles": _q_doc_length_quantiles,
+        "top_terms": _q_top_terms,
         # dedup
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -821,6 +839,22 @@ def oracle_sql() -> dict[str, str]:
                          (a, x) -> (a * 1000003 + x) % 2305843009213693951)))
                 END AS UBIGINT) AS rolling_fp
             FROM b
+        """,
+        "doc_length_quantiles": """
+            SELECT quantile_disc(n_chars, 0.25) AS q25,
+                   quantile_disc(n_chars, 0.50) AS q50,
+                   quantile_disc(n_chars, 0.75) AS q75,
+                   quantile_disc(n_chars, 0.95) AS q95
+            FROM documents
+        """,
+        "top_terms": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                    regexp_split_to_array(text, '\s+'), w -> w <> '')) AS term
+                FROM documents
+            )
+            SELECT term, COUNT(*) AS cnt FROM toks
+            GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_md5, min(doc_id) AS doc_id

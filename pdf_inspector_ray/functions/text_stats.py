@@ -161,3 +161,67 @@ def _rolling_fingerprint(text: str, window: int = 16) -> int:
         if i >= window - 1:
             best = h if best is None or h < best else best
     return best if best is not None else h
+
+
+def value_quantiles(ds, column: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
+    """Exact distributed quantiles of an integer column via a value-count
+    sketch: per-batch arrow ``group_by(...).count`` partials, a global
+    (value → count) sum groupby, then a tiny driver cumsum over the
+    DISTINCT values (bounded for discrete columns like lengths; pre-bin
+    continuous columns before calling this at corpus scale). Quantile rule
+    is rank ``floor(q·(n−1))`` over the sorted multiset — DuckDB's
+    ``quantile_disc`` twin.
+    """
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"value": batch[column]})
+        return (t.group_by(["value"]).aggregate([([], "count_all")])
+                 .rename_columns(["value", "cnt"]))
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("value").aggregate(Sum("cnt", alias_name="cnt")))
+    rows = counts.take_all()  # tiny: one row per distinct value
+    rows.sort(key=lambda r: r["value"])
+    values = np.asarray([r["value"] for r in rows], dtype=np.int64)
+    cum = np.cumsum([r["cnt"] for r in rows])
+    n = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for q in qs:
+        k = int(np.floor(q * (n - 1))) if n else 0
+        idx = int(np.searchsorted(cum, k + 1))
+        out[f"q{int(q * 100)}"] = int(values[idx]) if n else None
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
+
+
+def top_terms(ds, k: int = 20, text_column: str = "text"):
+    """Corpus-level term frequency top-k: per-batch vectorized token counts
+    (arrow split + group_by partial combine), a (term → count) sum groupby
+    over the bounded vocabulary, then per-batch top-k prune + tiny driver
+    merge (no global sort). Tokenization = whitespace split, empties
+    dropped — the same rule as the Jaccard oracle's ``toks`` CTE."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch[text_column], r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        t = pa.table({"term": toks})
+        return (t.group_by(["term"]).aggregate([([], "count_all")])
+                 .rename_columns(["term", "cnt"]))
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("term").aggregate(Sum("cnt", alias_name="cnt")))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(batch, sort_keys=[("cnt", "descending"),
+                                                  ("term", "ascending")])
+        return batch.take(order.slice(0, k))
+
+    cands = counts.map_batches(prune, batch_format="pyarrow")
+    tbl = pa.concat_tables(cands.iter_batches(batch_format="pyarrow"))
+    order = pc.sort_indices(tbl, sort_keys=[("cnt", "descending"),
+                                            ("term", "ascending")])
+    return tbl.take(order).slice(0, k)

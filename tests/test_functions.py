@@ -254,3 +254,36 @@ def test_connected_components_and_kept_docs(ray_session):
     }))
     kept = sorted(r["doc_id"] for r in neardup_kept_docs(docs, comp).take_all())
     assert kept == [1, 5, 10, 99]
+
+
+def test_value_quantiles_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import value_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 300, size=5000)
+    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    out = value_quantiles(ds, "v")
+    sv = np.sort(vals)
+    for q in (0.25, 0.5, 0.75, 0.95):
+        assert out[f"q{int(q*100)}"][0].as_py() == sv[int(np.floor(q * (len(sv) - 1)))]
+
+
+def test_top_terms_exact(ray_session):
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import top_terms
+
+    docs = ["a b b c", "b c c  d", " a a b "] * 10 + ["zz yy", "yy"]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    out = top_terms(ds, k=3)
+    counts = collections.Counter(w for d in docs for w in d.split())
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = list(zip(out["term"].to_pylist(), out["cnt"].to_pylist()))
+    assert got == expected
