@@ -549,6 +549,14 @@ def _media_dir(sf_dir: str) -> str:
     return out
 
 
+def _q_hopping_windows(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import hopping_window_counts
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "value"])
+    return hopping_window_counts(ds)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.multimodal import MediaFeatureExtractor
@@ -609,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
         "windowed_events": _q_windowed_events,
+        "hopping_windows": _q_hopping_windows,
         "asof_join": _q_asof_join,
         "session_windows": _q_session_windows,
         # multimodal plumbing
@@ -951,5 +960,19 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS sum_value
             FROM events
             GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "hopping_windows": """
+            WITH e AS (
+                SELECT epoch_us(ts) AS t, value FROM events
+            ), x AS (
+                SELECT make_timestamp(
+                           (t // 1800000000) * 1800000000
+                           - i * 1800000000) AS window_start,
+                       value
+                FROM e CROSS JOIN (SELECT unnest([0, 1]) AS i) u
+            )
+            SELECT window_start, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM x GROUP BY window_start
         """,
     }

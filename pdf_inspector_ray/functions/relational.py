@@ -227,3 +227,42 @@ def windowed_event_counts(ds, window: str = "hour") -> "ray.data.Dataset":
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["window_start", "event_type"])
               .map_groups(merge, batch_format="pyarrow"))
+
+
+def hopping_window_counts(ds, window_us: int = 3_600_000_000,
+                          hop_us: int = 1_800_000_000) -> "ray.data.Dataset":
+    """Hopping (sliding) window aggregate: each event lands in
+    ``window_us / hop_us`` overlapping windows; assignment is a vectorized
+    flat-map expansion inside ``map_batches`` followed by the same
+    partial-then-merge groupby as the tumbling case. Window k for event t:
+    starts ``floor(t/hop)·hop − i·hop`` for i in [0, window/hop) with
+    start > t − window."""
+    assert window_us % hop_us == 0
+    k = window_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        base = (ts // hop_us) * hop_us
+        starts = np.concatenate([base - i * hop_us for i in range(k)])
+        rep_value = np.tile(
+            batch["value"].to_numpy(zero_copy_only=False), k)
+        t = pa.table({
+            "window_start": pa.array(starts, pa.int64()).cast(
+                pa.timestamp("us")),
+            "n_events": pa.array(np.ones(len(starts), dtype=np.int64)),
+            "sum_value": pa.array(rep_value, pa.float64()),
+        })
+        return (t.group_by(["window_start"])
+                 .aggregate([("n_events", "sum"), ("sum_value", "sum")])
+                 .rename_columns(["window_start", "n_events", "sum_value"]))
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": [group["window_start"][0].as_py()],
+            "n_events": [pc.sum(group["n_events"]).as_py()],
+            "sum_value": [round(pc.sum(group["sum_value"]).as_py(), 2)],
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["window_start"])
+              .map_groups(merge, batch_format="pyarrow"))

@@ -287,3 +287,24 @@ def test_top_terms_exact(ray_session):
     expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     got = list(zip(out["term"].to_pylist(), out["cnt"].to_pylist()))
     assert got == expected
+
+
+def test_hopping_window_counts(ray_session):
+    """Each event must appear in exactly window/hop overlapping windows."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import hopping_window_counts
+
+    hour = 3_600_000_000
+    ts = [hour // 2 + 1, hour + 5, 2 * hour]  # µs offsets
+    ds = ray.data.from_arrow(pa.table({
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0], pa.float64()),
+    }))
+    out = {r["window_start"].timestamp() * 1e6: (r["n_events"], r["sum_value"])
+           for r in hopping_window_counts(ds).take_all()}
+    total_events = sum(n for n, _ in out.values())
+    assert total_events == 2 * len(ts)  # window/hop = 2 windows per event
+    # event at hour+5 is in windows starting at hour and hour-30min
+    assert out[float(hour)][0] >= 1
