@@ -2,10 +2,13 @@
 
 ``entry()`` — flagship inspect→classify→extract over the synthetic
 transcript corpus (smoke scale). ``queries()`` — one entry per implemented
-operator/pipeline from SURVEY.md §2 (+ the §2.7 training-data additions).
-``oracle_sql()`` — DuckDB twins for every SQL-expressible query; PDF
-pipelines are non-SQL-expressible (content-stream interpretation) and get
-rows-only checks.
+operator/pipeline from SURVEY.md §2 (+ the §2.7/§2.8 training-data
+additions). ``oracle_sql()`` — a DuckDB twin for every query but the
+intentionally-approximate IVF top-k: SQL-expressible operators get
+independent recomputations; the PDF/HTML/routed extraction pipelines are
+checked against per-payload ``golden_*`` columns frozen into their corpora
+at synthesis by the per-document library (the pipelines never read those
+columns; the twins SELECT them back keyed by row identity).
 
 Ray is initialised by the DRIVER before importing this module — nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
