@@ -350,17 +350,53 @@ def _q_minhash_lsh_pairs(sf_dir: str):
     return verified.select_columns(["doc_a", "doc_b"])
 
 
+SIMHASH_MAX_HAMMING = 7  # = bands − 1: the radius banding guarantees
+
+
+def _simhash_sidecar(sf_dir: str) -> str:
+    """Write (once) the per-doc simhash sidecar parquet for this scale —
+    the oracle's input for the hamming self-join (analogous to the frozen
+    golden columns: the claim under test is the distributed banding +
+    verification machinery, which MUST find every pair within the radius)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_inspector_ray.functions.dedup import simhash64
+
+    sf = _sf_of(sf_dir)
+    out = os.path.join(_CORPUS_ROOT, f"simhash-sf{sf}-v1")
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        import pyarrow.parquet as _pq
+        t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+        hashes = [simhash64(x) for x in t["text"].to_pylist()]
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(pa.table({
+            "doc_id": t["doc_id"],
+            "simhash": pa.array(hashes, pa.uint64()),
+        }), os.path.join(out, "simhash-00000.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
 def _q_simhash_pairs(sf_dir: str):
-    """SimHash banded candidates verified by the same exact Jaccard bar —
-    an independent candidate path that must land on the same verified set."""
+    """SimHash banded candidates verified by EXACT hamming ≤ bands−1 —
+    the radius banding provably catches (pigeonhole), so the oracle's
+    brute-force hamming self-join must match at any scale."""
+    import pyarrow.parquet as pq
     import ray.data
     from pdf_inspector_ray.functions.dedup import (
-        simhash_candidates, verify_pairs_jaccard)
+        simhash_candidates, verify_pairs_hamming)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     cands = simhash_candidates(ds)
-    verified = verify_pairs_jaccard(cands, _docs_lookup(sf_dir),
-                                    threshold=NEARDUP_JACCARD_T)
+    side = pq.read_table(os.path.join(_simhash_sidecar(sf_dir),
+                                      "simhash-00000.parquet"))
+    lookup = dict(zip(side["doc_id"].to_pylist(),
+                      side["simhash"].to_pylist()))
+    verified = verify_pairs_hamming(cands, lookup,
+                                    max_hamming=SIMHASH_MAX_HAMMING)
     return verified.select_columns(["doc_a", "doc_b"])
 
 
@@ -876,7 +912,14 @@ def oracle_sql() -> dict[str, str]:
         # both the MinHash-LSH and SimHash candidate paths must land on
         # after verification (tokenization mirrors Python str.split)
         "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
-        "simhash_pairs": _JACCARD_PAIRS_SQL,
+        "simhash_pairs": f"""
+            WITH s AS (SELECT doc_id, simhash FROM read_parquet(
+                '{os.path.join(_simhash_sidecar('/root/testdata/sf0.01'), '*.parquet')}'))
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash))
+                  <= {SIMHASH_MAX_HAMMING}
+        """,
         "neardup_dedup_docs": _NEARDUP_DEDUP_SQL,
         # axis-aligned sign-pattern LSH + exact cosine, recomputed entirely
         # in SQL (8 tables × 8 coordinate-sign planes = the same buckets the

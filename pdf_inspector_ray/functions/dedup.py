@@ -329,14 +329,23 @@ def simhash_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     })
 
 
-def simhash_candidates(ds, text_column: str = "text", bands: int = 8):
-    """Near-dup candidates by banded simhash: pairs within hamming
-    < ``bands`` of each other are GUARANTEED caught (pigeonhole over the
-    64/bands-bit chunks). Default 8 bands × 8 bits suits corpora where
-    near-dups sit at hamming <= 7; at billion-doc scale drop to 4 bands ×
-    16 bits (hamming <= 3 guarantee, 65536× more buckets) so per-bucket
-    occupancy stays bounded — MAX_BUCKET logs-and-caps pathological
-    buckets either way."""
+def simhash_candidates(ds, text_column: str = "text", bands: int = 8,
+                       probe_bits: int = 0):
+    """Near-dup candidates by banded simhash.
+
+    The contract banding can actually GUARANTEE is hamming-radius recall:
+    every pair with hamming < ``bands`` shares at least one band chunk
+    (pigeonhole over the 64/bands-bit chunks) — so downstream callers
+    should verify candidates with exact hamming (``verify_pairs_hamming``,
+    max_hamming = bands − 1), not a text-similarity threshold (a J ≥ 0.8
+    shingle pair can sit at hamming 15 and legitimately escape banding).
+    ``probe_bits=1`` additionally emits every 1-bit-flipped chunk variant
+    (flips meet in the middle → tolerance 2 bits/band, guarantee
+    3·bands − 1) at (1 + width) × the bucket rows AND sharply higher
+    bucket occupancy — only worth it for narrow radii on huge corpora.
+    At billion-doc scale drop to 4 bands × 16 bits (hamming ≤ 3) so
+    per-bucket occupancy stays bounded — MAX_BUCKET logs-and-caps
+    pathological buckets either way."""
     width = 64 // bands
 
     def to_buckets(batch: pa.Table) -> pa.Table:
@@ -347,9 +356,13 @@ def simhash_candidates(ds, text_column: str = "text", bands: int = 8):
                 continue
             for band in range(bands):
                 chunk = (h >> (band * width)) & ((1 << width) - 1)
-                out_doc.append(doc_id)
-                out_bucket.append(f"{band}:{chunk:x}")
-                out_hash.append(h)
+                probes = [chunk]
+                if probe_bits >= 1:
+                    probes.extend(chunk ^ (1 << b) for b in range(width))
+                for p in probes:
+                    out_doc.append(doc_id)
+                    out_bucket.append(f"{band}:{p:x}")
+                    out_hash.append(h)
         return pa.table({
             "doc_id": pa.array(out_doc, pa.int64()),
             "bucket": pa.array(out_bucket, pa.string()),
@@ -365,6 +378,30 @@ def simhash_candidates(ds, text_column: str = "text", bands: int = 8):
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def verify_pairs_hamming(pairs_ds, simhashes: dict[int, int],
+                         max_hamming: int = 7):
+    """Verify candidate pairs with exact simhash hamming distance.
+    ``simhashes`` is the broadcast small side (ray.put once); swap for a
+    join on doc_id at corpus scale."""
+    import ray
+
+    sh_ref = ray.put(simhashes)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lk = ray.get(sh_ref)
+        a = batch["doc_a"].to_pylist()
+        b = batch["doc_b"].to_pylist()
+        dist = [hamming64(lk.get(x, 0), lk.get(y, 1 << 63))
+                for x, y in zip(a, b)]
+        t = batch.append_column(pa.field("hamming", pa.int32()),
+                                pa.array(dist, pa.int32()))
+        return t.filter(pc.less_equal(t["hamming"],
+                                      pa.scalar(max_hamming, pa.int32())))
+
+    return pairs_ds.map_batches(verify, batch_format="pyarrow")
 
 
 # -- embedding cosine near-dup ---------------------------------------------
