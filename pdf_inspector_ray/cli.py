@@ -104,14 +104,23 @@ def cmd_run(args: argparse.Namespace) -> int:
     if not ray.is_initialized():
         ray.init(include_dashboard=False)
     try:
-        from .pipelines.flagship import read_transcripts, run_to_partitioned_output
+        from .pipelines.flagship import (
+            read_transcripts, run_to_partitioned_output, sized_concurrency)
 
-        ds = read_transcripts(args.input)
+        # fixed pool sized to the cluster (an autoscaling pool is starved
+        # by Ray's per-operator reservation under the ordering shuffle);
+        # prune the read to the pipeline's input columns
+        pool = args.max_actors or sized_concurrency()
+        import pyarrow.dataset as pads
+        have = pads.dataset(args.input, format="parquet").schema.names
+        cols = [c for c in ("conv_id", "turn_idx", "role", "text", "tool",
+                            "ts", "pdf_sha256") if c in have]
+        ds = read_transcripts(args.input, columns=cols)
         metrics = run_to_partitioned_output(
             ds, args.output,
             num_buckets=args.num_buckets,
             resume=not args.no_resume,
-            concurrency=(2, args.max_actors))
+            concurrency=pool)
         print(json.dumps(metrics))
         return 0
     finally:
@@ -138,7 +147,8 @@ def main(argv: list[str] | None = None) -> int:
     p3.add_argument("--input", required=True)
     p3.add_argument("--output", required=True)
     p3.add_argument("--num-buckets", type=int, default=64)
-    p3.add_argument("--max-actors", type=int, default=32)
+    p3.add_argument("--max-actors", type=int, default=0,
+                    help="fixed actor-pool size; 0 = auto (CPUs - CPUs/4)")
     p3.add_argument("--no-resume", action="store_true")
     p3.set_defaults(func=cmd_run)
 
