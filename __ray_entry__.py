@@ -306,6 +306,14 @@ def _q_doc_length_quantiles(sf_dir: str):
     return value_quantiles(ds, "n_chars")
 
 
+def _q_docs_sample_per_lang(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import stratified_sample
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang", "n_chars"])
+    return stratified_sample(ds, "lang", n_per_group=5)
+
+
 def _q_top_terms(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.text_stats import top_terms
@@ -643,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_rolling": _q_fingerprint_rolling,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "top_terms": _q_top_terms,
+        "docs_sample_per_lang": _q_docs_sample_per_lang,
         # dedup
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -894,6 +903,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.75) AS q75,
                    quantile_disc(n_chars, 0.95) AS q95
             FROM documents
+        """,
+        "docs_sample_per_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 5
         """,
         "top_terms": r"""
             WITH toks AS (

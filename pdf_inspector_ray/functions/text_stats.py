@@ -225,3 +225,20 @@ def top_terms(ds, k: int = 20, text_column: str = "text"):
     order = pc.sort_indices(tbl, sort_keys=[("cnt", "descending"),
                                             ("term", "ascending")])
     return tbl.take(order).slice(0, k)
+
+
+def stratified_sample(ds, group_column: str, n_per_group: int = 5,
+                      order_column: str = "doc_id"):
+    """Deterministic stratified sample: the first ``n_per_group`` rows of
+    each group ordered by ``order_column``. One groupby shuffle; the
+    per-group head is a vectorized sort+slice. For seeded RANDOM strata
+    swap the order key for ``hash(order_column)`` — determinism is what
+    makes this oracle-checkable."""
+    import pyarrow as pa
+
+    def head(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group,
+                                sort_keys=[(order_column, "ascending")])
+        return group.take(order.slice(0, n_per_group))
+
+    return ds.groupby(group_column).map_groups(head, batch_format="pyarrow")
