@@ -12,6 +12,7 @@ Pure per-document code; runs inside the Ray extract actor's ``__call__``.
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 from typing import Optional
@@ -266,8 +267,10 @@ def should_join_items(prev_item: TextItem, curr_item: TextItem) -> bool:
     return gap < char_width * 0.5
 
 
+@functools.lru_cache(maxsize=4096)
 def is_bold_font(font_name: str) -> bool:
-    """extractor.rs:1818-1835."""
+    """extractor.rs:1818-1835. Memoized — called once per text item but
+    font names repeat per document."""
     lower = font_name.lower()
     return (
         "bold" in lower
@@ -285,8 +288,9 @@ def is_bold_font(font_name: str) -> bool:
     )
 
 
+@functools.lru_cache(maxsize=4096)
 def is_italic_font(font_name: str) -> bool:
-    """extractor.rs:1839-1850."""
+    """extractor.rs:1839-1850. Memoized like is_bold_font."""
     lower = font_name.lower()
     return (
         "italic" in lower
