@@ -308,3 +308,27 @@ def test_hopping_window_counts(ray_session):
     assert total_events == 2 * len(ts)  # window/hop = 2 windows per event
     # event at hour+5 is in windows starting at hour and hour-30min
     assert out[float(hour)][0] >= 1
+
+
+def test_minhash_replica_stress_exact_candidate_count(ray_session):
+    """10× replicated corpus: every replica cluster (C(10,2)=45 pairs per
+    doc) and every cross-replica near-dup combo must surface exactly once —
+    pins recall, pair dedup, and that MAX_BUCKET does not bite on dense
+    duplicate clusters."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_inspector_ray.functions.dedup import minhash_lsh_candidates
+
+    t = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                      columns=["doc_id", "text"])
+    tables = [pa.table({
+        "doc_id": pa.array([d + r * 10000 for d in t["doc_id"].to_pylist()],
+                           pa.int64()),
+        "text": t["text"],
+    }) for r in range(10)]
+    ds = ray.data.from_arrow(pa.concat_tables(tables)).repartition(8)
+    n = minhash_lsh_candidates(ds).count()
+    # 500 docs × C(10,2) replica pairs + 25 near-dup pairs × 10×10 combos
+    assert n == 500 * 45 + 25 * 100
