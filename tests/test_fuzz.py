@@ -69,3 +69,31 @@ def test_pdf_header_only_variants():
     for data in (b"%PDF", b"%PDF-1.7", b"%PDF-1.4\n%%EOF",
                  b"%PDF-1.4\nstartxref\n99999999\n%%EOF\n"):
         _process(data)
+
+
+@given(st.text(alphabet=st.sampled_from(list("<>/ab c=\"'!&;-%\n\t")),
+               min_size=0, max_size=2048))
+@settings(max_examples=150, deadline=None)
+def test_html_extractor_never_crashes_on_markup_soup(soup):
+    """extract_main_content must handle arbitrary tag soup: any exception
+    is a bug (the stage's poison-pill guard would mask it into an error
+    column, but the library contract is total)."""
+    from pdf_inspector_ray.pdfi.html import extract_main_content
+
+    r = extract_main_content("<html><body>" + soup + "</body></html>")
+    assert isinstance(r.markdown, str)
+
+
+@given(st.integers(0, 7), st.data())
+@settings(max_examples=100, deadline=None)
+def test_html_extractor_mutated_fixtures(idx, data):
+    from pdf_inspector_ray.pdfi.html import extract_main_content
+    from pdf_inspector_ray.sources.htmlgen import html_fixture_pool
+
+    pool = [v for _, v in sorted(html_fixture_pool().items())]
+    buf = list(pool[idx % len(pool)])
+    for _ in range(data.draw(st.integers(1, 8))):
+        p = data.draw(st.integers(0, len(buf) - 1))
+        buf[p] = data.draw(st.sampled_from(list("<>/&\"'x ")))
+    r = extract_main_content("".join(buf))
+    assert isinstance(r.markdown, str)
