@@ -623,3 +623,89 @@ def neardup_kept_docs(docs_ds, components, id_column: str = "doc_id"):
         return batch.filter(mask)
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+# -- distributed pair verification (the corpus-scale path) ------------------
+
+def _attach_texts(pairs_ds, docs_ds, pair_key: str, out_col: str,
+                  num_partitions: int = PAIR_PARTITIONS):
+    """Reduce-side hash join: attach ``text`` of the doc referenced by
+    ``pair_key`` to each pair row as ``out_col``. Tagged union + coarse
+    hash(key) co-partition + vectorized probe — the same pattern as
+    connected_components (Dataset.join's empty-partition schema bug)."""
+    import pyarrow.compute as pc
+
+    pair_cols = None
+
+    def tag_pairs(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(pa.field("__key", pa.int64()),
+                                batch[pair_key])
+        return t.append_column(pa.field("__text", pa.large_string()),
+                               pa.nulls(len(batch), pa.large_string()))
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        cols = {name: pa.nulls(len(batch), typ)
+                for name, typ in pair_schema}
+        cols["__key"] = batch["doc_id"]
+        cols["__text"] = pc.cast(batch["text"], pa.large_string())
+        return pa.table(cols)
+
+    # pair schema must be known to make doc rows union-compatible
+    pair_schema = [(f.name, f.type) for f in pairs_ds.schema().base_schema]
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = batch["__key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((key * np.uint64(2654435761))
+                    % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column(pa.field("__part", pa.int32()),
+                                   pa.array(part, pa.int32()))
+
+    def probe(group: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(group["__text"])
+        docs = group.filter(is_doc)
+        pairs = group.filter(pc.invert(is_doc))
+        if pairs.num_rows == 0:
+            empty = {f: pa.array([], t) for f, t in pair_schema}
+            empty[out_col] = pa.array([], pa.large_string())
+            return pa.table(empty)
+        lk = dict(zip(docs["__key"].to_pylist(), docs["__text"].to_pylist()))
+        texts = [lk.get(kv) for kv in pairs["__key"].to_pylist()]
+        out = {f: pairs[f] for f, _ in pair_schema}
+        out[out_col] = pa.array(texts, pa.large_string())
+        return pa.table(out)
+
+    tagged = (pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
+                      .union(docs_ds.map_batches(tag_docs,
+                                                 batch_format="pyarrow")))
+    return (tagged.map_batches(add_part, batch_format="pyarrow")
+                  .groupby("__part")
+                  .map_groups(probe, batch_format="pyarrow"))
+
+
+def verify_pairs_jaccard_distributed(pairs_ds, docs_ds,
+                                     threshold: float = 0.8, k: int = 3):
+    """Join-based exact-Jaccard verification — the corpus-scale variant of
+    ``verify_pairs_jaccard`` (whose broadcast dict assumes the doc texts
+    fit one object). Two reduce-side joins attach text_a then text_b
+    (shuffling only pair rows + the doc texts), then the same vectorized
+    Jaccard filter. ``docs_ds`` must have (doc_id, text)."""
+    import pyarrow.compute as pc
+
+    with_a = _attach_texts(pairs_ds, docs_ds, "doc_a", "__text_a")
+    with_ab = _attach_texts(with_a, docs_ds, "doc_b", "__text_b")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["__text_a"].to_pylist()
+        b = batch["__text_b"].to_pylist()
+        sims = [ngram_jaccard(x or "", y or "", k) for x, y in zip(a, b)]
+        t = batch.append_column(
+            pa.field("jaccard", pa.float64()),
+            pa.array([round(s, 6) for s in sims], pa.float64()))
+        t = t.filter(pc.greater_equal(t["jaccard"], pa.scalar(threshold)))
+        drop = [c for c in ("__text_a", "__text_b") if c in t.column_names]
+        for c in drop:
+            t = t.remove_column(t.schema.get_field_index(c))
+        return t
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")

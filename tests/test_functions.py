@@ -332,3 +332,34 @@ def test_minhash_replica_stress_exact_candidate_count(ray_session):
     n = minhash_lsh_candidates(ds).count()
     # 500 docs × C(10,2) replica pairs + 25 near-dup pairs × 10×10 combos
     assert n == 500 * 45 + 25 * 100
+
+
+def test_verify_pairs_jaccard_distributed_matches_broadcast(ray_session):
+    """The join-based corpus-scale verifier must produce exactly the
+    broadcast verifier's output."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_inspector_ray.functions.dedup import (
+        minhash_lsh_candidates, verify_pairs_jaccard,
+        verify_pairs_jaccard_distributed)
+
+    path = "/root/testdata/sf0.01/documents.parquet"
+    docs_t = pq.read_table(path, columns=["doc_id", "text"])
+    lookup = dict(zip(docs_t["doc_id"].to_pylist(),
+                      docs_t["text"].to_pylist()))
+    cands = minhash_lsh_candidates(
+        ray.data.read_parquet(path, columns=["doc_id", "text"]))
+    bc = verify_pairs_jaccard(cands, lookup).to_pandas()
+    cands2 = minhash_lsh_candidates(
+        ray.data.read_parquet(path, columns=["doc_id", "text"]))
+    docs_ds = ray.data.read_parquet(path, columns=["doc_id", "text"])
+    dist = verify_pairs_jaccard_distributed(cands2, docs_ds).to_pandas()
+
+    def canon(df):
+        return sorted(map(tuple, df[["doc_a", "doc_b", "jaccard"]]
+                          .values.tolist()))
+
+    assert canon(bc) == canon(dist)
