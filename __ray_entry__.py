@@ -596,6 +596,17 @@ def _media_dir(sf_dir: str) -> str:
     return out
 
 
+def _q_media_frames(sf_dir: str):
+    """Video frame sampling (flat-map expansion: one row per sampled
+    frame); oracle recomputes the expansion with generate_series."""
+    import ray.data
+    from pdf_inspector_ray.functions.multimodal import frame_sample_stub
+    ds = ray.data.read_parquet(_media_dir(sf_dir),
+                               columns=["media_id", "media_type",
+                                        "meta_duration_ms"])
+    return ds.map_batches(frame_sample_stub, batch_format="pyarrow")
+
+
 def _q_hopping_windows(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.relational import hopping_window_counts
@@ -670,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _q_session_windows,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -792,6 +804,15 @@ def oracle_sql() -> dict[str, str]:
                    golden_markdown AS markdown,
                    golden_error_kind AS error_kind
             FROM read_parquet('{os.path.join(_mixed_dir('/root/testdata/sf0.01'), '*.parquet')}')
+        """,
+        "media_frames": f"""
+            SELECT media_id,
+                   CAST(ts // 1000 AS INTEGER) AS frame_idx,
+                   CAST(ts AS INTEGER) AS frame_ts_ms
+            FROM read_parquet('{os.path.join(_media_dir('/root/testdata/sf0.01'), '*.parquet')}')
+            CROSS JOIN unnest(generate_series(0, meta_duration_ms - 1, 1000))
+                AS t(ts)
+            WHERE media_type = 'video' AND meta_duration_ms > 0
         """,
         "media_features": f"""
             SELECT media_id, media_type,
