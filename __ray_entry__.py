@@ -462,11 +462,54 @@ def _q_topk_similar(sf_dir: str):
     return res.select(["vec_id"])
 
 
+_IVF_NPROBE = 8
+
+
+def _ivf_assign_dir(sf_dir: str) -> tuple[str, list[int]]:
+    """Write (once) the per-vec IVF cluster-assignment sidecar and return
+    (dir, probed clusters for the canonical query). The oracle recomputes
+    the probed-cluster scan + exact top-k in SQL from this sidecar — the
+    claim under test is the distributed assign/prune/top-k machinery."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pdf_inspector_ray.functions.similarity import build_ivf_index_local
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    out = os.path.join(_CORPUS_ROOT, f"ivf-sf{_sf_of(sf_dir)}-v1")
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        index = build_ivf_index_local(path)
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+        assign = index.assign(vecs).astype(np.int32)
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(pa.table({
+            "vec_id": t["vec_id"],
+            "cluster": pa.array(assign, pa.int32()),
+        }), os.path.join(out, "assign-00000.parquet"))
+        probes = sorted(index.probe_clusters(
+            np.asarray(_query_vector(sf_dir), dtype=np.float64),
+            _IVF_NPROBE).tolist())
+        with open(os.path.join(out, "probes.json"), "w") as f:
+            json.dump(probes, f)
+        with open(marker, "w") as f:
+            f.write("ok")
+    with open(os.path.join(out, "probes.json")) as f:
+        probes = json.load(f)
+    return out, probes
+
+
 def _q_topk_similar_ivf(sf_dir: str):
     import ray.data
-    from pdf_inspector_ray.functions.similarity import ivf_topk
+    from pdf_inspector_ray.functions.similarity import (
+        build_ivf_index_local, ivf_topk)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    res = ivf_topk(ds, _query_vector(sf_dir), k=10, nprobe=8)
+    index = build_ivf_index_local(os.path.join(sf_dir, "embeddings.parquet"))
+    res = ivf_topk(ds, _query_vector(sf_dir), k=10, nprobe=_IVF_NPROBE,
+                   index=index)
     return res.select(["vec_id"])
 
 
@@ -990,6 +1033,19 @@ def oracle_sql() -> dict[str, str]:
                      DESC, e.vec_id ASC
             LIMIT 10
         """,
+        "topk_similar_ivf": (lambda _d=_ivf_assign_dir('/root/testdata/sf0.01'): f"""
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id
+            FROM embeddings e
+            JOIN read_parquet('{os.path.join(_d[0], 'assign-00000.parquet')}') a
+              ON a.vec_id = e.vec_id, q
+            WHERE a.cluster IN ({', '.join(map(str, _d[1]))})
+            ORDER BY round(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
+                     e.vec_id ASC
+            LIMIT 10
+        """)(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -95,18 +95,23 @@ def ivf_topk(ds, query_vec, k: int = 10, n_clusters: int = 16,
              nprobe: int = 4, seed: int = 42,
              id_column: str = "vec_id",
              embedding_column: str = "embedding",
-             sample_limit: int = 2048) -> pa.Table:
+             sample_limit: int = 2048,
+             index: "IVFIndex | None" = None) -> pa.Table:
     """Approximate top-k: build coarse centroids from a bounded SEEDED
     RANDOM sample (a head sample is biased when the input is ordered —
-    VERDICT r01 fix), then scan only batches' rows in probed clusters."""
+    VERDICT r01 fix), then scan only batches' rows in probed clusters.
+    Pass a prebuilt ``index`` (e.g. ``build_ivf_index_local``) when an
+    external checker must reproduce the exact same centroids."""
     import ray
 
-    n = ds.count()  # metadata-only for parquet inputs
-    frac = min(1.0, sample_limit / max(n, 1))
-    sample_rows = (ds if frac >= 1.0
-                   else ds.random_sample(frac, seed=seed)).take_all()
-    sample = np.asarray([r[embedding_column] for r in sample_rows], dtype=np.float64)
-    index = IVFIndex(sample, n_clusters=n_clusters, seed=seed)
+    if index is None:
+        n = ds.count()  # metadata-only for parquet inputs
+        frac = min(1.0, sample_limit / max(n, 1))
+        sample_rows = (ds if frac >= 1.0
+                       else ds.random_sample(frac, seed=seed)).take_all()
+        sample = np.asarray([r[embedding_column] for r in sample_rows],
+                            dtype=np.float64)
+        index = IVFIndex(sample, n_clusters=n_clusters, seed=seed)
     q = np.asarray(query_vec, dtype=np.float64)
     probes = set(index.probe_clusters(q, nprobe).tolist())
     index_ref = ray.put(index)
@@ -146,3 +151,22 @@ def ivf_topk(ds, query_vec, k: int = 10, n_clusters: int = 16,
     order = pc.sort_indices(tbl, sort_keys=[("cos_sim", "descending"),
                                             (id_column, "ascending")])
     return tbl.take(order).slice(0, k)
+
+
+def build_ivf_index_local(parquet_path: str, n_clusters: int = 16,
+                          seed: int = 42, sample_limit: int = 2048,
+                          embedding_column: str = "embedding") -> IVFIndex:
+    """Deterministic local index build (driver-scale): seeded numpy sample
+    of the parquet rows → IVFIndex. The distributed path inside
+    ``ivf_topk`` (seeded ``ds.random_sample``) is the corpus-scale
+    equivalent; this variant exists so an external checker (the driver's
+    DuckDB oracle) and the query can share bit-identical centroids."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=[embedding_column])
+    vecs = np.asarray(t[embedding_column].to_pylist(), dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    n = len(vecs)
+    take = min(sample_limit, n)
+    idx = np.sort(rng.choice(n, size=take, replace=False))
+    return IVFIndex(vecs[idx], n_clusters=n_clusters, seed=seed)
