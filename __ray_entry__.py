@@ -802,6 +802,7 @@ def oracle_sql() -> dict[str, str]:
     corpus = (
         f"read_parquet('{os.path.join(_corpus_dir('/root/testdata/sf0.01'), '*.parquet')}')"
     )
+    ivf_dir, ivf_probes = _ivf_assign_dir("/root/testdata/sf0.01")
     return {
         "pdf_classify": f"""
             SELECT conv_id, turn_idx,
@@ -1033,19 +1034,19 @@ def oracle_sql() -> dict[str, str]:
                      DESC, e.vec_id ASC
             LIMIT 10
         """,
-        "topk_similar_ivf": (lambda _d=_ivf_assign_dir('/root/testdata/sf0.01'): f"""
+        "topk_similar_ivf": f"""
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
                        FROM embeddings WHERE vec_id = 0)
             SELECT e.vec_id
             FROM embeddings e
-            JOIN read_parquet('{os.path.join(_d[0], 'assign-00000.parquet')}') a
+            JOIN read_parquet('{os.path.join(ivf_dir, 'assign-00000.parquet')}') a
               ON a.vec_id = e.vec_id, q
-            WHERE a.cluster IN ({', '.join(map(str, _d[1]))})
+            WHERE a.cluster IN ({', '.join(map(str, ivf_probes))})
             ORDER BY round(list_cosine_similarity(
                         CAST(e.embedding AS DOUBLE[]), q.qv), 6) DESC,
                      e.vec_id ASC
             LIMIT 10
-        """)(),
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
