@@ -462,6 +462,14 @@ def _q_topk_similar(sf_dir: str):
     return res.select(["vec_id"])
 
 
+def _q_label_centroids(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.similarity import label_centroids
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["label", "embedding"])
+    return label_centroids(ds)
+
+
 _IVF_NPROBE = 8
 
 
@@ -715,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "topk_similar": _q_topk_similar,
         "topk_similar_ivf": _q_topk_similar_ivf,
+        "label_centroids": _q_label_centroids,
         # relational / windowed
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
@@ -1033,6 +1042,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
                      DESC, e.vec_id ASC
             LIMIT 10
+        """,
+        "label_centroids": """
+            WITH x AS (
+                SELECT label,
+                       CAST(unnest(embedding) AS DOUBLE) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings
+            )
+            SELECT CAST(label AS INTEGER) AS label,
+                   CAST(pos AS INTEGER) AS pos,
+                   round(avg(v), 6) AS mean_v
+            FROM x GROUP BY label, pos
         """,
         "topk_similar_ivf": f"""
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

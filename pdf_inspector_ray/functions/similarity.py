@@ -170,3 +170,46 @@ def build_ivf_index_local(parquet_path: str, n_clusters: int = 16,
     take = min(sample_limit, n)
     idx = np.sort(rng.choice(n, size=take, replace=False))
     return IVFIndex(vecs[idx], n_clusters=n_clusters, seed=seed)
+
+
+def label_centroids(ds, label_column: str = "label",
+                    embedding_column: str = "embedding"):
+    """Per-label mean embedding (class centroids), exploded to one row per
+    (label, pos) for exact comparability: per-batch vectorized partial
+    (sum vector + count per label), a tiny groupby merge over
+    labels × dims rows, then the division. No full-vector shuffle — the
+    exchange carries one partial centroid per (batch, label)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vecs = _to_matrix(batch[embedding_column])
+        labels = np.asarray(batch[label_column].to_pylist())
+        out_label, out_pos, out_sum, out_n = [], [], [], []
+        for lab in np.unique(labels):
+            sel = vecs[labels == lab]
+            s = sel.sum(axis=0)
+            dims = np.arange(len(s), dtype=np.int32)
+            out_label.extend([int(lab)] * len(s))
+            out_pos.extend((dims + 1).tolist())  # 1-based like SQL unnest
+            out_sum.extend(s.tolist())
+            out_n.extend([len(sel)] * len(s))
+        return pa.table({
+            "label": pa.array(out_label, pa.int32()),
+            "pos": pa.array(out_pos, pa.int32()),
+            "v_sum": pa.array(out_sum, pa.float64()),
+            "n": pa.array(out_n, pa.int64()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        s = pc.sum(group["v_sum"]).as_py()
+        n = pc.sum(group["n"]).as_py()
+        return pa.table({
+            "label": [group["label"][0].as_py()],
+            "pos": [group["pos"][0].as_py()],
+            "mean_v": pa.array([round(s / n, 6)], pa.float64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["label", "pos"])
+              .map_groups(merge, batch_format="pyarrow"))

@@ -363,3 +363,23 @@ def test_verify_pairs_jaccard_distributed_matches_broadcast(ray_session):
                           .values.tolist()))
 
     assert canon(bc) == canon(dist)
+
+
+def test_label_centroids_match_numpy(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_inspector_ray.functions.similarity import label_centroids
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    out = label_centroids(
+        ray.data.read_parquet(path, columns=["label", "embedding"])).to_pandas()
+    t = pq.read_table(path)
+    V = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    labels = np.asarray(t["label"].to_pylist())
+    for lab in np.unique(labels):
+        mean = V[labels == lab].mean(axis=0)
+        got = (out[out.label == lab].sort_values("pos")["mean_v"]
+               .to_numpy())
+        assert np.allclose(got, np.round(mean, 6), atol=1e-6)
