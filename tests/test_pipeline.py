@@ -234,3 +234,40 @@ def test_payload_pool_goldens_cover_corpus(corpus_table):
     goldens = payload_pool_goldens()
     hashes = set(corpus_table["pdf_sha256"].to_pylist())
     assert hashes <= set(goldens)
+
+
+def test_orphan_shards_from_crashed_run_are_ignored(ray_session, corpus_dir,
+                                                    tmp_path):
+    """A run that died after writing map-side shards (but before finalize)
+    leaves an orphan _shards-<nonce> dir; a later run must produce correct
+    output regardless (each run uses its own nonce-scoped shard root)."""
+    import glob
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_inspector_ray.pipelines.flagship import (
+        read_transcripts, run_to_partitioned_output)
+
+    out_dir = str(tmp_path / "out")
+    os.makedirs(os.path.join(out_dir, "_shards-deadbeefcafe", "part=0"),
+                exist_ok=True)
+    pq.write_table(
+        pa.table({"conv_id": pa.array(["bogus"], pa.string()),
+                  "turn_idx": pa.array([0], pa.int32()),
+                  "part": pa.array([0], pa.int32())}),
+        os.path.join(out_dir, "_shards-deadbeefcafe", "part=0",
+                     "bogus.parquet"))
+
+    m = run_to_partitioned_output(read_transcripts(corpus_dir), out_dir,
+                                  num_buckets=8, concurrency=(1, 4))
+    assert m["rows"] == N_TURNS
+    # output contains no bogus rows
+    rows = sum(pq.read_table(p).num_rows
+               for p in glob.glob(out_dir + "/part=*/data.parquet"))
+    assert rows == N_TURNS
+    for p in glob.glob(out_dir + "/part=*/data.parquet"):
+        t = pq.read_table(p, columns=["conv_id"])
+        assert "bogus" not in set(t["conv_id"].to_pylist())
