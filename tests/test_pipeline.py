@@ -271,3 +271,25 @@ def test_orphan_shards_from_crashed_run_are_ignored(ray_session, corpus_dir,
     for p in glob.glob(out_dir + "/part=*/data.parquet"):
         t = pq.read_table(p, columns=["conv_id"])
         assert "bogus" not in set(t["conv_id"].to_pylist())
+
+
+def test_salting_splits_mega_conversation():
+    """A 2000-turn conversation must spread over multiple salted buckets
+    with each bucket holding at most `stride` of its turns — the skew
+    guarantee the ordering shuffle relies on."""
+    import collections
+
+    import pyarrow as pa
+
+    from pdf_inspector_ray.pipelines.ordering import (
+        DEFAULT_STRIDE, add_salted_partition)
+
+    n = 2000
+    batch = pa.table({
+        "conv_id": pa.array(["conv-mega"] * n, pa.string()),
+        "turn_idx": pa.array(range(n), pa.int32()),
+    })
+    parts = add_salted_partition(batch, num_buckets=16)["part"].to_pylist()
+    counts = collections.Counter(parts)
+    assert len(counts) >= 3  # spread across buckets
+    assert max(counts.values()) <= 2 * DEFAULT_STRIDE  # no hot reducer
