@@ -14,13 +14,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _merge_partials(group: pa.Table, sum_cols: list[str]) -> dict:
-    out = {}
-    for c in sum_cols:
-        out[c] = pc.sum(group[c]).as_py()
-    return out
-
-
 def pricing_summary(ds) -> pa.Table:
     """TPC-H Q1-style pricing summary over lineitem: partial aggregation in
     map_batches, then a tiny groupby on (returnflag, linestatus)."""
