@@ -133,20 +133,39 @@ class MinHashSignatures:
         out_doc: list[int] = []
         out_band: list[int] = []
         out_bucket: list[str] = []
+        out_subkey: list[int] = []
         for doc_id, text in zip(doc_ids, texts):
             if text is None:
                 continue
             sig = self.hasher.signature(text)
+            digests = [
+                hashlib.md5(
+                    sig[b * self.rows_per_band:(b + 1) * self.rows_per_band]
+                    .tobytes(), usedforsecurity=False).digest()
+                for b in range(self.bands)]
             for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                digest = hashlib.md5(chunk.tobytes(), usedforsecurity=False).hexdigest()[:16]
+                # subkey: one byte from each of the next 8 bands' digests —
+                # the oversized-bucket splitter (_expand_members) separates
+                # members along OTHER bands' agreement, so a near-dup pair
+                # split apart here still had those bands' own buckets as
+                # catch paths (P(disagree all 8 neighbor bytes) ≈
+                # (1−J^rows)^8 ≈ 1.5% at J=0.8, ≪ that at clique J≈1 where
+                # oversized buckets actually occur). Identical-signature
+                # cliques share every byte and are never split — no drops.
+                sub = 0
+                for i in range(8):
+                    nb = digests[(band + 1 + i) % self.bands]
+                    sub |= nb[0] << (i * 8)
                 out_doc.append(doc_id)
                 out_band.append(band)
-                out_bucket.append(f"{band}:{digest}")
+                out_bucket.append(
+                    f"{band}:{digests[band][:8].hex()}")
+                out_subkey.append(sub)
         return pa.table({
             "doc_id": pa.array(out_doc, pa.int64()),
             "band": pa.array(out_band, pa.int32()),
             "bucket": pa.array(out_bucket, pa.string()),
+            "subkey": pa.array(out_subkey, pa.uint64()),
         })
 
 
@@ -169,10 +188,73 @@ _EMPTY_PAIRS = pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64())})
 
 
-def _pairs_from_bucket_block(group: pa.Table) -> pa.Table:
+def _emit_all_pairs(mem: np.ndarray, a_out: list, b_out: list) -> None:
+    if len(mem) < 2:
+        return
+    ii, jj = np.triu_indices(len(mem), 1)
+    a_out.append(mem[ii])
+    b_out.append(mem[jj])
+
+
+def _expand_members(ids: np.ndarray, keys: np.ndarray, free_bits: np.ndarray,
+                    n_chunks: int, a_out: list, b_out: list) -> None:
+    """Pair expansion for one bucket's (unique) members, splitting
+    oversized groups by additional ``subkey`` bits instead of truncating
+    (ADVICE r02: MAX_BUCKET truncation silently dropped candidate pairs).
+
+    ``keys`` is a per-member uint64 subkey; ``free_bits`` the subkey bit
+    positions not yet conditioned on; the free bits are partitioned into
+    ``n_chunks`` disjoint chunks and each member is recursed into every
+    chunk's value-subgroup (duplicate emissions are removed downstream by
+    ``_dedupe_pairs``).
+
+    For simhash — subkey = the full 64-bit simhash, ``n_chunks = bands``,
+    free bits = everything outside the bucket's own band — this preserves
+    the hamming-radius guarantee EXACTLY: a pair with hamming ≤ bands−1
+    differs in at most bands−1 of the ``n_chunks`` disjoint chunks, so it
+    agrees on at least one chunk at every level (pigeonhole) and stays
+    co-grouped until its group is small enough to emit all pairs.
+    Identical-subkey groups (true duplicate cliques) bottom out and emit
+    the full clique — the quadratic output of a genuine clique is the
+    honest answer, never a drop.
+    """
+    if (len(ids) <= MAX_BUCKET or len(free_bits) == 0
+            or len(np.unique(keys)) <= 1):
+        _emit_all_pairs(ids, a_out, b_out)
+        return
+    chunks = [c for c in np.array_split(free_bits, n_chunks) if len(c)]
+    for i, chunk in enumerate(chunks):
+        rest = (np.concatenate([c for j, c in enumerate(chunks) if j != i])
+                if len(chunks) > 1 else np.array([], dtype=free_bits.dtype))
+        sub = np.zeros(len(keys), dtype=np.uint64)
+        for b in chunk:
+            sub = (sub << np.uint64(1)) | ((keys >> np.uint64(b)) & np.uint64(1))
+        order = np.argsort(sub, kind="stable")
+        svals = sub[order]
+        bounds = np.nonzero(svals[1:] != svals[:-1])[0] + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(svals)]])
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sel = order[s:e]
+            _expand_members(ids[sel], keys[sel], rest, n_chunks, a_out, b_out)
+
+
+def _pairs_from_bucket_block(group: pa.Table, n_chunks: int = 8,
+                             own_band_width: int | None = None) -> pa.Table:
     """All buckets of one coarse partition → candidate pairs. Bucket runs
-    are found vectorized after a sort; the per-run pair expansion uses
-    np.triu_indices (runs are small — MAX_BUCKET caps and logs the rest)."""
+    are found vectorized after a sort; small runs expand via
+    np.triu_indices; runs over MAX_BUCKET split by extra ``subkey`` bits
+    (``_expand_members``) when the bucket rows carry one, else cap+log
+    (legacy fallback for subkey-less callers).
+
+    ``own_band_width``: when the subkey embeds the bucket's own band bits
+    at ``[band*width, (band+1)*width)`` (simhash: subkey = full hash;
+    embeddings: subkey = full sign pattern), those bits are excluded from
+    the split — the members already agree there. ``None`` means the subkey
+    is built entirely from out-of-band material (minhash neighbor-band
+    digest bytes) and all 64 bits are free."""
     import pyarrow.compute as pc
     if group.num_rows == 0:
         return _EMPTY_PAIRS
@@ -181,27 +263,39 @@ def _pairs_from_bucket_block(group: pa.Table) -> pa.Table:
     g = group.take(order)
     buckets = np.asarray(g["bucket"].to_pylist(), dtype=object)
     ids = np.asarray(g["doc_id"].to_pylist(), dtype=np.int64)
+    has_subkey = "subkey" in g.column_names
+    keys = (np.asarray(g["subkey"].to_pylist(), dtype=np.uint64)
+            if has_subkey else None)
     change = np.nonzero(buckets[1:] != buckets[:-1])[0] + 1
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [len(buckets)]])
     a_out: list[np.ndarray] = []
     b_out: list[np.ndarray] = []
     for s, e in zip(starts, ends):
-        mem = np.unique(ids[s:e])
-        if len(mem) > MAX_BUCKET:
-            # no silent caps: a pathological bucket (giant duplicate
-            # cluster) drops candidates — say how many (worker logs)
+        mem, first = np.unique(ids[s:e], return_index=True)
+        if len(mem) < 2:
+            continue
+        if len(mem) <= MAX_BUCKET:
+            _emit_all_pairs(mem, a_out, b_out)
+            continue
+        if has_subkey:
+            mkeys = keys[s:e][first]
+            if own_band_width:
+                band = int(str(buckets[s]).split(":", 1)[0])
+                lo, hi = band * own_band_width, (band + 1) * own_band_width
+                free = np.array([b for b in range(64) if not lo <= b < hi],
+                                dtype=np.int64)
+            else:
+                free = np.arange(64, dtype=np.int64)
+            _expand_members(mem, mkeys, free, n_chunks, a_out, b_out)
+        else:
             dropped = (len(mem) * (len(mem) - 1)
                        - MAX_BUCKET * (MAX_BUCKET - 1)) // 2
             _log.warning(
-                "LSH bucket %r has %d members > MAX_BUCKET=%d; dropping %d "
-                "candidate pairs", buckets[s], len(mem), MAX_BUCKET, dropped)
-            mem = mem[:MAX_BUCKET]
-        if len(mem) < 2:
-            continue
-        ii, jj = np.triu_indices(len(mem), 1)
-        a_out.append(mem[ii])
-        b_out.append(mem[jj])
+                "LSH bucket %r has %d members > MAX_BUCKET=%d and no subkey; "
+                "dropping %d candidate pairs", buckets[s], len(mem),
+                MAX_BUCKET, dropped)
+            _emit_all_pairs(mem[:MAX_BUCKET], a_out, b_out)
     if not a_out:
         return _EMPTY_PAIRS
     return pa.table({
@@ -210,13 +304,16 @@ def _pairs_from_bucket_block(group: pa.Table) -> pa.Table:
     })
 
 
-def _bucket_pairs(buckets_ds):
-    """(doc_id, bucket) rows → deduped candidate pairs via the coarse
-    partition scheme above (two skew-free shuffles total)."""
+def _bucket_pairs(buckets_ds, n_chunks: int = 8,
+                  own_band_width: int | None = None):
+    """(doc_id, bucket[, subkey]) rows → deduped candidate pairs via the
+    coarse partition scheme above (two skew-free shuffles total)."""
+    import functools
+    fn = functools.partial(_pairs_from_bucket_block, n_chunks=n_chunks,
+                           own_band_width=own_band_width)
     pairs = (buckets_ds.map_batches(_add_bucket_part, batch_format="pyarrow")
                        .groupby("part")
-                       .map_groups(_pairs_from_bucket_block,
-                                   batch_format="pyarrow"))
+                       .map_groups(fn, batch_format="pyarrow"))
     return _dedupe_pairs(pairs)
 
 
@@ -259,7 +356,10 @@ def minhash_lsh_candidates(ds, num_perm: int = 128, bands: int = 32,
                                "shingle_k": shingle_k, "seed": seed,
                                "text_column": text_column},
         concurrency=(1, 8), batch_format="pyarrow")
-    return _bucket_pairs(sigs)
+    # subkey = neighbor-band digest bytes; oversized buckets split along
+    # them (8 chunks of 8 bits = one neighbor band each) instead of
+    # truncating — see MinHashSignatures.__call__ for the recall argument.
+    return _bucket_pairs(sigs, n_chunks=8, own_band_width=None)
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -270,8 +370,10 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 3) -> float:
             return {" ".join(words)} if words else set()
         return {" ".join(words[i:i + k]) for i in range(len(words) - k + 1)}
     ga, gb = grams(text_a), grams(text_b)
-    if not ga and not gb:
-        return 1.0
+    # Two empty/whitespace-only texts score 0.0, matching the DuckDB
+    # Jaccard oracle CTE, which excludes pairs with an empty gram union
+    # (ADVICE r02: returning 1.0 here made blank-doc pairs appear in the
+    # Ray output but not the oracle's).
     inter = len(ga & gb)
     union = len(ga | gb)
     return inter / union if union else 0.0
@@ -350,8 +452,17 @@ def simhash_candidates(ds, text_column: str = "text", bands: int = 8,
     3·bands − 1) at (1 + width) × the bucket rows AND sharply higher
     bucket occupancy — only worth it for narrow radii on huge corpora.
     At billion-doc scale drop to 4 bands × 16 bits (hamming ≤ 3) so
-    per-bucket occupancy stays bounded — MAX_BUCKET logs-and-caps
-    pathological buckets either way."""
+    per-bucket occupancy stays bounded.
+
+    Oversized buckets (> MAX_BUCKET members) are NOT truncated (ADVICE
+    r02): each bucket row carries the full simhash as ``subkey`` and
+    ``_expand_members`` recursively splits big buckets into ``bands``
+    disjoint chunks of the out-of-band bits — a pair with hamming ≤
+    bands−1 agrees on at least one chunk at every level (pigeonhole), so
+    the radius-recall guarantee holds at ANY corpus size (the old cap
+    broke it beyond ~65k docs, when >256 docs per 2048 possible buckets
+    becomes expected). The guarantee statement assumes the default
+    ``probe_bits=0``."""
     width = 64 // bands
 
     def to_buckets(batch: pa.Table) -> pa.Table:
@@ -372,14 +483,14 @@ def simhash_candidates(ds, text_column: str = "text", bands: int = 8,
         return pa.table({
             "doc_id": pa.array(out_doc, pa.int64()),
             "bucket": pa.array(out_bucket, pa.string()),
-            "simhash": pa.array(out_hash, pa.uint64()),
+            "subkey": pa.array(out_hash, pa.uint64()),
         })
 
     sigs = ds.map_batches(simhash_batch,
                           fn_kwargs={"text_column": text_column},
                           batch_format="pyarrow")
     buckets = sigs.map_batches(to_buckets, batch_format="pyarrow")
-    return _bucket_pairs(buckets)
+    return _bucket_pairs(buckets, n_chunks=bands, own_band_width=width)
 
 
 def hamming64(a: int, b: int) -> int:
@@ -400,7 +511,11 @@ def verify_pairs_hamming(pairs_ds, simhashes: dict[int, int],
         lk = ray.get(sh_ref)
         a = batch["doc_a"].to_pylist()
         b = batch["doc_b"].to_pylist()
-        dist = [hamming64(lk.get(x, 0), lk.get(y, 1 << 63))
+        # A pair with either id missing from the simhash sidecar is
+        # DROPPED (hamming = null), never verified against a sentinel
+        # (ADVICE r02: the old 0 / 1<<63 defaults were hamming-1 apart, so
+        # a doubly-missing pair passed verification spuriously).
+        dist = [hamming64(lk[x], lk[y]) if x in lk and y in lk else None
                 for x, y in zip(a, b)]
         t = batch.append_column(pa.field("hamming", pa.int32()),
                                 pa.array(dist, pa.int32()))
@@ -462,18 +577,33 @@ def embedding_neardup_candidates(ds, dim: int = 64, num_tables: int = 8,
         vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
         if vecs.size == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.string())})
+                             "bucket": pa.array([], pa.string()),
+                             "subkey": pa.array([], pa.uint64())})
         per_row = lsh.bucket_ids(vecs)
         ids = batch["vec_id"].to_pylist()
+        # subkey = the full multi-table sign pattern (≤64 bits), table t at
+        # bits [t·b, (t+1)·b) — oversized buckets split along OTHER
+        # tables' sign bits instead of truncating; pairs split apart
+        # disagree with every other table and had only this bucket as a
+        # catch path anyway (multi-table OR), while near-identical
+        # vectors (the realistic oversized-bucket content) share all sign
+        # bits and are never split.
+        signs = (vecs @ lsh.planes.T) >= 0
+        nbits = min(64, signs.shape[1])
+        weights = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
+        subkeys = signs[:, :nbits].astype(np.uint64) @ weights
         out_id = [i for i, row in zip(ids, per_row) for _ in row]
         out_bucket = [b for row in per_row for b in row]
+        out_sub = [s for s, row in zip(subkeys, per_row) for _ in row]
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
             "bucket": pa.array(out_bucket, pa.string()),
+            "subkey": pa.array(out_sub, pa.uint64()),
         })
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
-    return _bucket_pairs(buckets)
+    return _bucket_pairs(buckets, n_chunks=num_tables,
+                         own_band_width=planes_per_table)
 
 
 def verify_pairs_cosine(pairs_ds, vectors: dict[int, "np.ndarray"],

@@ -23,6 +23,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def _prune_topk(sims: np.ndarray, ids: np.ndarray, k: int):
+    """Per-batch top-k prune on 6-dp-ROUNDED sims, keeping every boundary
+    tie (ADVICE r02: pruning on raw floats could discard the tied
+    candidate with the smallest vec_id that the global
+    (round(sim,6) desc, vec_id asc) order — and the SQL oracle — keeps).
+    Output is a candidate superset of the batch's true top-k; the tiny
+    global reduce applies the exact order."""
+    sims = np.round(sims, 6)
+    if len(sims) > k:
+        kth = np.partition(sims, len(sims) - k)[len(sims) - k]
+        keep = sims >= kth
+        sims, ids = sims[keep], ids[keep]
+    return sims, ids
+
+
 def brute_force_topk(ds, query_vec: "np.ndarray | list[float]", k: int = 10,
                      id_column: str = "vec_id",
                      embedding_column: str = "embedding") -> pa.Table:
@@ -42,15 +57,11 @@ def brute_force_topk(ds, query_vec: "np.ndarray | list[float]", k: int = 10,
             return pa.table({id_column: pa.array([], pa.int64()),
                              "cos_sim": pa.array([], pa.float64())})
         sims = _normalize(vecs) @ qv
-        # per-batch top-k prune: ship only candidates
-        if len(sims) > k:
-            idx = np.argpartition(-sims, k)[:k]
-        else:
-            idx = np.arange(len(sims))
-        ids = np.asarray(batch[id_column].to_pylist())[idx]
+        ids = np.asarray(batch[id_column].to_pylist())
+        sims, ids = _prune_topk(sims, ids, k)
         return pa.table({
             id_column: pa.array(ids.tolist(), pa.int64()),
-            "cos_sim": pa.array(np.round(sims[idx], 6).tolist(), pa.float64()),
+            "cos_sim": pa.array(sims.tolist(), pa.float64()),
         })
 
     candidates = ds.map_batches(score, batch_format="pyarrow")
@@ -135,13 +146,10 @@ def ivf_topk(ds, query_vec, k: int = 10, n_clusters: int = 16,
         vecs = vecs[mask]
         ids = np.asarray(batch[id_column].to_pylist())[mask]
         sims = _normalize(vecs) @ qv
-        if len(sims) > k:
-            top = np.argpartition(-sims, k)[:k]
-        else:
-            top = np.arange(len(sims))
+        sims, ids = _prune_topk(sims, ids, k)
         return pa.table({
-            id_column: pa.array(ids[top].tolist(), pa.int64()),
-            "cos_sim": pa.array(np.round(sims[top], 6).tolist(), pa.float64()),
+            id_column: pa.array(ids.tolist(), pa.int64()),
+            "cos_sim": pa.array(sims.tolist(), pa.float64()),
         })
 
     candidates = ds.map_batches(score, batch_format="pyarrow")

@@ -169,8 +169,9 @@ def value_quantiles(ds, column: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0
     (value → count) sum groupby, then a tiny driver cumsum over the
     DISTINCT values (bounded for discrete columns like lengths; pre-bin
     continuous columns before calling this at corpus scale). Quantile rule
-    is rank ``floor(q·(n−1))`` over the sorted multiset — DuckDB's
-    ``quantile_disc`` twin.
+    is rank ``ceil(q·n)−1`` over the sorted multiset — DuckDB's
+    ``quantile_disc`` rule, verified empirically for n∈{7,10,11,500,502}
+    (the older ``floor(q·(n−1))`` rule coincides only when q·n is integral).
     """
     import pyarrow as pa
 
@@ -189,7 +190,7 @@ def value_quantiles(ds, column: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0
     n = int(cum[-1]) if len(cum) else 0
     out = {}
     for q in qs:
-        k = int(np.floor(q * (n - 1))) if n else 0
+        k = int(np.ceil(q * n)) - 1 if n else 0
         idx = int(np.searchsorted(cum, k + 1))
         out[f"q{int(q * 100)}"] = int(values[idx]) if n else None
     return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})

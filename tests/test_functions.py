@@ -256,7 +256,14 @@ def test_connected_components_and_kept_docs(ray_session):
     assert kept == [1, 5, 10, 99]
 
 
-def test_value_quantiles_matches_numpy(ray_session):
+def test_value_quantiles_matches_duckdb(ray_session):
+    """Pin value_quantiles to DuckDB's quantile_disc rule (rank ceil(q·n)−1).
+
+    Uses sizes NOT divisible by 20 so ceil(q·n)−1 and floor(q·(n−1))
+    disagree — the sf0.01 corpus has exactly 500 docs, which masked the
+    old (wrong) floor rule.
+    """
+    import duckdb
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -264,12 +271,17 @@ def test_value_quantiles_matches_numpy(ray_session):
     from pdf_inspector_ray.functions.text_stats import value_quantiles
 
     rng = np.random.default_rng(7)
-    vals = rng.integers(0, 300, size=5000)
-    ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
-    out = value_quantiles(ds, "v")
-    sv = np.sort(vals)
-    for q in (0.25, 0.5, 0.75, 0.95):
-        assert out[f"q{int(q*100)}"][0].as_py() == sv[int(np.floor(q * (len(sv) - 1)))]
+    for n in (5003, 502, 11):
+        vals = rng.integers(0, 300, size=n)
+        ds = ray.data.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+        out = value_quantiles(ds, "v")
+        con = duckdb.connect()
+        tbl = pa.table({"v": pa.array(vals, pa.int64())})  # noqa: F841
+        con.register("t", tbl)
+        for q in (0.25, 0.5, 0.75, 0.95):
+            want = con.execute(
+                f"select quantile_disc(v, {q}) from t").fetchone()[0]
+            assert out[f"q{int(q*100)}"][0].as_py() == want, (n, q)
 
 
 def test_top_terms_exact(ray_session):
@@ -383,3 +395,124 @@ def test_label_centroids_match_numpy(ray_session):
         got = (out[out.label == lab].sort_values("pos")["mean_v"]
                .to_numpy())
         assert np.allclose(got, np.round(mean, 6), atol=1e-6)
+
+
+def test_oversized_bucket_split_preserves_radius_recall():
+    """ADVICE r02 (medium): oversized buckets must not truncate. Direct
+    unit test of _pairs_from_bucket_block: 600 docs share one simhash
+    band byte (>> MAX_BUCKET=256); every pair within hamming<=bands-1
+    must still be emitted, by the pigeonhole subkey split."""
+    from pdf_inspector_ray.functions.dedup import (
+        MAX_BUCKET, _pairs_from_bucket_block, hamming64)
+
+    assert MAX_BUCKET == 256
+    rng = np.random.default_rng(3)
+    bands, width = 8, 8
+    band0 = 0xA5  # shared low byte -> all in bucket "0:a5"
+    hashes = []
+    n_base = 60
+    bases = [(int(rng.integers(0, 1 << 56)) << 8) | band0
+             for _ in range(n_base)]
+    for b in bases:
+        hashes.append(b)
+        for _ in range(9):  # 9 perturbations of <=3 high bits each
+            h = b
+            for bit in rng.choice(np.arange(8, 64), size=3, replace=False):
+                if rng.random() < 0.7:
+                    h ^= 1 << int(bit)
+            hashes.append(h)
+    n = len(hashes)
+    assert n == 600
+    group = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "bucket": pa.array(["0:a5"] * n, pa.string()),
+        "subkey": pa.array(hashes, pa.uint64()),
+        "part": pa.array([0] * n, pa.int32()),
+    })
+    out = _pairs_from_bucket_block(group, n_chunks=bands,
+                                   own_band_width=width)
+    got = set(zip(out["doc_a"].to_pylist(), out["doc_b"].to_pylist()))
+    required = {(i, j) for i in range(n) for j in range(i + 1, n)
+                if hamming64(hashes[i], hashes[j]) <= bands - 1}
+    assert len(required) > 1000  # the test actually exercises the split
+    missing = required - got
+    assert not missing, f"{len(missing)} within-radius pairs dropped"
+
+
+def test_simhash_clique_beyond_max_bucket(ray_session):
+    """A 300-doc identical-text clique (> MAX_BUCKET) must produce ALL
+    C(300,2) verified pairs — the old truncation capped it at C(256,2)."""
+    import ray.data
+
+    from pdf_inspector_ray.functions.dedup import (
+        simhash64, simhash_candidates, verify_pairs_hamming)
+
+    text = "identical duplicate document body repeated many times over"
+    uniq = [f"totally unrelated filler text number {i} with extra words {i*7}"
+            for i in range(20)]
+    docs = [text] * 300 + uniq
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    pairs = simhash_candidates(ray.data.from_arrow(t))
+    sh = {i: simhash64(d) for i, d in enumerate(docs)}
+    verified = verify_pairs_hamming(pairs, sh, max_hamming=7).to_pandas()
+    clique = {(a, b) for a, b in zip(verified.doc_a, verified.doc_b)
+              if a < 300 and b < 300}
+    assert len(clique) == 300 * 299 // 2
+
+
+def test_verify_pairs_hamming_drops_missing_ids(ray_session):
+    """ADVICE r02: a pair with ids missing from the sidecar must be
+    dropped, not verified against sentinel hashes."""
+    import ray.data
+
+    from pdf_inspector_ray.functions.dedup import verify_pairs_hamming
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([1, 1, 7, 9], pa.int64()),
+        "doc_b": pa.array([2, 3, 8, 1], pa.int64()),
+    }))
+    sh = {1: 0b1010, 2: 0b1010, 3: 0b1011}  # 7,8,9 missing
+    out = verify_pairs_hamming(pairs, sh, max_hamming=7).to_pandas()
+    got = set(zip(out.doc_a, out.doc_b))
+    assert got == {(1, 2), (1, 3)}
+
+
+def test_ngram_jaccard_empty_texts_score_zero():
+    """ADVICE r02: blank-vs-blank scores 0.0 to match the SQL oracle's
+    empty-gram-union exclusion."""
+    from pdf_inspector_ray.functions.dedup import ngram_jaccard
+
+    assert ngram_jaccard("", "") == 0.0
+    assert ngram_jaccard("   ", " \t ") == 0.0
+    assert ngram_jaccard("", "hello world there") == 0.0
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+
+
+def test_topk_boundary_ties_keep_smallest_id(ray_session):
+    """ADVICE r02: candidates that round to the same 6-dp sim at the k
+    boundary must resolve by vec_id asc — including across batches."""
+    import ray.data
+
+    from pdf_inspector_ray.functions.similarity import brute_force_topk
+
+    # 40 vectors: 10 distinct "tie groups" of 4 identical vectors each,
+    # interleaved so batches see ties at every prune boundary.
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((10, 8))
+    vecs = np.repeat(base, 4, axis=0)
+    ids = list(range(40))
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t).repartition(8)
+    q = base[0].tolist()
+    res = brute_force_topk(ds, q, k=6)
+    got = list(zip(res["vec_id"].to_pylist(), res["cos_sim"].to_pylist()))
+    # exact global order on rounded sims
+    vn = vecs.astype(np.float32).astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    qn = np.asarray(q) / np.linalg.norm(q)
+    sims = np.round(vn @ qn, 6)
+    order = sorted(range(40), key=lambda i: (-sims[i], i))[:6]
+    want = [(i, sims[i]) for i in order]
+    assert got == want
