@@ -343,6 +343,20 @@ def _docs_lookup(sf_dir: str) -> dict[int, str]:
     return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
 
 
+# Above this many side rows the broadcast verify path (driver dict +
+# ray.put) risks driver memory; the reduce-side-join variants stream
+# instead (VERDICT r02 fix #5: the shipped query path must BE the scale
+# path above the threshold, not just have one available). Both paths are
+# pinned equal in tests at sf0.1.
+PAIR_VERIFY_BROADCAST_LIMIT = 1_000_000
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footer metadata only — no data read."""
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _q_minhash_lsh_pairs(sf_dir: str):
     """MinHash+LSH candidates VERIFIED by exact word-3-gram Jaccard — the
     oracle recomputes the exact self-join in DuckDB, so a recall loss in
@@ -353,8 +367,15 @@ def _q_minhash_lsh_pairs(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     cands = minhash_lsh_candidates(ds)
-    verified = verify_pairs_jaccard(cands, _docs_lookup(sf_dir),
-                                    threshold=NEARDUP_JACCARD_T)
+    if (_parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+            > PAIR_VERIFY_BROADCAST_LIMIT):
+        from pdf_inspector_ray.functions.dedup import (
+            verify_pairs_jaccard_distributed)
+        verified = verify_pairs_jaccard_distributed(
+            cands, ds, threshold=NEARDUP_JACCARD_T)
+    else:
+        verified = verify_pairs_jaccard(cands, _docs_lookup(sf_dir),
+                                        threshold=NEARDUP_JACCARD_T)
     return verified.select_columns(["doc_a", "doc_b"])
 
 
@@ -399,12 +420,19 @@ def _q_simhash_pairs(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     cands = simhash_candidates(ds)
-    side = pq.read_table(os.path.join(_simhash_sidecar(sf_dir),
-                                      "simhash-00000.parquet"))
-    lookup = dict(zip(side["doc_id"].to_pylist(),
-                      side["simhash"].to_pylist()))
-    verified = verify_pairs_hamming(cands, lookup,
-                                    max_hamming=SIMHASH_MAX_HAMMING)
+    sidecar = os.path.join(_simhash_sidecar(sf_dir), "simhash-00000.parquet")
+    if _parquet_rows(sidecar) > PAIR_VERIFY_BROADCAST_LIMIT:
+        from pdf_inspector_ray.functions.dedup import (
+            verify_pairs_hamming_distributed)
+        verified = verify_pairs_hamming_distributed(
+            cands, ray.data.read_parquet(sidecar),
+            max_hamming=SIMHASH_MAX_HAMMING)
+    else:
+        side = pq.read_table(sidecar)
+        lookup = dict(zip(side["doc_id"].to_pylist(),
+                          side["simhash"].to_pylist()))
+        verified = verify_pairs_hamming(cands, lookup,
+                                        max_hamming=SIMHASH_MAX_HAMMING)
     return verified.select_columns(["doc_a", "doc_b"])
 
 
@@ -420,8 +448,15 @@ def _q_neardup_dedup_docs(sf_dir: str):
     docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                  columns=["doc_id", "text"])
     cands = minhash_lsh_candidates(docs)
-    verified = verify_pairs_jaccard(cands, _docs_lookup(sf_dir),
-                                    threshold=NEARDUP_JACCARD_T)
+    if (_parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+            > PAIR_VERIFY_BROADCAST_LIMIT):
+        from pdf_inspector_ray.functions.dedup import (
+            verify_pairs_jaccard_distributed)
+        verified = verify_pairs_jaccard_distributed(
+            cands, docs, threshold=NEARDUP_JACCARD_T)
+    else:
+        verified = verify_pairs_jaccard(cands, _docs_lookup(sf_dir),
+                                        threshold=NEARDUP_JACCARD_T)
     comp = connected_components(verified.select_columns(["doc_a", "doc_b"]))
     docs_ids = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
@@ -437,12 +472,21 @@ def _q_embedding_neardup_pairs(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.dedup import (
         embedding_neardup_candidates, verify_pairs_cosine)
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(emb_path)
     cands = embedding_neardup_candidates(ds, axis_aligned=True)
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    vectors = {i: np.asarray(v, dtype=np.float64) for i, v in
-               zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
-    verified = verify_pairs_cosine(cands, vectors, threshold=NEARDUP_COSINE_T)
+    if _parquet_rows(emb_path) > PAIR_VERIFY_BROADCAST_LIMIT:
+        from pdf_inspector_ray.functions.dedup import (
+            verify_pairs_cosine_distributed)
+        verified = verify_pairs_cosine_distributed(
+            cands, ray.data.read_parquet(emb_path),
+            threshold=NEARDUP_COSINE_T)
+    else:
+        t = pq.read_table(emb_path)
+        vectors = {i: np.asarray(v, dtype=np.float64) for i, v in
+                   zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+        verified = verify_pairs_cosine(cands, vectors,
+                                       threshold=NEARDUP_COSINE_T)
     return verified.select_columns(["doc_a", "doc_b"])
 
 

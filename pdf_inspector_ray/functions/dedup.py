@@ -731,19 +731,93 @@ def connected_components(pairs_ds, num_partitions: int = 16,
     return labels
 
 
-def neardup_kept_docs(docs_ds, components, id_column: str = "doc_id"):
+def _anti_join_ids(docs_ds, drop_ds, id_column: str = "doc_id",
+                   drop_column: str = "node",
+                   num_partitions: int = PAIR_PARTITIONS):
+    """Reduce-side LEFT ANTI join: keep the ``docs_ds`` rows whose
+    ``id_column`` does NOT appear in ``drop_ds[drop_column]``. Tagged
+    union + coarse hash(id) co-partition + vectorized ``pc.is_in`` probe —
+    the same machinery as ``_attach_texts`` (Ray 2.49 ``Dataset.join``
+    loses the schema of empty right partitions). Nothing is ever
+    collected on the driver; both sides stream through one shuffle."""
+    import pyarrow.compute as pc
+
+    doc_schema = [(f.name, f.type) for f in docs_ds.schema().base_schema]
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(pa.field("__key", pa.int64()),
+                                pc.cast(batch[id_column], pa.int64()))
+        return t.append_column(pa.field("__isdrop", pa.bool_()),
+                               pa.nulls(len(batch), pa.bool_()))
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        cols = {name: pa.nulls(len(batch), typ) for name, typ in doc_schema}
+        cols["__key"] = pc.cast(batch[drop_column], pa.int64())
+        cols["__isdrop"] = pa.array([True] * len(batch), pa.bool_())
+        return pa.table(cols)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = batch["__key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((key * np.uint64(2654435761))
+                    % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column(pa.field("__part", pa.int32()),
+                                   pa.array(part, pa.int32()))
+
+    def probe(group: pa.Table) -> pa.Table:
+        is_drop = pc.is_valid(group["__isdrop"])
+        docs = group.filter(pc.invert(is_drop))
+        drops = group.filter(is_drop)
+        if docs.num_rows and drops.num_rows:
+            keep = pc.invert(pc.is_in(docs["__key"],
+                                      value_set=drops["__key"].combine_chunks()))
+            docs = docs.filter(keep)
+        return pa.table({name: docs[name] for name, _ in doc_schema})
+
+    tagged = (docs_ds.map_batches(tag_docs, batch_format="pyarrow")
+                     .union(drop_ds.map_batches(tag_drops,
+                                                batch_format="pyarrow")))
+    return (tagged.map_batches(add_part, batch_format="pyarrow")
+                  .groupby("__part")
+                  .map_groups(probe, batch_format="pyarrow"))
+
+
+# Above this many dropped ids the broadcast-set path risks driver memory;
+# the anti-join path streams instead. At 100 TB with a 20-30% dup rate the
+# dropped set is billions of ids — the join is the only viable shape.
+NEARDUP_BROADCAST_LIMIT = 2_000_000
+
+
+def neardup_kept_docs(docs_ds, components, id_column: str = "doc_id",
+                      distributed: bool | None = None,
+                      broadcast_limit: int = NEARDUP_BROADCAST_LIMIT):
     """Corpus-level near-dup dedup: keep each component's min doc_id plus
-    every doc not in any pair. The dropped-id set (duplicate docs only — a
-    small fraction of the corpus by construction) is broadcast with
-    ``ray.put`` and applied as a vectorized per-batch mask; for corpora
-    where even the duplicate set is huge, swap for a left anti join."""
+    every doc not in any pair.
+
+    Default = size-gated (VERDICT r02 fix #2): the dropped-id count is
+    read from the (already materialized, edge-sized) components dataset;
+    below ``broadcast_limit`` the ids are broadcast once with ``ray.put``
+    and applied as a per-batch mask (no shuffle), above it — or with
+    ``distributed=True`` — a reduce-side left anti join streams both
+    sides through one co-partition shuffle with NO driver-side collect.
+    Both paths are pinned equal in tests."""
     import pyarrow.compute as pc
     import ray
 
-    dropped: set = set()
-    for batch in components.iter_batches(batch_format="pyarrow"):
+    def to_dropped(batch: pa.Table) -> pa.Table:
         mask = pc.less(batch["label"], batch["node"])
-        dropped.update(pc.filter(batch["node"], mask).to_pylist())
+        return pa.table({"node": batch["node"].filter(mask)})
+
+    dropped_ds = components.map_batches(to_dropped, batch_format="pyarrow")
+
+    if distributed is None:
+        distributed = dropped_ds.count() > broadcast_limit
+    if distributed:
+        return _anti_join_ids(docs_ds, dropped_ds, id_column=id_column)
+
+    dropped: set = set()
+    for batch in dropped_ds.iter_batches(batch_format="pyarrow"):
+        dropped.update(batch["node"].to_pylist())
     dropped_ref = ray.put(dropped)
 
     def keep(batch: pa.Table) -> pa.Table:
@@ -757,30 +831,35 @@ def neardup_kept_docs(docs_ds, components, id_column: str = "doc_id"):
 
 # -- distributed pair verification (the corpus-scale path) ------------------
 
-def _attach_texts(pairs_ds, docs_ds, pair_key: str, out_col: str,
-                  num_partitions: int = PAIR_PARTITIONS):
-    """Reduce-side hash join: attach ``text`` of the doc referenced by
-    ``pair_key`` to each pair row as ``out_col``. Tagged union + coarse
-    hash(key) co-partition + vectorized probe — the same pattern as
-    connected_components (Dataset.join's empty-partition schema bug)."""
+def _attach_side_column(pairs_ds, src_ds, pair_key: str, out_col: str,
+                        src_key: str = "doc_id", src_col: str = "text",
+                        out_type: "pa.DataType | None" = None,
+                        num_partitions: int = PAIR_PARTITIONS):
+    """Reduce-side hash join: attach ``src_ds[src_col]`` of the row whose
+    ``src_key`` equals the pair's ``pair_key`` to each pair row as
+    ``out_col``. Tagged union + coarse hash(key) co-partition +
+    vectorized probe — the same pattern as connected_components
+    (Dataset.join's empty-partition schema bug). Works for any attachable
+    type (text, uint64 simhash, list<float> embedding)."""
     import pyarrow.compute as pc
 
-    pair_cols = None
+    if out_type is None:
+        out_type = pa.large_string()
 
     def tag_pairs(batch: pa.Table) -> pa.Table:
         t = batch.append_column(pa.field("__key", pa.int64()),
                                 batch[pair_key])
-        return t.append_column(pa.field("__text", pa.large_string()),
-                               pa.nulls(len(batch), pa.large_string()))
+        return t.append_column(pa.field("__side", out_type),
+                               pa.nulls(len(batch), out_type))
 
-    def tag_docs(batch: pa.Table) -> pa.Table:
+    def tag_src(batch: pa.Table) -> pa.Table:
         cols = {name: pa.nulls(len(batch), typ)
                 for name, typ in pair_schema}
-        cols["__key"] = batch["doc_id"]
-        cols["__text"] = pc.cast(batch["text"], pa.large_string())
+        cols["__key"] = batch[src_key]
+        cols["__side"] = pc.cast(batch[src_col], out_type)
         return pa.table(cols)
 
-    # pair schema must be known to make doc rows union-compatible
+    # pair schema must be known to make src rows union-compatible
     pair_schema = [(f.name, f.type) for f in pairs_ds.schema().base_schema]
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -792,25 +871,33 @@ def _attach_texts(pairs_ds, docs_ds, pair_key: str, out_col: str,
                                    pa.array(part, pa.int32()))
 
     def probe(group: pa.Table) -> pa.Table:
-        is_doc = pc.is_valid(group["__text"])
-        docs = group.filter(is_doc)
-        pairs = group.filter(pc.invert(is_doc))
+        is_src = pc.is_valid(group["__side"])
+        srcs = group.filter(is_src)
+        pairs = group.filter(pc.invert(is_src))
         if pairs.num_rows == 0:
             empty = {f: pa.array([], t) for f, t in pair_schema}
-            empty[out_col] = pa.array([], pa.large_string())
+            empty[out_col] = pa.array([], out_type)
             return pa.table(empty)
-        lk = dict(zip(docs["__key"].to_pylist(), docs["__text"].to_pylist()))
-        texts = [lk.get(kv) for kv in pairs["__key"].to_pylist()]
+        lk = dict(zip(srcs["__key"].to_pylist(), srcs["__side"].to_pylist()))
+        vals = [lk.get(kv) for kv in pairs["__key"].to_pylist()]
         out = {f: pairs[f] for f, _ in pair_schema}
-        out[out_col] = pa.array(texts, pa.large_string())
+        out[out_col] = pa.array(vals, out_type)
         return pa.table(out)
 
     tagged = (pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")
-                      .union(docs_ds.map_batches(tag_docs,
-                                                 batch_format="pyarrow")))
+                      .union(src_ds.map_batches(tag_src,
+                                                batch_format="pyarrow")))
     return (tagged.map_batches(add_part, batch_format="pyarrow")
                   .groupby("__part")
                   .map_groups(probe, batch_format="pyarrow"))
+
+
+def _attach_texts(pairs_ds, docs_ds, pair_key: str, out_col: str,
+                  num_partitions: int = PAIR_PARTITIONS):
+    return _attach_side_column(pairs_ds, docs_ds, pair_key, out_col,
+                               src_key="doc_id", src_col="text",
+                               out_type=pa.large_string(),
+                               num_partitions=num_partitions)
 
 
 def verify_pairs_jaccard_distributed(pairs_ds, docs_ds,
@@ -835,6 +922,96 @@ def verify_pairs_jaccard_distributed(pairs_ds, docs_ds,
         t = t.filter(pc.greater_equal(t["jaccard"], pa.scalar(threshold)))
         drop = [c for c in ("__text_a", "__text_b") if c in t.column_names]
         for c in drop:
+            t = t.remove_column(t.schema.get_field_index(c))
+        return t
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = ((x & np.uint64(0x3333333333333333))
+         + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333)))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return ((x * np.uint64(0x0101010101010101))
+                >> np.uint64(56)).astype(np.int32)
+
+
+def verify_pairs_hamming_distributed(pairs_ds, simhash_ds,
+                                     max_hamming: int = 7):
+    """Join-based exact-hamming verification — the corpus-scale variant of
+    ``verify_pairs_hamming`` (whose broadcast dict assumes the simhash
+    sidecar fits one object). Two reduce-side joins attach the simhashes,
+    then a vectorized SWAR popcount filter. Pairs with either id missing
+    from the sidecar are dropped. ``simhash_ds`` must have
+    (doc_id, simhash:uint64)."""
+    import pyarrow.compute as pc
+
+    with_a = _attach_side_column(pairs_ds, simhash_ds, "doc_a", "__sh_a",
+                                 src_col="simhash", out_type=pa.uint64())
+    with_ab = _attach_side_column(with_a, simhash_ds, "doc_b", "__sh_b",
+                                  src_col="simhash", out_type=pa.uint64())
+
+    def verify(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(batch["__sh_a"]),
+                        pc.is_valid(batch["__sh_b"]))
+        t = batch.filter(valid)
+        a = t["__sh_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["__sh_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ham = _popcount64(np.bitwise_xor(a, b))
+        t = t.append_column(pa.field("hamming", pa.int32()),
+                            pa.array(ham, pa.int32()))
+        t = t.filter(pc.less_equal(t["hamming"],
+                                   pa.scalar(max_hamming, pa.int32())))
+        for c in ("__sh_a", "__sh_b"):
+            t = t.remove_column(t.schema.get_field_index(c))
+        return t
+
+    return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+def verify_pairs_cosine_distributed(pairs_ds, emb_ds,
+                                    threshold: float = 0.9,
+                                    id_column: str = "vec_id",
+                                    embedding_column: str = "embedding"):
+    """Join-based exact-cosine verification — the corpus-scale variant of
+    ``verify_pairs_cosine``. Two reduce-side joins attach the vectors
+    (shuffling only pair rows + the referenced embeddings), then a
+    vectorized normalized-dot filter. Pairs with either vector missing
+    are dropped."""
+    import pyarrow.compute as pc
+
+    vec_t = pa.list_(pa.float64())
+    src = emb_ds.map_batches(
+        lambda b: pa.table({"doc_id": pc.cast(b[id_column], pa.int64()),
+                            "vec": pc.cast(b[embedding_column], vec_t)}),
+        batch_format="pyarrow")
+    with_a = _attach_side_column(pairs_ds, src, "doc_a", "__v_a",
+                                 src_col="vec", out_type=vec_t)
+    with_ab = _attach_side_column(with_a, src, "doc_b", "__v_b",
+                                  src_col="vec", out_type=vec_t)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        valid = pc.and_(pc.is_valid(batch["__v_a"]),
+                        pc.is_valid(batch["__v_b"]))
+        t = batch.filter(valid)
+        if t.num_rows:
+            va = np.asarray(t["__v_a"].to_pylist(), dtype=np.float64)
+            vb = np.asarray(t["__v_b"].to_pylist(), dtype=np.float64)
+            na = np.linalg.norm(va, axis=1)
+            nb = np.linalg.norm(vb, axis=1)
+            na[na == 0] = 1.0
+            nb[nb == 0] = 1.0
+            sims = np.round((va * vb).sum(axis=1) / (na * nb), 6)
+        else:
+            sims = np.zeros(0)
+        t = t.append_column(pa.field("cos_sim", pa.float64()),
+                            pa.array(sims, pa.float64()))
+        t = t.filter(pc.greater_equal(t["cos_sim"], pa.scalar(threshold)))
+        for c in ("__v_a", "__v_b"):
             t = t.remove_column(t.schema.get_field_index(c))
         return t
 
