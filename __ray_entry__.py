@@ -121,9 +121,11 @@ def _q_pdf_classify(sf_dir: str):
             i, "ocr_recommended",
             pc.fill_null(batch["ocr_recommended"], False))
 
+    # title included (VERDICT r02 fix #4): pins C7 — incl. the UTF-16BE
+    # BOM fixture — against the golden_title column frozen at synthesis
     return out.select_columns([
         "conv_id", "turn_idx", "pdf_type", "page_count", "pages_sampled",
-        "pages_with_text", "confidence", "ocr_recommended",
+        "pages_with_text", "confidence", "title", "ocr_recommended",
         "error_kind"]).map_batches(fill_bool, batch_format="pyarrow")
 
 
@@ -436,6 +438,28 @@ def _q_simhash_pairs(sf_dir: str):
     return verified.select_columns(["doc_a", "doc_b"])
 
 
+def _q_extract_text_plain(sf_dir: str):
+    """Legacy surfaces E2+M15 (VERDICT r02 fix #7): ``extract_text_mem``
+    → plain-text ``to_markdown`` over every turn, checked against the
+    ``golden_plain_*`` columns frozen at corpus synthesis."""
+    from pdf_inspector_ray.stages.plain_stage import plain_text_pipeline
+    ds = _transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "text",
+                                          "pdf_sha256"])
+    out = plain_text_pipeline(ds)
+
+    def cast_strs(batch):
+        import pyarrow as pa
+        for col in ("plain_text", "plain_markdown"):
+            i = batch.schema.get_field_index(col)
+            batch = batch.set_column(i, col, batch[col].cast(pa.string()))
+        return batch
+
+    return out.select_columns(["conv_id", "turn_idx", "pdf_sha256",
+                               "plain_text", "plain_markdown",
+                               "plain_error_kind"]).map_batches(
+                                   cast_strs, batch_format="pyarrow")
+
+
 def _q_neardup_dedup_docs(sf_dir: str):
     """Corpus-level near-dup dedup: verified MinHash pairs → distributed
     connected components (label propagation over the pair-sized edge set)
@@ -746,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_equality_rate": _q_pdf_equality_rate,
         "html_extract": _q_html_extract,
         "routed_extract": _q_routed_extract,
+        "extract_text_plain": _q_extract_text_plain,
         # native relational primitives
         "docs_by_lang": _q_docs_by_lang,
         "docs_head": _q_docs_head,
@@ -864,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
                    golden_pages_sampled AS pages_sampled,
                    golden_pages_with_text AS pages_with_text,
                    golden_confidence AS confidence,
+                   golden_title AS title,
                    coalesce(golden_ocr_recommended, FALSE) AS ocr_recommended,
                    golden_error_kind AS error_kind
             FROM {corpus}
@@ -882,6 +908,13 @@ def oracle_sql() -> dict[str, str]:
                    golden_x_page_count AS page_count,
                    golden_markdown AS markdown,
                    golden_x_error_kind AS error_kind
+            FROM {corpus}
+        """,
+        "extract_text_plain": f"""
+            SELECT conv_id, turn_idx, pdf_sha256,
+                   golden_plain_text AS plain_text,
+                   golden_plain_markdown AS plain_markdown,
+                   golden_plain_error_kind AS plain_error_kind
             FROM {corpus}
         """,
         "pdf_type_histogram": f"""

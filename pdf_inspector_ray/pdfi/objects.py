@@ -72,9 +72,13 @@ class Stream:
         self.raw = raw
 
     def decoded(self, doc: Optional["Document"] = None) -> bytes:
-        """Apply /Filter chain (FlateDecode + optional predictors).
-        Unknown filters raise PdfError; callers that want the reference's
-        "fall back to raw content" behavior catch it
+        """Apply /Filter chain. Supported: FlateDecode (+ predictors),
+        LZWDecode (+ predictors + EarlyChange), ASCIIHexDecode,
+        ASCII85Decode, RunLengthDecode — the filter set the reference
+        inherits from lopdf (/root/reference/Cargo.toml:11-12; its
+        Content::decode path at src/extractor.rs:953-957 works on whatever
+        lopdf decompresses). Unknown filters raise PdfError; callers that
+        want the reference's "fall back to raw content" behavior catch it
         (/root/reference/src/detector.rs:249-252)."""
         data = self.raw
         filters = self.dict.get("Filter")
@@ -91,6 +95,8 @@ class Stream:
             parms = [parms] * len(filters)
         for f, p in zip(filters, parms):
             fname = str(f)
+            if doc is not None and isinstance(p, Reference):
+                p = doc.get_object(p)
             if fname in ("FlateDecode", "Fl"):
                 try:
                     data = zlib.decompress(data)
@@ -98,14 +104,143 @@ class Stream:
                     raise PdfError(f"flate decode failed: {e}") from e
                 if isinstance(p, dict):
                     data = _apply_predictor(data, p, doc)
+            elif fname in ("LZWDecode", "LZW"):
+                early = 1
+                if isinstance(p, dict):
+                    ev = p.get("EarlyChange", 1)
+                    if doc is not None and isinstance(ev, Reference):
+                        ev = doc.get_object(ev)
+                    early = int(ev if ev is not None else 1)
+                data = _lzw_decode(data, early_change=early)
+                if isinstance(p, dict):
+                    data = _apply_predictor(data, p, doc)
             elif fname in ("ASCIIHexDecode", "AHx"):
                 hexdata = bytes(c for c in data if not chr(c).isspace() and c != 0x3E)
                 if len(hexdata) % 2:
                     hexdata += b"0"
                 data = bytes.fromhex(hexdata.decode("ascii", "ignore"))
+            elif fname in ("ASCII85Decode", "A85"):
+                data = _ascii85_decode(data)
+            elif fname in ("RunLengthDecode", "RL"):
+                data = _runlength_decode(data)
             else:
                 raise PdfError(f"unsupported filter {fname}")
         return data
+
+
+def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode per PDF 1.7 §7.4.4: MSB-first variable-width codes
+    9→12 bits, 256 = clear-table, 257 = EOD; ``EarlyChange=1`` (default)
+    widens the code one entry early. Matches the lopdf/weezl behavior the
+    reference inherits (validated against the spec's worked example)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: Optional[bytes] = None
+    bitbuf = 0
+    nbits = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise PdfError(f"bad initial LZW code {code}")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise PdfError(f"bad LZW code {code}")
+            out += entry
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode per PDF 1.7 §7.4.3: base-85 groups, ``z`` = four
+    zero bytes (only between groups), whitespace ignored, ``~>`` EOD; a
+    trailing partial group of n chars is padded with ``u`` and yields
+    n−1 bytes."""
+    out = bytearray()
+    group: list[int] = []
+    i = 0
+    end = len(data)
+    while i < end:
+        c = data[i]
+        if c in b" \t\r\n\f\x00":
+            i += 1
+            continue
+        if c == 0x7E:  # '~' — EOD marker
+            break
+        if c == 0x7A:  # 'z'
+            if group:
+                raise PdfError("ascii85: 'z' inside group")
+            out += b"\x00\x00\x00\x00"
+            i += 1
+            continue
+        if not 0x21 <= c <= 0x75:
+            raise PdfError(f"ascii85: bad char {c:#x}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            acc = 0
+            for g in group:
+                acc = acc * 85 + g
+            if acc > 0xFFFFFFFF:
+                raise PdfError("ascii85: group overflow")
+            out += acc.to_bytes(4, "big")
+            group = []
+        i += 1
+    if group:
+        if len(group) == 1:
+            raise PdfError("ascii85: lone trailing char")
+        n = len(group)
+        group += [84] * (5 - n)  # pad with 'u'
+        acc = 0
+        for g in group:
+            acc = acc * 85 + g
+        out += acc.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode per PDF 1.7 §7.4.5: length byte L ∈ [0,127] copies
+    the next L+1 bytes literally; L ∈ [129,255] repeats the next byte
+    257−L times; 128 = EOD."""
+    out = bytearray()
+    i = 0
+    end = len(data)
+    while i < end:
+        length = data[i]
+        i += 1
+        if length == 128:
+            break
+        if length < 128:
+            run = data[i : i + length + 1]
+            if len(run) != length + 1:
+                raise PdfError("runlength: truncated literal run")
+            out += run
+            i += length + 1
+        else:
+            if i >= end:
+                raise PdfError("runlength: truncated repeat run")
+            out += bytes([data[i]]) * (257 - length)
+            i += 1
+    return bytes(out)
 
 
 def _apply_predictor(data: bytes, parms: dict, doc: Optional["Document"]) -> bytes:

@@ -911,6 +911,160 @@ def f18_corrupt() -> bytes:
     return good[: len(good) // 3] + b"\xde\xad\xbe\xef GARBAGE NOT PDF"
 
 
+# -- non-Flate stream-filter encoders (deterministic; VERDICT r02 fix #3:
+# the reference inherits lopdf's LZW/ASCIIHex/ASCII85/RunLength support,
+# Cargo.toml:11-12 + src/extractor.rs:953-957) ------------------------------
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Greedy LZW encoder (PDF §7.4.4 semantics, EarlyChange=1): MSB-first
+    9→12-bit codes, clear=256 emitted once up front, EOD=257."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    cur = b""
+    i = 0
+    while i < len(data):
+        nxt = cur + data[i : i + 1]
+        if nxt in table:
+            cur = nxt
+            i += 1
+            continue
+        emit(table[cur])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code >= (1 << width) and width < 12:  # EarlyChange=1
+            width += 1
+        cur = b""
+    if cur:
+        emit(table[cur])
+    emit(257)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rl_encode(data: bytes) -> bytes:
+    """RunLengthDecode-compatible encoder (PDF §7.4.5) ending in EOD 128."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        run = 1
+        while i + run < len(data) and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            j = i + 1
+            while (j < len(data) and (j + 1 >= len(data)
+                                      or data[j + 1] != data[j])
+                   and j - i < 128):
+                j += 1
+            lit = data[i:j]
+            out.append(len(lit) - 1)
+            out += lit
+            i = j
+    out.append(128)
+    return bytes(out)
+
+
+def _a85_encode(data: bytes) -> bytes:
+    """ASCII85Decode-compatible payload (PDF framing: no ``<~``, ends ``~>``)."""
+    import base64
+    return base64.a85encode(data) + b"~>"
+
+
+def _filtered_stream(filters: bytes, data: bytes) -> bytes:
+    return (b"<< /Filter " + filters + b" /Length %d >>\nstream\n" % len(data)
+            + data + b"\nendstream")
+
+
+def f28_lzw() -> bytes:
+    """Content stream behind /LZWDecode (repetitive text so the table and
+    9→10-bit width-change path are exercised)."""
+    w = PdfWriter()
+    pages = w.reserve()
+    font = _font_simple(w, b"Helvetica")
+    body = [(72, 720, 18, "LZW Compressed Heading")]
+    for i in range(14):
+        body.append((72, 690 - 14 * i, 11,
+                     f"lzw body line {i} repeat repeat repeat repeat repeat"))
+    content = w.add(_filtered_stream(b"/LZWDecode", _lzw_encode(_tj_lines(body))))
+    page = _page(w, pages, content,
+                 resources=b"/Resources << /Font << /F1 %d 0 R >> >> " % font)
+    _pages_tree(w, pages, [page])
+    return w.build(_catalog(w, pages))
+
+
+def f29_ascii85() -> bytes:
+    """Content stream behind /ASCII85Decode (incl. a trailing partial group)."""
+    w = PdfWriter()
+    pages = w.reserve()
+    font = _font_simple(w, b"Helvetica")
+    body = [
+        (72, 720, 18, "ASCII85 Filtered Title"),
+        (72, 690, 12, "base85 encoded body text survives the filter chain"),
+        (72, 676, 12, "second line with different words entirely"),
+    ]
+    content = w.add(_filtered_stream(b"/ASCII85Decode",
+                                     _a85_encode(_tj_lines(body))))
+    page = _page(w, pages, content,
+                 resources=b"/Resources << /Font << /F1 %d 0 R >> >> " % font)
+    _pages_tree(w, pages, [page])
+    return w.build(_catalog(w, pages))
+
+
+def f30_runlength() -> bytes:
+    """Content stream behind /RunLengthDecode (literal + repeat runs)."""
+    w = PdfWriter()
+    pages = w.reserve()
+    font = _font_simple(w, b"Helvetica")
+    body = [
+        (72, 720, 18, "RunLength Filtered Title"),
+        (72, 690, 12, "aaaaaaaa bbbbbbbb literal mix cccccccc"),
+        (72, 676, 12, "plain prose line without long runs"),
+    ]
+    content = w.add(_filtered_stream(b"/RunLengthDecode",
+                                     _rl_encode(_tj_lines(body))))
+    page = _page(w, pages, content,
+                 resources=b"/Resources << /Font << /F1 %d 0 R >> >> " % font)
+    _pages_tree(w, pages, [page])
+    return w.build(_catalog(w, pages))
+
+
+def f31_filter_chain() -> bytes:
+    """Two-filter chain [/ASCIIHexDecode /FlateDecode]: the cascade must
+    apply filters in array order (hex-decode, then inflate)."""
+    w = PdfWriter()
+    pages = w.reserve()
+    font = _font_simple(w, b"Helvetica")
+    body = [
+        (72, 720, 18, "Chained Filters Title"),
+        (72, 690, 12, "hex wrapped deflate payload decodes in order"),
+    ]
+    payload = zlib.compress(_tj_lines(body)).hex().encode("ascii") + b">"
+    content = w.add(_filtered_stream(b"[/ASCIIHexDecode /FlateDecode]",
+                                     payload))
+    page = _page(w, pages, content,
+                 resources=b"/Resources << /Font << /F1 %d 0 R >> >> " % font)
+    _pages_tree(w, pages, [page])
+    return w.build(_catalog(w, pages))
+
+
 FIXTURES = {
     "f01_tj_simple": f01_tj_simple,
     "f02_tj_arraykern": f02_tj_arraykern,
@@ -939,6 +1093,10 @@ FIXTURES = {
     "f25_type3_font": f25_type3_font,
     "f26_incremental_update": f26_incremental_update,
     "f27_three_columns": f27_three_columns,
+    "f28_lzw": f28_lzw,
+    "f29_ascii85": f29_ascii85,
+    "f30_runlength": f30_runlength,
+    "f31_filter_chain": f31_filter_chain,
 }
 
 

@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 from .pdfgen import fixture_pool
 
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
-GENERATOR_VERSION = 3  # bump when build_transcript_table output changes
+GENERATOR_VERSION = 4  # bump when build_transcript_table output changes
 
 # Golden columns: per-payload expected outputs of the per-document library,
 # frozen into the corpus at synthesis time. They are the driver-checkable
@@ -47,6 +47,11 @@ GOLDEN_FIELDS = [
     ("golden_x_page_count", pa.uint32()),
     ("golden_markdown", pa.large_string()),
     ("golden_x_error_kind", pa.string()),
+    # legacy-surface goldens (extract_text_mem → plain to_markdown;
+    # reference src/extractor.rs:833-851 + src/markdown.rs:60-113)
+    ("golden_plain_text", pa.large_string()),
+    ("golden_plain_markdown", pa.large_string()),
+    ("golden_plain_error_kind", pa.string()),
 ]
 
 SCHEMA = pa.schema([
@@ -91,6 +96,16 @@ def _golden_row(data: bytes) -> dict:
         row["golden_x_error_kind"] = e.kind
     except Exception:
         row["golden_x_error_kind"] = "Parse"
+    try:
+        from ..pdfi.extract import extract_text_mem
+        from ..pdfi.markdown import to_markdown
+        plain = extract_text_mem(data)
+        row.update(golden_plain_text=plain,
+                   golden_plain_markdown=to_markdown(plain))
+    except PdfError as e:
+        row["golden_plain_error_kind"] = e.kind
+    except Exception:
+        row["golden_plain_error_kind"] = "Parse"
     return row
 
 

@@ -93,3 +93,68 @@ def test_cjk_items_join_without_spaces():
     lines = group_into_lines(items)
     assert len(lines) == 1
     assert lines[0].text() == "である履行義務を識別す"
+
+
+class TestStreamFilters:
+    """Non-Flate filter decoders (reference parity: lopdf's filter set,
+    /root/reference/Cargo.toml:11-12, src/extractor.rs:953-957)."""
+
+    def test_lzw_spec_code_sequence(self):
+        # ISO 32000-1 §7.4.4.2 worked example: input 45 45 45 65 65 65
+        # 66 66 66 (decimal) <-> codes 256,45,258,65,260,66,262,257
+        from pdf_inspector_ray.pdfi.objects import _lzw_decode
+
+        def pack(codes, width0=9):
+            out = bytearray(); bitbuf = 0; nbits = 0; width = width0
+            for c in codes:
+                bitbuf = (bitbuf << width) | c; nbits += width
+                while nbits >= 8:
+                    out.append((bitbuf >> (nbits - 8)) & 0xFF); nbits -= 8
+            if nbits:
+                out.append((bitbuf << (8 - nbits)) & 0xFF)
+            return bytes(out)
+
+        enc = pack([256, 45, 258, 65, 260, 66, 262, 257])
+        assert _lzw_decode(enc) == bytes([45, 45, 45, 65, 65, 65, 66, 66, 66])
+
+    def test_lzw_roundtrip_across_width_boundaries(self):
+        import random
+        from pdf_inspector_ray.pdfi.objects import _lzw_decode
+        from pdf_inspector_ray.sources.pdfgen import _lzw_encode
+
+        random.seed(5)
+        words = [b"the", b"quick", b"brown", b"fox", b"BT", b"Tj", b"stream"]
+        data = b" ".join(random.choice(words) for _ in range(4000))
+        assert _lzw_decode(_lzw_encode(data)) == data  # crosses 9->10->11 bits
+
+    def test_ascii85_matches_stdlib(self):
+        import base64
+        import random
+        from pdf_inspector_ray.pdfi.objects import _ascii85_decode
+
+        random.seed(2)
+        for n in (0, 1, 2, 3, 4, 5, 63, 1000):
+            data = bytes(random.randrange(256) for _ in range(n))
+            enc = base64.a85encode(data, adobe=True)  # <~...~>
+            assert _ascii85_decode(enc[2:]) == data
+        data = b"\0\0\0\0mid\0\0\0\0"  # z abbreviation
+        assert _ascii85_decode(base64.a85encode(data, adobe=True)[2:]) == data
+
+    def test_runlength_literal_repeat_eod(self):
+        from pdf_inspector_ray.pdfi.objects import _runlength_decode
+
+        # 3 literals, then 'x' * 5 (257-252), then EOD; trailing junk ignored
+        enc = bytes([2]) + b"abc" + bytes([252]) + b"x" + bytes([128]) + b"JUNK"
+        assert _runlength_decode(enc) == b"abcxxxxx"
+
+    def test_filter_fixtures_extract(self):
+        from pdf_inspector_ray.pdfi.process import process_pdf_mem
+        from pdf_inspector_ray.sources.pdfgen import (
+            f28_lzw, f29_ascii85, f30_runlength, f31_filter_chain)
+
+        assert "LZW Compressed Heading" in process_pdf_mem(f28_lzw()).markdown
+        assert "ASCII85 Filtered Title" in process_pdf_mem(f29_ascii85()).markdown
+        assert "RunLength Filtered Title" in process_pdf_mem(
+            f30_runlength()).markdown
+        assert "Chained Filters Title" in process_pdf_mem(
+            f31_filter_chain()).markdown

@@ -52,6 +52,10 @@ EXPECTED_TYPES = {
     "f25_type3_font": "TextBased",
     "f26_incremental_update": "TextBased",
     "f27_three_columns": "TextBased",
+    "f28_lzw": "TextBased",
+    "f29_ascii85": "TextBased",
+    "f30_runlength": "TextBased",
+    "f31_filter_chain": "TextBased",
 }
 
 
