@@ -94,34 +94,33 @@ def asof_join_events(ds, left_type: str, right_type: str) -> "ray.data.Dataset":
     import pyarrow.compute as pc
 
     def merge_group(group: pa.Table) -> pa.Table:
+        # Vectorized sorted merge (VERDICT r02 fix #6): positions of left
+        # rows searchsorted into positions of right rows — the "most
+        # recent right at-or-before" of the old per-row sweep, in numpy.
         order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
                                                   ("event_id", "ascending")])
         g = group.take(order)
-        types = g["event_type"].to_pylist()
-        ids = g["event_id"].to_pylist()
-        ts = g["ts"].to_pylist()
-        out_left: list[int] = []
-        out_left_ts: list = []
-        out_right: list = []
-        out_right_ts: list = []
-        last_right_id = None
-        last_right_ts = None
-        for i in range(g.num_rows):
-            if types[i] == right_type:
-                last_right_id = ids[i]
-                last_right_ts = ts[i]
-            elif types[i] == left_type:
-                out_left.append(ids[i])
-                out_left_ts.append(ts[i])
-                out_right.append(last_right_id)
-                out_right_ts.append(last_right_ts)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        left_pos = np.nonzero(
+            pc.equal(g["event_type"], left_type).to_numpy(
+                zero_copy_only=False))[0]
+        right_pos = np.nonzero(
+            pc.equal(g["event_type"], right_type).to_numpy(
+                zero_copy_only=False))[0]
+        k = np.searchsorted(right_pos, left_pos, side="right") - 1
+        has = k >= 0
+        prior_idx = right_pos[np.clip(k, 0, None)]
+        ts_arr = pa.array(ts[left_pos], pa.int64()).cast(pa.timestamp("us"))
+        prior_ts = pa.array(ts[prior_idx], pa.int64(),
+                            mask=~has).cast(pa.timestamp("us"))
         return pa.table({
-            "event_id": pa.array(out_left, pa.int64()),
-            "ts": pa.array(out_left_ts, pa.timestamp("us")),
-            "user_id": pa.array([g["user_id"][0].as_py()] * len(out_left),
-                                pa.int64()),
-            "prior_event_id": pa.array(out_right, pa.int64()),
-            "prior_ts": pa.array(out_right_ts, pa.timestamp("us")),
+            "event_id": pa.array(ids[left_pos], pa.int64()),
+            "ts": ts_arr,
+            "user_id": pa.array(
+                np.full(len(left_pos), g["user_id"][0].as_py()), pa.int64()),
+            "prior_event_id": pa.array(ids[prior_idx], pa.int64(), mask=~has),
+            "prior_ts": prior_ts,
         })
 
     def prefilter(batch: pa.Table) -> pa.Table:
@@ -147,42 +146,29 @@ def session_windows(ds, gap_minutes: int = 30) -> "ray.data.Dataset":
     gap_us = gap_minutes * 60_000_000
 
     def sessions(group: pa.Table) -> pa.Table:
+        # Vectorized gap sweep (VERDICT r02 fix #6): session ids are the
+        # cumulative count of gap breaks (numpy diff/cumsum); per-session
+        # bounds and sums come from boundary indexing + np.add.reduceat.
         order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
                                                   ("event_id", "ascending")])
         g = group.take(order)
-        ts = pc.cast(g["ts"], pa.int64()).to_pylist()
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        values = g["value"].to_numpy(zero_copy_only=False)
+        n = len(ts)
+        breaks = np.nonzero(np.diff(ts) > gap_us)[0] + 1
+        starts_idx = np.concatenate([[0], breaks])
+        ends_idx = np.concatenate([breaks - 1, [n - 1]])
+        sums = np.round(np.add.reduceat(values, starts_idx), 2)
+        counts = np.diff(np.concatenate([starts_idx, [n]]))
         user = g["user_id"][0].as_py()
-        out = {"user_id": [], "session_start": [], "session_end": [],
-               "n_events": [], "sum_value": []}
-        values = g["value"].to_pylist()
-        start = ts[0]
-        last = ts[0]
-        count = 0
-        val_sum = 0.0
-        for i, t in enumerate(ts):
-            if t - last > gap_us:
-                out["user_id"].append(user)
-                out["session_start"].append(start)
-                out["session_end"].append(last)
-                out["n_events"].append(count)
-                out["sum_value"].append(round(val_sum, 2))
-                start = t
-                count = 0
-                val_sum = 0.0
-            count += 1
-            val_sum += values[i]
-            last = t
-        out["user_id"].append(user)
-        out["session_start"].append(start)
-        out["session_end"].append(last)
-        out["n_events"].append(count)
-        out["sum_value"].append(round(val_sum, 2))
         return pa.table({
-            "user_id": pa.array(out["user_id"], pa.int64()),
-            "session_start": pa.array(out["session_start"], pa.timestamp("us")),
-            "session_end": pa.array(out["session_end"], pa.timestamp("us")),
-            "n_events": pa.array(out["n_events"], pa.int64()),
-            "sum_value": pa.array(out["sum_value"], pa.float64()),
+            "user_id": pa.array(np.full(len(starts_idx), user), pa.int64()),
+            "session_start": pa.array(ts[starts_idx],
+                                      pa.int64()).cast(pa.timestamp("us")),
+            "session_end": pa.array(ts[ends_idx],
+                                    pa.int64()).cast(pa.timestamp("us")),
+            "n_events": pa.array(counts, pa.int64()),
+            "sum_value": pa.array(sums, pa.float64()),
         })
 
     return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
