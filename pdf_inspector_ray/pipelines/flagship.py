@@ -28,20 +28,36 @@ DEFAULT_BATCH_SIZE = 64          # PDF parse cost dominates; small batches keep
                                  # actor heartbeats short (SURVEY.md §4.2)
 DEFAULT_CONCURRENCY = (2, 32)
 
+# The canonical pipeline input schema (BASELINE.json input_hint +
+# pdf_sha256 sidecar). read_transcripts prunes to these by default so
+# corpus sidecar columns (golden_* oracles) never leave storage.
+INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
+                 "pdf_sha256"]
 
-def sized_concurrency() -> int:
-    """Fixed actor-pool size for the current cluster: ~3/4 of CPUs, leaving
-    a PROPORTIONAL share for read/shuffle/write tasks so every pipeline
-    component scales with the cluster (a constant 2-slot slack capped the
-    non-parse work at the same absolute rate at N and 4N CPUs → efficiency
-    sag). An AUTOSCALING pool ((min,max)) under a downstream all-to-all is
-    starved by Ray's per-operator resource reservation (observed ~2 active
-    actors of 8); an all-CPUs fixed pool deadlocks against the read/shuffle
-    tasks."""
+
+def sized_concurrency(mode: str = "single-node") -> int:
+    """Fixed actor-pool size for the current cluster.
+
+    ``mode="single-node"`` (default): slack = ``max(2, cpus//16)`` — on one
+    node the non-parse work (read tasks, finalize) needs only a couple of
+    cores once the map-side shard write is fused into the extract actors;
+    measured at 32 CPUs: pool 24 → 115 s, pool 30 → 95 s warm (r3), with
+    no deadlock (2 free cores keep the read/finalize tasks flowing).
+
+    ``mode="scaling"``: slack = ``max(2, cpus//4)`` — PER-NODE slack
+    emulation for the N→4N measurement: "32 CPUs" stands in for 4 nodes
+    of 8, and a real 4-node cluster pays the read/shuffle slack on every
+    node, so the pool FRACTION must be equal at both scales or the
+    efficiency ratio partly measures slack amortization instead of
+    scaling. (r2 note kept for posterity: an AUTOSCALING pool ((min,max))
+    under a downstream all-to-all is starved by Ray's per-operator
+    resource reservation — observed ~2 active actors of 8; an all-CPUs
+    fixed pool deadlocks against the read/shuffle tasks.)"""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(2, cpus - max(2, cpus // 4))
+    slack = max(2, cpus // 4) if mode == "scaling" else max(2, cpus // 16)
+    return max(2, cpus - slack)
 
 
 def read_transcripts(path: Union[str, list[str]],
@@ -53,6 +69,8 @@ def read_transcripts(path: Union[str, list[str]],
     cut the ordering shuffle's map-side object count (blocks × buckets tiny
     slices) — measured ~10% end-to-end at 32 CPUs — while staying fine
     enough that the pool doesn't straggle."""
+    if columns is None:
+        columns = INPUT_COLUMNS
     if num_blocks is None:
         return ray.data.read_parquet(path, columns=columns)
     return ray.data.read_parquet(path, columns=columns,
