@@ -15,7 +15,8 @@ def pdf_files(tmp_path_factory):
     d = tmp_path_factory.mktemp("pdfs")
     pool = fixture_pool()
     paths = {}
-    for name in ("f01_tj_simple", "f06_scanned", "f18_corrupt"):
+    for name in ("f01_tj_simple", "f06_scanned", "f18_corrupt",
+                 "f08_multicolumn", "f05_differences"):
         p = d / f"{name}.pdf"
         p.write_bytes(pool[name])
         paths[name] = str(p)
@@ -67,3 +68,31 @@ def test_output_file(pdf_files, tmp_path):
     r = _run("pdf2md", pdf_files["f01_tj_simple"], str(out))
     assert r.returncode == 0
     assert out.read_text().startswith("# Annual Report")
+
+
+def test_debug_pages(pdf_files):
+    r = _run("debug", "pages", pdf_files["f08_multicolumn"], "1-1")
+    assert r.returncode == 0
+    assert "=== PAGE 1" in r.stdout
+    assert "Spanning Title" in r.stdout
+
+
+def test_debug_ygaps_paragraph_marker(pdf_files):
+    r = _run("debug", "ygaps", pdf_files["f01_tj_simple"])
+    assert r.returncode == 0
+    assert "<<PARA>>" in r.stdout  # the fixture's inter-paragraph gap
+    assert "Base font size" in r.stderr
+
+
+def test_debug_ligatures_differences(pdf_files):
+    r = _run("debug", "ligatures", pdf_files["f05_differences"])
+    assert r.returncode == 0
+    assert "Differences" in r.stdout
+    assert "eacute" in r.stdout
+
+
+def test_debug_order(pdf_files):
+    r = _run("debug", "order", pdf_files["f08_multicolumn"], "1",
+             "--contains", "line", "--x-window", "300", "400")
+    assert r.returncode == 0
+    assert "Y range" in r.stdout
