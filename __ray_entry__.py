@@ -147,6 +147,34 @@ def _q_pdf_extract(sf_dir: str):
             _cast_markdown_str, batch_format="pyarrow")
 
 
+def _q_pdf_extract_resumable(sf_dir: str):
+    """S4 driver row: the full resumable partitioned-parquet sink
+    (`run_to_partitioned_output` — salt → extract+shard → finalize with
+    per-partition lineage), round-tripped: the partition files are read
+    BACK and compared against the same golden_* oracle as `pdf_extract`.
+    This pins the sink path (file shuffle, partition sort, atomic
+    finalize) end-to-end, not just in pytest."""
+    import hashlib as _hashlib
+    import shutil
+
+    import ray.data
+    from pdf_inspector_ray.pipelines.flagship import run_to_partitioned_output
+
+    tag = _hashlib.md5(sf_dir.encode(), usedforsecurity=False).hexdigest()[:8]
+    out_dir = f"/tmp/pdfi_resumable_query/{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    run_to_partitioned_output(_transcripts_ds(sf_dir), out_dir,
+                              num_buckets=16, resume=False,
+                              concurrency=(1, 8))
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(out_dir, "part=*", "data.parquet")))
+    back = ray.data.read_parquet(files)
+    return back.select_columns([
+        "conv_id", "turn_idx", "pdf_sha256", "pdf_type", "page_count",
+        "markdown", "error_kind"]).map_batches(
+            _cast_markdown_str, batch_format="pyarrow")
+
+
 def _q_pdf_extract_salted(sf_dir: str):
     """Salted-bucket ordering path — must agree row-for-row with the sort
     path after canonical reorder (the driver compares order-insensitively)."""
@@ -766,6 +794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_classify": _q_pdf_classify,
         "pdf_extract": _q_pdf_extract,
         "pdf_extract_salted": _q_pdf_extract_salted,
+        "pdf_extract_resumable": _q_pdf_extract_resumable,
         "pdf_type_histogram": _q_pdf_type_histogram,
         "pdf_equality_rate": _q_pdf_equality_rate,
         "html_extract": _q_html_extract,
@@ -903,6 +932,14 @@ def oracle_sql() -> dict[str, str]:
             FROM {corpus}
         """,
         "pdf_extract_salted": f"""
+            SELECT conv_id, turn_idx, pdf_sha256,
+                   golden_x_pdf_type AS pdf_type,
+                   golden_x_page_count AS page_count,
+                   golden_markdown AS markdown,
+                   golden_x_error_kind AS error_kind
+            FROM {corpus}
+        """,
+        "pdf_extract_resumable": f"""
             SELECT conv_id, turn_idx, pdf_sha256,
                    golden_x_pdf_type AS pdf_type,
                    golden_x_page_count AS page_count,

@@ -157,7 +157,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
         warm_dir = f"/tmp/pdf_inspector_ray_bench_out/warmup{num_cpus}"
         shutil.rmtree(warm_dir, ignore_errors=True)
         run_to_partitioned_output(
-            read_transcripts(corpus, num_blocks=4 * num_cpus).limit(60_000),
+            read_transcripts(corpus, num_blocks=4 * num_cpus).limit(150_000),
             warm_dir, num_buckets=max(16, num_cpus * 2), resume=False,
             use_payload_cache=False, concurrency=pool)
         shutil.rmtree(warm_dir, ignore_errors=True)
@@ -212,6 +212,22 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
                 quality_batch, batch_format="pyarrow")
             sum(b.num_rows for b in q.iter_batches(batch_format="pyarrow"))
             queries["quality"] = round(time.perf_counter() - t0, 3)
+
+        events_path = os.path.join(sf_dir, "events.parquet")
+        if os.path.exists(events_path):
+            from pdf_inspector_ray.functions.relational import (
+                asof_join_events, hopping_window_counts, session_windows,
+                windowed_event_counts)
+
+            t0 = time.perf_counter()
+            ev = ray.data.read_parquet(events_path)
+            windowed_event_counts(ev).count()
+            hopping_window_counts(
+                ray.data.read_parquet(events_path)).count()
+            asof_join_events(ray.data.read_parquet(events_path),
+                             left_type="purchase", right_type="signup").count()
+            session_windows(ray.data.read_parquet(events_path)).count()
+            queries["events_suite"] = round(time.perf_counter() - t0, 3)
 
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
