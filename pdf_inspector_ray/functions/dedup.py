@@ -132,7 +132,7 @@ class MinHashSignatures:
         doc_ids = batch["doc_id"].to_pylist()
         out_doc: list[int] = []
         out_band: list[int] = []
-        out_bucket: list[str] = []
+        out_bucket: list[int] = []
         out_subkey: list[int] = []
         for doc_id, text in zip(doc_ids, texts):
             if text is None:
@@ -158,13 +158,17 @@ class MinHashSignatures:
                     sub |= nb[0] << (i * 8)
                 out_doc.append(doc_id)
                 out_band.append(band)
-                out_bucket.append(
-                    f"{band}:{digests[band][:8].hex()}")
+                # uint64 bucket key: band in the top 16 bits, first 48
+                # digest bits below (distinct digests colliding in 48 bits
+                # merely MERGE two buckets → a few extra candidates that
+                # exact verification removes; never a recall loss)
+                out_bucket.append(_bucket_key(
+                    band, int.from_bytes(digests[band][:6], "big")))
                 out_subkey.append(sub)
         return pa.table({
             "doc_id": pa.array(out_doc, pa.int64()),
             "band": pa.array(out_band, pa.int32()),
-            "bucket": pa.array(out_bucket, pa.string()),
+            "bucket": pa.array(out_bucket, pa.uint64()),
             "subkey": pa.array(out_subkey, pa.uint64()),
         })
 
@@ -176,12 +180,21 @@ class MinHashSignatures:
 PAIR_PARTITIONS = 256
 
 
+def _bucket_key(band: int, payload48: int) -> int:
+    """uint64 bucket key: band index in the top 16 bits, 48 payload bits
+    below. Numeric keys keep the partitioner and the per-partition sort
+    fully vectorized (the old string keys cost a Python crc32 per bucket
+    ROW — one per (doc, band) — in the shuffle's map side)."""
+    return (band << 48) | (payload48 & ((1 << 48) - 1))
+
+
 def _add_bucket_part(batch: pa.Table) -> pa.Table:
-    import zlib
-    parts = [zlib.crc32(b.encode()) % PAIR_PARTITIONS
-             for b in batch["bucket"].to_pylist()]
+    key = batch["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        part = (((key ^ (key >> np.uint64(29))) * np.uint64(2654435761))
+                % np.uint64(PAIR_PARTITIONS)).astype(np.int32)
     return batch.append_column(pa.field("part", pa.int32()),
-                               pa.array(parts, pa.int32()))
+                               pa.array(part, pa.int32()))
 
 
 _EMPTY_PAIRS = pa.table({"doc_a": pa.array([], pa.int64()),
@@ -255,17 +268,16 @@ def _pairs_from_bucket_block(group: pa.Table, n_chunks: int = 8,
     the split — the members already agree there. ``None`` means the subkey
     is built entirely from out-of-band material (minhash neighbor-band
     digest bytes) and all 64 bits are free."""
-    import pyarrow.compute as pc
     if group.num_rows == 0:
         return _EMPTY_PAIRS
-    order = pc.sort_indices(group, sort_keys=[("bucket", "ascending"),
-                                              ("doc_id", "ascending")])
-    g = group.take(order)
-    buckets = np.asarray(g["bucket"].to_pylist(), dtype=object)
-    ids = np.asarray(g["doc_id"].to_pylist(), dtype=np.int64)
-    has_subkey = "subkey" in g.column_names
-    keys = (np.asarray(g["subkey"].to_pylist(), dtype=np.uint64)
-            if has_subkey else None)
+    buckets = group["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids_raw = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids_raw, buckets))
+    buckets = buckets[order]
+    ids = ids_raw[order]
+    has_subkey = "subkey" in group.column_names
+    keys = (group["subkey"].to_numpy(zero_copy_only=False)
+            .astype(np.uint64)[order] if has_subkey else None)
     change = np.nonzero(buckets[1:] != buckets[:-1])[0] + 1
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [len(buckets)]])
@@ -281,7 +293,7 @@ def _pairs_from_bucket_block(group: pa.Table, n_chunks: int = 8,
         if has_subkey:
             mkeys = keys[s:e][first]
             if own_band_width:
-                band = int(str(buckets[s]).split(":", 1)[0])
+                band = int(buckets[s] >> np.uint64(48))
                 lo, hi = band * own_band_width, (band + 1) * own_band_width
                 free = np.array([b for b in range(64) if not lo <= b < hi],
                                 dtype=np.int64)
@@ -478,11 +490,11 @@ def simhash_candidates(ds, text_column: str = "text", bands: int = 8,
                     probes.extend(chunk ^ (1 << b) for b in range(width))
                 for p in probes:
                     out_doc.append(doc_id)
-                    out_bucket.append(f"{band}:{p:x}")
+                    out_bucket.append(_bucket_key(band, p))
                     out_hash.append(h)
         return pa.table({
             "doc_id": pa.array(out_doc, pa.int64()),
-            "bucket": pa.array(out_bucket, pa.string()),
+            "bucket": pa.array(out_bucket, pa.uint64()),
             "subkey": pa.array(out_hash, pa.uint64()),
         })
 
@@ -552,15 +564,16 @@ class HyperplaneLSH:
             self.planes = rng.standard_normal(
                 (num_tables * planes_per_table, dim)).astype(np.float64)
 
-    def bucket_ids(self, vecs: np.ndarray) -> list[list[str]]:
-        """Per-row list of ``"t:bits"`` bucket keys, one per table."""
+    def bucket_ids(self, vecs: np.ndarray) -> list[list[int]]:
+        """Per-row list of uint64 bucket keys (table index in the top 16
+        bits, sign-pattern bits below), one per table."""
         signs = (vecs @ self.planes.T) >= 0  # (n, T*b)
         b = self.planes_per_table
         weights = 1 << np.arange(b, dtype=np.uint64)
         out = []
         for t in range(self.num_tables):
             chunk = signs[:, t * b:(t + 1) * b].astype(np.uint64) @ weights
-            out.append([f"{t}:{v:x}" for v in chunk])
+            out.append([_bucket_key(t, int(v)) for v in chunk])
         return [list(row) for row in zip(*out)]
 
 
@@ -577,7 +590,7 @@ def embedding_neardup_candidates(ds, dim: int = 64, num_tables: int = 8,
         vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
         if vecs.size == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "bucket": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.uint64()),
                              "subkey": pa.array([], pa.uint64())})
         per_row = lsh.bucket_ids(vecs)
         ids = batch["vec_id"].to_pylist()
@@ -597,7 +610,7 @@ def embedding_neardup_candidates(ds, dim: int = 64, num_tables: int = 8,
         out_sub = [s for s, row in zip(subkeys, per_row) for _ in row]
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
-            "bucket": pa.array(out_bucket, pa.string()),
+            "bucket": pa.array(out_bucket, pa.uint64()),
             "subkey": pa.array(out_sub, pa.uint64()),
         })
 

@@ -403,12 +403,12 @@ def test_oversized_bucket_split_preserves_radius_recall():
     band byte (>> MAX_BUCKET=256); every pair within hamming<=bands-1
     must still be emitted, by the pigeonhole subkey split."""
     from pdf_inspector_ray.functions.dedup import (
-        MAX_BUCKET, _pairs_from_bucket_block, hamming64)
+        MAX_BUCKET, _bucket_key, _pairs_from_bucket_block, hamming64)
 
     assert MAX_BUCKET == 256
     rng = np.random.default_rng(3)
     bands, width = 8, 8
-    band0 = 0xA5  # shared low byte -> all in bucket "0:a5"
+    band0 = 0xA5  # shared low byte -> all in band-0 bucket key(0, 0xA5)
     hashes = []
     n_base = 60
     bases = [(int(rng.integers(0, 1 << 56)) << 8) | band0
@@ -425,7 +425,7 @@ def test_oversized_bucket_split_preserves_radius_recall():
     assert n == 600
     group = pa.table({
         "doc_id": pa.array(range(n), pa.int64()),
-        "bucket": pa.array(["0:a5"] * n, pa.string()),
+        "bucket": pa.array([_bucket_key(0, 0xA5)] * n, pa.uint64()),
         "subkey": pa.array(hashes, pa.uint64()),
         "part": pa.array([0] * n, pa.int32()),
     })
