@@ -1011,7 +1011,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
                        AS n_ws_tokens,
                    CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT)
-                       AS n_word_tokens
+                       AS n_word_tokens,
+                   CAST(len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9'']+'))
+                       AS BIGINT) AS n_bpe_tokens
             FROM documents
         """,
         "lang_id": f"""

@@ -30,7 +30,14 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 LANG_ORDER = ("en", "de", "fr", "es")  # tie-break priority
 
-TOKEN_REGEX = r"[a-zA-Z0-9]+"  # BPE-ish word pieces; SQL twin uses the same
+TOKEN_REGEX = r"[a-zA-Z0-9]+"  # simple word pieces; SQL twin uses the same
+
+# GPT-2-style pre-tokenizer (ASCII form of the gpt2/tiktoken split rule:
+# contraction suffixes, space-prefixed letter runs, digit runs, punct runs).
+# The count of its non-overlapping matches is the standard BPE
+# pre-tokenization token count. RE2-compatible → identical semantics in
+# Arrow count_substring_regex and DuckDB regexp_extract_all (verified).
+BPE_TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9']+"
 
 
 def _count_padded(text_col: pa.ChunkedArray | pa.Array, word: str) -> pa.Array:
@@ -49,11 +56,13 @@ def doc_stats_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     n_chars = pc.utf8_length(text)
     ws_tokens = pc.list_value_length(pc.split_pattern_regex(text, r"\s+"))
     word_tokens = pc.count_substring_regex(text, TOKEN_REGEX)
+    bpe_tokens = pc.count_substring_regex(text, BPE_TOKEN_REGEX)
     return pa.table({
         "doc_id": batch["doc_id"],
         "n_chars_computed": pc.cast(n_chars, pa.int64()),
         "n_ws_tokens": pc.cast(ws_tokens, pa.int64()),
         "n_word_tokens": pc.cast(word_tokens, pa.int64()),
+        "n_bpe_tokens": pc.cast(bpe_tokens, pa.int64()),
     })
 
 

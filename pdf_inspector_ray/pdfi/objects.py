@@ -99,7 +99,10 @@ class Stream:
                 p = doc.get_object(p)
             if fname in ("FlateDecode", "Fl"):
                 try:
-                    data = zlib.decompress(data)
+                    d = zlib.decompressobj()
+                    data = d.decompress(data, _MAX_DECODE_BYTES)
+                    if d.unconsumed_tail:
+                        raise PdfError("flate output exceeds decode cap")
                 except zlib.error as e:
                     raise PdfError(f"flate decode failed: {e}") from e
                 if isinstance(p, dict):
@@ -126,6 +129,10 @@ class Stream:
             else:
                 raise PdfError(f"unsupported filter {fname}")
         return data
+
+
+_MAX_DECODE_BYTES = 1 << 28  # 256 MB cap: LZW output is quadratic in input
+                             # worst-case (crafted bomb) — surface PdfError
 
 
 def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
@@ -166,6 +173,8 @@ def _lzw_decode(data: bytes, early_change: int = 1) -> bytes:
                 raise PdfError(f"bad LZW code {code}")
             out += entry
             prev = entry
+            if len(out) > _MAX_DECODE_BYTES:
+                raise PdfError("LZW output exceeds decode cap")
             if len(table) + early_change >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
@@ -213,6 +222,8 @@ def _ascii85_decode(data: bytes) -> bytes:
         acc = 0
         for g in group:
             acc = acc * 85 + g
+        if acc > 0xFFFFFFFF:
+            raise PdfError("ascii85: trailing group overflow")
         out += acc.to_bytes(4, "big")[: n - 1]
     return bytes(out)
 

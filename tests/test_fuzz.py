@@ -97,3 +97,40 @@ def test_html_extractor_mutated_fixtures(idx, data):
         buf[p] = data.draw(st.sampled_from(list("<>/&\"'x ")))
     r = extract_main_content("".join(buf))
     assert isinstance(r.markdown, str)
+
+
+@given(st.binary(min_size=0, max_size=512))
+@settings(max_examples=300, deadline=None)
+def test_filter_decoders_total_on_garbage(data):
+    """LZW/ASCII85/RunLength decoders are total: any input yields bytes
+    or PdfError — never another exception (the filter cascade's callers
+    rely on catching PdfError only)."""
+    from pdf_inspector_ray.pdfi.objects import (
+        PdfError, _ascii85_decode, _lzw_decode, _runlength_decode)
+
+    for fn in (_lzw_decode, _ascii85_decode, _runlength_decode):
+        try:
+            out = fn(data)
+            assert isinstance(out, bytes)
+        except PdfError:
+            pass
+
+
+@given(st.binary(min_size=0, max_size=300), st.sampled_from([0, 1]))
+@settings(max_examples=150, deadline=None)
+def test_lzw_roundtrip_fuzz(data, early):
+    """Greedy encoder → decoder round-trip under both EarlyChange modes."""
+    from pdf_inspector_ray.pdfi.objects import _lzw_decode
+    from pdf_inspector_ray.sources.pdfgen import _lzw_encode
+
+    if early == 1:
+        assert _lzw_decode(_lzw_encode(data), early_change=1) == data
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_runlength_roundtrip_fuzz(data):
+    from pdf_inspector_ray.pdfi.objects import _runlength_decode
+    from pdf_inspector_ray.sources.pdfgen import _rl_encode
+
+    assert _runlength_decode(_rl_encode(data)) == data
