@@ -149,24 +149,58 @@ def find_table_regions_strict(items: list[tuple[int, TextItem]]) -> list[tuple[f
     if len(current) >= 3:
         candidate_regions.append(current)
 
-    # Step 4: pairwise cross-row column alignment score >= 0.5 (10pt tol)
+    # Step 4: pairwise cross-row column alignment score >= 0.5 (10pt tol).
+    # Vectorized as one padded (rows × rows × w × w) tolerance tensor per
+    # region — same float comparisons and integer counts as the reference's
+    # per-pair loops (tables.rs:231-254), ~20× fewer Python ops on real
+    # tables (this is the hottest loop of the markdown phase).
+    import numpy as np
     regions: list[tuple[float, float]] = []
     for region_rows in candidate_regions:
         num_rows = len(region_rows)
-        total_score = 0.0
-        pair_count = 0
         tolerance = 10.0
-        for i in range(num_rows):
-            for j in range(i + 1, num_rows):
-                a = region_rows[i][1]
-                b = region_rows[j][1]
-                matches_a = sum(1 for ax in a if any(abs(ax - bx) < tolerance for bx in b))
-                matches_b = sum(1 for bx in b if any(abs(ax - bx) < tolerance for ax in a))
-                max_len = max(len(a), len(b))
-                if max_len > 0:
-                    total_score += (matches_a + matches_b) / (2 * max_len)
-                    pair_count += 1
-        avg_score = total_score / pair_count if pair_count > 0 else 0.0
+        if num_rows <= 5:
+            # few pairs: scalar loop beats numpy setup overhead
+            total_score = 0.0
+            pair_count = 0
+            for i in range(num_rows):
+                for j in range(i + 1, num_rows):
+                    a = region_rows[i][1]
+                    b = region_rows[j][1]
+                    ma = sum(1 for ax in a
+                             if any(abs(ax - bx) < tolerance for bx in b))
+                    mb = sum(1 for bx in b
+                             if any(abs(ax - bx) < tolerance for ax in a))
+                    ml = max(len(a), len(b))
+                    if ml > 0:
+                        total_score += (ma + mb) / (2 * ml)
+                        pair_count += 1
+            if pair_count and total_score / pair_count >= 0.5:
+                regions.append((region_rows[0][0] - 5.0,
+                                region_rows[-1][0] + 5.0))
+            continue
+        w = max(len(r[1]) for r in region_rows)
+        grid = np.full((num_rows, w), np.inf)
+        valid = np.zeros((num_rows, w), dtype=bool)
+        for i, (_, xs) in enumerate(region_rows):
+            grid[i, : len(xs)] = xs
+            valid[i, : len(xs)] = True
+        # close[i, j, p, q] = |x_ip - x_jq| < tol (inf padding never matches)
+        with np.errstate(invalid="ignore"):
+            diff = np.abs(grid[:, None, :, None] - grid[None, :, None, :])
+        close = diff < tolerance
+        # matches[i, j] = count of row-i entries within tol of ANY row-j entry
+        matches = (close.any(axis=3) & valid[:, None, :]).sum(axis=2)
+        lens = valid.sum(axis=1)
+        max_len = np.maximum(lens[:, None], lens[None, :])
+        iu, ju = np.triu_indices(num_rows, 1)
+        pair_scores = (matches[iu, ju] + matches[ju, iu]) / (2 * max_len[iu, ju])
+        # accumulate in the reference's (i, j) order so the float sum is
+        # bit-identical to the old per-pair loop (goldens are byte-frozen)
+        total_score = 0.0
+        for v in pair_scores.tolist():
+            total_score += v
+        avg_score = total_score / len(pair_scores) if len(pair_scores) else 0.0
         if avg_score >= 0.5:
             regions.append((region_rows[0][0] - 5.0, region_rows[-1][0] + 5.0))
     return regions
@@ -380,11 +414,14 @@ def check_column_alignment(items: list[tuple[int, TextItem]], columns: list[floa
                            mode: str) -> float:
     """tables.rs:667-682."""
     tolerance = 40.0 if mode == MODE_SMALL_FONT else 30.0
-    aligned = sum(
-        1 for _, item in items
-        if any(abs(item.x - col) < tolerance for col in columns)
-    )
-    return aligned / len(items) if items else 0.0
+    if not items or not columns:
+        return 0.0
+    import numpy as np
+    xs = np.array([item.x for _, item in items])
+    cols = np.array(columns)
+    aligned = int((np.abs(xs[:, None] - cols[None, :]) < tolerance)
+                  .any(axis=1).sum())
+    return aligned / len(items)
 
 
 def find_column_boundaries(items: list[tuple[int, TextItem]], mode: str) -> list[float]:
@@ -409,16 +446,19 @@ def find_column_boundaries(items: list[tuple[int, TextItem]], mode: str) -> list
         columns.append(sum(cluster) / len(cluster))
 
     min_items_per_col = max(len(items) // max(len(columns), 1) // 4, 2)
-    columns = [
-        col for col in columns
-        if sum(1 for _, i in items if abs(i.x - col) < cluster_threshold) >= min_items_per_col
-    ]
+    import numpy as np
+    xs = np.array([i.x for _, i in items])
+    cols_arr = np.array(columns)
+    counts = (np.abs(xs[:, None] - cols_arr[None, :])
+              < cluster_threshold).sum(axis=0)
+    columns = [col for col, c in zip(columns, counts.tolist())
+               if c >= min_items_per_col]
 
     if mode == MODE_BODY_FONT:
         total = len(items)
-        for col in columns:
-            count = sum(1 for _, i in items if abs(i.x - col) < cluster_threshold)
-            if total and count / total > 0.60:
+        kept = {col for col in columns}
+        for col, c in zip(cols_arr.tolist(), counts.tolist()):
+            if col in kept and total and c / total > 0.60:
                 return []
     return columns
 
