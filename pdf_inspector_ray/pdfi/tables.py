@@ -225,11 +225,29 @@ def detect_table_in_region(items: list[tuple[int, TextItem]], mode: str) -> Opti
         [[] for _ in columns] for _ in rows
     ]
     item_indices: list[int] = []
-    for idx, item in items:
-        col = find_column_index(columns, item.x)
-        row = find_row_index(rows, item.y)
-        if col is not None and row is not None:
-            cell_items[row][col].append(item)
+    # vectorized find_column_index/find_row_index over all items at once
+    # (same nearest-boundary + threshold semantics; argmin picks the first
+    # minimal index exactly like min(range, key=...))
+    import numpy as np
+    if len(columns) >= 2:
+        min_gap = min(abs(b - a) for a, b in zip(columns, columns[1:]))
+        col_threshold = min(max(min_gap / 2.0, 25.0), 50.0)
+    else:
+        col_threshold = 50.0
+    xs = np.array([it.x for _, it in items])
+    ys = np.array([it.y for _, it in items])
+    cols_a = np.array(columns)
+    rows_a = np.array(rows)
+    dc = np.abs(xs[:, None] - cols_a[None, :])
+    col_idx = dc.argmin(axis=1)
+    col_ok = dc[np.arange(len(xs)), col_idx] < col_threshold
+    dr = np.abs(ys[:, None] - rows_a[None, :])
+    row_idx = dr.argmin(axis=1)
+    row_ok = dr[np.arange(len(ys)), row_idx] < 15.0
+    ok = col_ok & row_ok
+    for k, (idx, item) in enumerate(items):
+        if ok[k]:
+            cell_items[row_idx[k]][col_idx[k]].append(item)
             item_indices.append(idx)
 
     first_table_row, excluded_items = find_first_table_row(cell_items, rows, items)
