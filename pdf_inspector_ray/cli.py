@@ -101,7 +101,8 @@ def cmd_detect(args: argparse.Namespace) -> int:
 def cmd_run(args: argparse.Namespace) -> int:
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         ray.init(include_dashboard=False)
     try:
         from .pipelines.flagship import (
@@ -124,7 +125,59 @@ def cmd_run(args: argparse.Namespace) -> int:
         print(json.dumps(metrics))
         return 0
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
+
+
+def cmd_run_files(args: argparse.Namespace) -> int:
+    """Distributed job over a DIRECTORY OF PDF FILES (the reference CLI's
+    native input shape, S1, at corpus scale): ``ray.data.read_binary_files``
+    → adapt each file to a one-turn transcript row (conv_id = relative
+    path) → the same resumable extract → partitioned parquet job as
+    ``run``. Zero-copy binary blocks; one row per file."""
+    import hashlib
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(include_dashboard=False)
+    try:
+        import pyarrow as pa
+        import ray.data
+
+        from .pipelines.flagship import (run_to_partitioned_output,
+                                         sized_concurrency)
+
+        prefix = args.input.rstrip("/") + "/"
+
+        def adapt(batch: pa.Table) -> pa.Table:
+            paths = batch["path"].to_pylist()
+            blobs = batch["bytes"].to_pylist()
+            rel = [p[len(prefix):] if p.startswith(prefix) else p
+                   for p in paths]
+            return pa.table({
+                "conv_id": pa.array(rel, pa.string()),
+                "turn_idx": pa.array([0] * len(rel), pa.int32()),
+                "text": pa.array([b.decode("latin-1") for b in blobs],
+                                 pa.string()),
+                "pdf_sha256": pa.array(
+                    [hashlib.sha256(b).hexdigest() for b in blobs],
+                    pa.string()),
+            })
+
+        ds = ray.data.read_binary_files(
+            args.input, include_paths=True).map_batches(
+                adapt, batch_format="pyarrow")
+        pool = args.max_actors or sized_concurrency()
+        metrics = run_to_partitioned_output(
+            ds, args.output, num_buckets=args.num_buckets,
+            resume=not args.no_resume, concurrency=pool)
+        print(json.dumps(metrics))
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
 
 
 def cmd_debug(args: argparse.Namespace) -> int:
@@ -268,6 +321,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="fixed actor-pool size; 0 = auto (CPUs - CPUs/4)")
     p3.add_argument("--no-resume", action="store_true")
     p3.set_defaults(func=cmd_run)
+
+    p5 = sub.add_parser("run-files",
+                        help="run the flagship job over a directory of "
+                             "PDF files")
+    p5.add_argument("--input", required=True)
+    p5.add_argument("--output", required=True)
+    p5.add_argument("--num-buckets", type=int, default=64)
+    p5.add_argument("--max-actors", type=int, default=0)
+    p5.add_argument("--no-resume", action="store_true")
+    p5.set_defaults(func=cmd_run_files)
 
     p4 = sub.add_parser("debug", help="developer debug dumps "
                         "(pages/ygaps/ligatures/order)")

@@ -96,3 +96,36 @@ def test_debug_order(pdf_files):
              "--contains", "line", "--x-window", "300", "400")
     assert r.returncode == 0
     assert "Y range" in r.stdout
+
+
+def test_run_files_over_pdf_directory(ray_session, tmp_path):
+    """S1 at corpus scale: a directory of raw PDF files drives the full
+    resumable job via read_binary_files; output markdown must equal the
+    per-document library's."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pdf_inspector_ray.cli import main
+    from pdf_inspector_ray.pdfi.process import process_pdf_mem
+    from pdf_inspector_ray.sources.pdfgen import fixture_pool
+
+    pool = fixture_pool()
+    in_dir = tmp_path / "pdfs"
+    in_dir.mkdir()
+    names = ["f01_tj_simple", "f08_multicolumn", "f09_headers_lists_code"]
+    for name in names:
+        (in_dir / f"{name}.pdf").write_bytes(pool[name])
+    out_dir = tmp_path / "out"
+    rc = main(["run-files", "--input", str(in_dir),
+               "--output", str(out_dir), "--num-buckets", "4",
+               "--max-actors", "2"])
+    assert rc == 0
+    files = glob.glob(str(out_dir / "part=*" / "data.parquet"))
+    import pyarrow as pa
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    got = dict(zip(t["conv_id"].to_pylist(), t["markdown"].to_pylist()))
+    assert set(got) == {f"{n}.pdf" for n in names}
+    for name in names:
+        want = process_pdf_mem(pool[name]).markdown
+        assert got[f"{name}.pdf"] == want, name
