@@ -17,10 +17,12 @@ from .objects import Document, Name, PdfError, Reference
 class FontWidthInfo:
     """extractor.rs:21-34."""
 
-    __slots__ = ("widths", "default_width", "space_width", "is_cid", "units_scale")
+    __slots__ = ("widths", "default_width", "space_width", "is_cid",
+                 "units_scale", "_byte_widths")
 
     def __init__(self, widths: dict[int, int], default_width: int,
                  space_width: int, is_cid: bool, units_scale: float):
+        self._byte_widths: Optional[list] = None  # lazy 256-entry lookup
         self.widths = widths
         self.default_width = default_width
         self.space_width = space_width
@@ -29,6 +31,13 @@ class FontWidthInfo:
 
 
 def _as_int(doc: Document, obj) -> Optional[int]:
+    # hot path: width arrays are overwhelmingly direct ints (type() check
+    # rather than isinstance so bool, an int subclass, falls through)
+    t = type(obj)
+    if t is int:
+        return obj
+    if t is float:
+        return int(obj)
     try:
         o = doc.resolve(obj)
     except PdfError:
@@ -81,7 +90,7 @@ def parse_simple_font_widths(doc: Document, font_dict: dict) -> Optional[FontWid
         code = first_char + i
         if code > last_char:
             break
-        w = _as_int(doc, w_obj)
+        w = w_obj if type(w_obj) is int else _as_int(doc, w_obj)
         if w is None:
             continue
         if code == 32:
@@ -183,18 +192,23 @@ def _direct_num(obj) -> Optional[float]:
 
 def compute_string_width_ts(data: bytes, font_info: FontWidthInfo, font_size: float) -> float:
     """extractor.rs:341-370: width in text-space units."""
-    total = 0.0
     if font_info.is_cid:
+        total = 0.0
         widths = font_info.widths
         default = font_info.default_width
         for j in range(0, len(data) - 1, 2):
             cid = (data[j] << 8) | data[j + 1]
             total += widths.get(cid, default)
     else:
-        widths = font_info.widths
-        default = font_info.default_width
-        for b in data:
-            total += widths.get(b, default)
+        # single-byte codes: a flat 256-entry list (built once per font)
+        # turns the per-byte dict.get loop into one C-level sum(map(...))
+        bw = font_info._byte_widths
+        if bw is None:
+            widths = font_info.widths
+            default = font_info.default_width
+            bw = font_info._byte_widths = [
+                widths.get(i, default) for i in range(256)]
+        total = float(sum(map(bw.__getitem__, data)))
     return total * font_info.units_scale * font_size
 
 

@@ -504,17 +504,49 @@ class Lexer:
         if self.depth > MAX_NESTING:
             raise PdfError("container nesting too deep")
         out = []
+        append = out.append
         d, n = self.data, len(self.data)
+        num_match = _NUM_RE.match
         try:
             while True:
-                self.skip_ws()
+                # inline skip_ws ('%' comments fall through to parse_object,
+                # whose skip_ws handles them)
                 p = self.pos
+                while p < n and d[p] in _WHITESPACE:
+                    p += 1
+                self.pos = p
                 if p >= n:
                     raise PdfError("unterminated array")
-                if d[p] == 0x5D:
+                c = d[p]
+                if c == 0x5D:
                     self.pos = p + 1
                     return out
-                out.append(self.parse_object())
+                if c == 0x25:  # '%' comment (may precede ']')
+                    self.skip_ws()
+                    continue
+                # numeric fast path: Widths / W / kern / Differences arrays
+                # are long runs of plain numbers — dodge the full
+                # parse_object dispatch (same semantics: ws/delim terminator
+                # check, "N G R" reference lookahead on integers)
+                if 0x2F < c < 0x3A or c == 0x2B or c == 0x2D or c == 0x2E:
+                    m = num_match(d, p)
+                    if m is not None:
+                        end = m.end()
+                        nxt = d[end] if end < n else 0x20
+                        if nxt in _WHITESPACE or nxt in _DELIMS:
+                            text = m.group(0)
+                            self.pos = end
+                            if b"." in text:
+                                append(float(text))
+                                continue
+                            m2 = _REF_RE.match(d, end)
+                            if m2 is None:
+                                append(int(text))
+                            else:
+                                self.pos = m2.end()
+                                append(Reference(int(text), int(m2.group(1))))
+                            continue
+                append(self.parse_object())
         finally:
             self.depth -= 1
 
@@ -833,6 +865,8 @@ class Document:
         raise PdfError(f"object {expect_num} not in stream {stm_num}")
 
     def resolve(self, obj: PdfObject) -> PdfObject:
+        if type(obj) is not Reference:  # hot path: most operands are direct
+            return obj
         seen = 0
         while isinstance(obj, Reference):
             obj = self.get_object(obj)
@@ -842,6 +876,8 @@ class Document:
         return obj
 
     def get_dict(self, obj: PdfObject) -> Optional[dict]:
+        if type(obj) is dict:  # hot path: already direct
+            return obj
         try:
             o = self.resolve(obj)
         except PdfError:
@@ -851,6 +887,8 @@ class Document:
         return o if isinstance(o, dict) else None
 
     def get_array(self, obj: PdfObject) -> Optional[list]:
+        if type(obj) is list:  # hot path: already direct
+            return obj
         try:
             o = self.resolve(obj)
         except PdfError:
@@ -992,6 +1030,12 @@ _CONTENT_TOKEN_RE = re.compile(
     re.DOTALL,
 )
 
+# operator / resource-name token memos: content streams draw from a tiny
+# vocabulary (Tj, TJ, Td, /F1, …) — decoding each occurrence is measurable.
+# Capped: cleared wholesale if an adversarial stream floods them.
+_CONTENT_OP_CACHE: dict[bytes, str] = {}
+_CONTENT_NAME_CACHE: dict[bytes, "Name"] = {}
+
 
 def decode_content(data: bytes) -> list[Operation]:
     """Parse a content stream into operations (lopdf ``Content::decode``)
@@ -1008,19 +1052,28 @@ def decode_content(data: bytes) -> list[Operation]:
     pos = 0
     lex = None
     target = operands
+    token_match = _CONTENT_TOKEN_RE.match
+    op_cache = _CONTENT_OP_CACHE
+    name_cache = _CONTENT_NAME_CACHE
+    # dispatch on group index (1=num 2=name 3=lb 4=rb 5=lit 6=dict 7=hex
+    # 8=cmt 9=op 10=junk), ordered by token frequency — content streams are
+    # mostly numbers and operators
     while pos < n:
-        m = _CONTENT_TOKEN_RE.match(data, pos)
+        m = token_match(data, pos)
         if m is None:
             break
         pos = m.end()
-        kind = m.lastgroup
-        if kind == "num":
-            text = m.group("num")
+        kind = m.lastindex
+        if kind == 1:  # number
+            text = m.group(1)
             target.append(float(text) if b"." in text else int(text))
-        elif kind == "name":
-            target.append(Name(m.group("name").decode("latin-1")))
-        elif kind == "op":
-            op = m.group("op").decode("latin-1")
+        elif kind == 9:  # operator
+            raw = m.group(9)
+            op = op_cache.get(raw)
+            if op is None:
+                if len(op_cache) > 4096:
+                    op_cache.clear()
+                op = op_cache[raw] = raw.decode("latin-1")
             if op == "BI":
                 idx = data.find(b"EI", pos)
                 pos = (idx + 2) if idx >= 0 else n
@@ -1038,15 +1091,23 @@ def decode_content(data: bytes) -> list[Operation]:
                 operands = []
                 target = operands
                 stack = []
-        elif kind == "lb":
+        elif kind == 2:  # name
+            raw = m.group(2)
+            nm = name_cache.get(raw)
+            if nm is None:
+                if len(name_cache) > 4096:
+                    name_cache.clear()
+                nm = name_cache[raw] = Name(raw.decode("latin-1"))
+            target.append(nm)
+        elif kind == 3:  # '['
             new: list = []
             target.append(new)
             stack.append(target)
             target = new
-        elif kind == "rb":
+        elif kind == 4:  # ']'
             if stack:
                 target = stack.pop()
-        elif kind == "lit":
+        elif kind == 5:  # '(' literal string
             if lex is None:
                 lex = Lexer(data)
             lex.pos = pos - 1
@@ -1055,7 +1116,7 @@ def decode_content(data: bytes) -> list[Operation]:
             except PdfError:
                 break
             pos = lex.pos
-        elif kind == "hex":
+        elif kind == 7:  # '<' hex string
             if lex is None:
                 lex = Lexer(data)
             lex.pos = pos - 1
@@ -1064,7 +1125,7 @@ def decode_content(data: bytes) -> list[Operation]:
             except PdfError:
                 break
             pos = lex.pos
-        elif kind == "dict":
+        elif kind == 6:  # '<<' dict
             if lex is None:
                 lex = Lexer(data)
             lex.pos = pos - 2
@@ -1073,7 +1134,7 @@ def decode_content(data: bytes) -> list[Operation]:
             except PdfError:
                 break
             pos = lex.pos
-        # cmt / junk: skip
+        # cmt(8) / junk(10): skip
     return ops
 
 
