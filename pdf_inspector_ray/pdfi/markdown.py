@@ -587,12 +587,9 @@ _CAPTION_PREFIXES = (
 def is_caption_line(text: str) -> bool:
     """markdown.rs:1173-1214."""
     trimmed = text.strip()
-    for prefix in _CAPTION_PREFIXES:
-        if trimmed.startswith(prefix):
-            return True
-    lower = trimmed.lower()
-    return (lower.startswith("figure ") or lower.startswith("table ")
-            or lower.startswith("source:"))
+    if trimmed.startswith(_CAPTION_PREFIXES):  # tuple form: one C-level call
+        return True
+    return trimmed.lower().startswith(("figure ", "table ", "source:"))
 
 
 def is_list_item(text: str) -> bool:

@@ -406,26 +406,37 @@ class Lexer:
             raise PdfError(f"bad token {tok!r} at {self.pos}")
 
     def _parse_name(self) -> Name:
-        # fast path: one regex grab; '#xx' escapes handled only if present
+        # fast path: one regex grab; '#xx' escapes handled only if present.
+        # raw→Name memo: PDF name vocabulary is tiny (/Type /Font /Page …)
+        # and the mapping is deterministic, so recurring tokens skip the
+        # decode+alloc. Capped: cleared wholesale if adversarially flooded.
         m = _NAME_RE.match(self.data, self.pos)
         raw = m.group(1)
         self.pos = m.end()
+        nm = _NAME_TOKEN_CACHE.get(raw)
+        if nm is not None:
+            return nm
         if b"#" not in raw:
-            return Name(raw.decode("latin-1"))
-        out = bytearray()
-        i, n = 0, len(raw)
-        while i < n:
-            c = raw[i]
-            if c == 0x23 and i + 2 < n:
-                try:
-                    out.append(int(raw[i + 1 : i + 3], 16))
-                    i += 3
-                    continue
-                except ValueError:
-                    pass
-            out.append(c)
-            i += 1
-        return Name(out.decode("latin-1"))
+            nm = Name(raw.decode("latin-1"))
+        else:
+            out = bytearray()
+            i, n = 0, len(raw)
+            while i < n:
+                c = raw[i]
+                if c == 0x23 and i + 2 < n:
+                    try:
+                        out.append(int(raw[i + 1 : i + 3], 16))
+                        i += 3
+                        continue
+                    except ValueError:
+                        pass
+                out.append(c)
+                i += 1
+            nm = Name(out.decode("latin-1"))
+        if len(_NAME_TOKEN_CACHE) > 8192:
+            _NAME_TOKEN_CACHE.clear()
+        _NAME_TOKEN_CACHE[raw] = nm
+        return nm
 
     def _parse_literal_string(self) -> PdfString:
         # fast path: no escapes, no nested parens
@@ -611,6 +622,8 @@ class Lexer:
             end -= 1
         return end
 
+
+_NAME_TOKEN_CACHE: dict[bytes, "Name"] = {}
 
 _INT_RE = re.compile(rb"^[+-]?\d+$")
 _NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r /<>\[\]{}()%]*)")
