@@ -657,6 +657,21 @@ def _q_orders_by_segment(sf_dir: str):
                   .map_groups(merge, batch_format="pyarrow"))
 
 
+def _q_order_priority_revenue(sf_dir: str):
+    """Large×large reduce-side hash join (orders ⋈ lineitem) + grouped
+    revenue — exercises relational.hash_join (tagged-union co-partition,
+    per-group Acero join)."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import order_priority_revenue
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"])
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    return order_priority_revenue(orders, lineitem)
+
+
 def _q_asof_join(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.relational import asof_join_events
@@ -825,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational / windowed
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
+        "order_priority_revenue": _q_order_priority_revenue,
         "windowed_events": _q_windowed_events,
         "hopping_windows": _q_hopping_windows,
         "asof_join": _q_asof_join,
@@ -1201,6 +1217,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_mktsegment, COUNT(*) AS n_orders
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "order_priority_revenue": """
+            SELECT o_orderpriority,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "session_windows": """
             WITH ordered AS (

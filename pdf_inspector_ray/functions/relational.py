@@ -245,3 +245,116 @@ def hopping_window_counts(ds, window_us: int = 3_600_000_000,
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["window_start"])
               .map_groups(merge, batch_format="pyarrow"))
+
+
+# -- generic large-large equi-join -------------------------------------------
+
+JOIN_PARTITIONS = 256
+
+
+def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
+              join_type: str = "inner",
+              num_partitions: int = JOIN_PARTITIONS) -> "ray.data.Dataset":
+    """Reduce-side hash join of two LARGE datasets (neither side fits a
+    broadcast): tagged union → coarse hash(key) co-partition → per-group
+    Acero ``pa.Table.join`` (vectorized C++ hash join, no Python row
+    loops). Hand-rolled because Ray 2.49's native ``Dataset.join`` loses
+    the schema of empty right partitions (same reason as
+    ``dedup._attach_side_column``).
+
+    ``join_type`` is passed to Acero: "inner", "left outer",
+    "right outer", "full outer", "left semi", "left anti", … Outer/anti
+    semantics hold because co-partitioning sends every row of BOTH sides
+    with the same key hash to the same group.
+
+    Scale notes: one all-to-all exchange carrying both sides once; each
+    of the ``num_partitions`` groups holds ~1/P of either table, so P
+    bounds per-task memory — raise it with data size. A pathologically
+    hot key concentrates in one group; salt the key (replicate the small
+    side's hot rows over salted keys) before calling if the key
+    distribution is skewed. Keys must be integer-typed (castable to
+    int64); non-key column names must not collide across sides —
+    pre-rename or pre-hash string keys to int (e.g. the md5 scheme in
+    ``dedup``)."""
+    if right_on is None:
+        right_on = on
+
+    left_schema = [(f.name, f.type) for f in left_ds.schema().base_schema]
+    right_schema = [(f.name, f.type) for f in right_ds.schema().base_schema]
+    left_names = [n for n, _ in left_schema]
+    overlap = set(left_names) & {n for n, _ in right_schema}
+    if overlap:
+        raise ValueError(
+            f"hash_join requires disjoint column names; both sides have "
+            f"{sorted(overlap)} — rename before joining")
+    union_schema = left_schema + right_schema
+
+    def tag(is_left: bool, key_col: str, own_schema):
+        own = {n for n, _ in own_schema}
+
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {name: (batch[name] if name in own
+                           else pa.nulls(len(batch), typ))
+                    for name, typ in union_schema}
+            key = pc.cast(batch[key_col], pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                part = ((key * np.uint64(2654435761))
+                        % np.uint64(num_partitions)).astype(np.int32)
+            cols["__part"] = pa.array(part, pa.int32())
+            cols["__left"] = pa.array(
+                np.full(len(batch), is_left), pa.bool_())
+            return pa.table(cols)
+
+        return fn
+
+    def join_group(group: pa.Table) -> pa.Table:
+        is_left = group["__left"]
+        lt = group.filter(is_left).select(left_names)
+        rt = group.filter(pc.invert(is_left)).select(
+            [n for n, _ in right_schema])
+        return lt.join(rt, keys=[on], right_keys=[right_on],
+                       join_type=join_type)
+
+    tagged = (left_ds.map_batches(tag(True, on, left_schema),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(tag(False, right_on, right_schema),
+                                          batch_format="pyarrow")))
+    return tagged.groupby("__part").map_groups(join_group,
+                                               batch_format="pyarrow")
+
+
+def order_priority_revenue(orders_ds, lineitem_ds) -> "ray.data.Dataset":
+    """Revenue per order priority — a large×large join pipeline (TPC-H
+    Q4-flavored): lineitem revenue is partially pre-aggregated per
+    orderkey inside map_batches (shrinks the exchange ~4×, sum is
+    distributive so cross-batch partials need no reduce before the join),
+    hash-joined to orders, then a tiny partial+merge groupby on
+    priority."""
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev})
+        return (t.group_by(["l_orderkey"]).aggregate([("revenue", "sum")])
+                 .rename_columns(["l_orderkey", "revenue"]))
+
+    li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(orders_ds, li, on="o_orderkey", right_on="l_orderkey")
+
+    def pr_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": batch["o_orderpriority"],
+                      "revenue": batch["revenue"]})
+        return (t.group_by(["o_orderpriority"])
+                 .aggregate([("revenue", "sum")])
+                 .rename_columns(["o_orderpriority", "revenue"]))
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": [group["o_orderpriority"][0].as_py()],
+            "revenue": [round(pc.sum(group["revenue"]).as_py(), 2)],
+        })
+
+    return (joined.map_batches(pr_partial, batch_format="pyarrow")
+                  .groupby("o_orderpriority")
+                  .map_groups(merge, batch_format="pyarrow"))

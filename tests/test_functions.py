@@ -604,3 +604,107 @@ def test_distributed_verifiers_match_broadcast_sf01(ray_session):
     key2 = lambda df: sorted(map(tuple, df[["doc_a", "doc_b", "cos_sim"]]
                                  .values.tolist()))
     assert key2(bc2) == key2(dist2) and len(bc2) > 0
+
+
+# -- generic large-large hash join ------------------------------------------
+
+def _join_sides():
+    rng = np.random.default_rng(11)
+    left = pa.table({
+        "okey": pa.array(range(100), pa.int64()),
+        "priority": pa.array([f"P{i % 5}" for i in range(100)], pa.string()),
+    })
+    # ~3 right rows per key, keys 20..119 so both sides have unmatched keys
+    rk = np.repeat(np.arange(20, 120), 3)
+    right = pa.table({
+        "lkey": pa.array(rk, pa.int64()),
+        "amount": pa.array(np.round(rng.uniform(1, 100, len(rk)), 2),
+                           pa.float64()),
+    })
+    return left, right
+
+
+def test_hash_join_inner_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import hash_join
+
+    left, right = _join_sides()
+    out = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    on="okey", right_on="lkey", num_partitions=8).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute("""
+        SELECT okey, priority, amount FROM l JOIN r ON okey = lkey
+    """).df()
+    key = lambda df: sorted(map(tuple, df[["okey", "priority", "amount"]]
+                                .values.tolist()))
+    assert key(out) == key(exp)
+    assert len(out) == 240  # keys 20..99 x 3
+
+
+def test_hash_join_outer_semi_anti(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import hash_join
+
+    left, right = _join_sides()
+
+    louter = hash_join(ray.data.from_arrow(left),
+                       ray.data.from_arrow(right), on="okey",
+                       right_on="lkey", join_type="left outer",
+                       num_partitions=8).to_pandas()
+    # unmatched left keys 0..19 appear once with null amount
+    unmatched = louter[louter["amount"].isna()]
+    assert sorted(unmatched["okey"]) == list(range(20))
+    assert len(louter) == 240 + 20
+
+    semi = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     on="okey", right_on="lkey", join_type="left semi",
+                     num_partitions=8).to_pandas()
+    assert sorted(semi["okey"]) == list(range(20, 100))
+    assert list(semi.columns) == ["okey", "priority"]
+
+    anti = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     on="okey", right_on="lkey", join_type="left anti",
+                     num_partitions=8).to_pandas()
+    assert sorted(anti["okey"]) == list(range(20))
+
+
+def test_hash_join_column_collision_raises(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import hash_join
+
+    left, _ = _join_sides()
+    with pytest.raises(ValueError, match="disjoint"):
+        hash_join(ray.data.from_arrow(left), ray.data.from_arrow(left),
+                  on="okey")
+
+
+def test_order_priority_revenue_matches_duckdb(ray_session):
+    import os
+
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import order_priority_revenue
+
+    sf = "/root/testdata/sf0.001"
+    orders = ray.data.read_parquet(
+        os.path.join(sf, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"])
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    out = order_priority_revenue(orders, lineitem).to_pandas()
+
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        SELECT o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM '{sf}/orders.parquet' JOIN '{sf}/lineitem.parquet'
+            ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """).df()
+    out = out.sort_values("o_orderpriority").reset_index(drop=True)
+    assert list(out["o_orderpriority"]) == list(exp["o_orderpriority"])
+    assert np.allclose(out["revenue"], exp["revenue"], atol=0.02)
