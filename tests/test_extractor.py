@@ -158,3 +158,78 @@ class TestStreamFilters:
             f30_runlength()).markdown
         assert "Chained Filters Title" in process_pdf_mem(
             f31_filter_chain()).markdown
+
+
+class TestLexerFastPaths:
+    """Pin the inline numeric/comment fast paths in Lexer._parse_array and
+    the memoized token paths in decode_content — same semantics as the
+    general parse_object dispatch."""
+
+    def _arr(self, payload: bytes):
+        from pdf_inspector_ray.pdfi.objects import Lexer
+        lex = Lexer(payload)
+        lex.pos = payload.index(b"[")
+        return lex.parse_object()
+
+    def test_plain_numbers(self):
+        assert self._arr(b"[1 2 3]") == [1, 2, 3]
+        assert self._arr(b"[+1 -2 0]") == [1, -2, 0]
+
+    def test_float_forms(self):
+        assert self._arr(b"[.5 3. 2.25 -0.5]") == [0.5, 3.0, 2.25, -0.5]
+
+    def test_references_in_array(self):
+        from pdf_inspector_ray.pdfi.objects import Reference
+        out = self._arr(b"[1 0 R 25 3 R 7]")
+        assert out == [Reference(1, 0), Reference(25, 3), 7]
+        assert isinstance(out[0], Reference) and not isinstance(out[2], tuple)
+
+    def test_number_terminated_by_delimiter(self):
+        # no whitespace before ']' or '/' — terminator check must accept
+        # delimiters, and '12/Name' must not glue
+        from pdf_inspector_ray.pdfi.objects import Name
+        assert self._arr(b"[12]") == [12]
+        assert self._arr(b"[12/Nm 34]") == [12, Name("Nm"), 34]
+
+    def test_comments_inside_array(self):
+        assert self._arr(b"[1 % c\n 2]") == [1, 2]
+        assert self._arr(b"[1 2 % trailing\n]") == [1, 2]
+
+    def test_ref_not_matched_across_comment(self):
+        # '1 0 R' split by a comment is NOT a reference (_REF_RE allows
+        # only whitespace), so the orphaned 'R' keyword is a parse error —
+        # identical to the general parse_object dispatch
+        import pytest
+        from pdf_inspector_ray.pdfi.objects import PdfError
+        with pytest.raises(PdfError, match="bad token"):
+            self._arr(b"[1 % x\n 0 R 2]")
+
+    def test_nested_arrays_and_mixed(self):
+        from pdf_inspector_ray.pdfi.objects import Name
+        out = self._arr(b"[[1 2] /N (s) 3]")
+        assert out[0] == [1, 2] and out[1] == Name("N") and out[3] == 3
+
+    def test_unterminated_array_raises(self):
+        import pytest
+        from pdf_inspector_ray.pdfi.objects import PdfError
+        with pytest.raises(PdfError):
+            self._arr(b"[1 2 ")
+
+    def test_content_token_memo_identity(self):
+        # recurring operator/name tokens come back as the SAME objects
+        from pdf_inspector_ray.pdfi.objects import decode_content
+        ops = decode_content(b"BT /F1 12 Tf (a) Tj ET BT /F1 9 Tf (b) Tj ET")
+        tf = [o for o in ops if o.operator == "Tf"]
+        assert len(tf) == 2
+        assert tf[0].operator is tf[1].operator
+        assert tf[0].operands[0] is tf[1].operands[0]  # memoized /F1
+
+    def test_byte_width_table_matches_dict(self):
+        from pdf_inspector_ray.pdfi.fonts import (FontWidthInfo,
+                                                  compute_string_width_ts)
+        fi = FontWidthInfo({65: 700, 32: 250}, 500, 250, False, 0.001)
+        data = b"A A~"  # known, space, known, unknown -> 700+250+700+500
+        expect = (700 + 250 + 700 + 500) * 0.001 * 12.0
+        assert abs(compute_string_width_ts(data, fi, 12.0) - expect) < 1e-9
+        # second call exercises the cached table
+        assert abs(compute_string_width_ts(data, fi, 12.0) - expect) < 1e-9
