@@ -657,6 +657,35 @@ def _q_orders_by_segment(sf_dir: str):
                   .map_groups(merge, batch_format="pyarrow"))
 
 
+def _q_dataset_split(sf_dir: str):
+    """Deterministic md5-based train/val/test split — stable across runs
+    and corpus growth; no shuffle (text_stats.assign_split_batch)."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import assign_split_batch
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+    return ds.map_batches(assign_split_batch, batch_format="pyarrow")
+
+
+def _q_events_in_sessions(sf_dir: str):
+    """Range (interval) join: attach each event to the session window that
+    contains it (relational.range_join — tagged-union co-partition by
+    user, vectorized cross-key merge probe)."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (range_join,
+                                                        session_windows)
+    events_path = os.path.join(sf_dir, "events.parquet")
+    sessions = session_windows(
+        ray.data.read_parquet(events_path,
+                              columns=["event_id", "ts", "user_id", "value"]),
+        gap_minutes=30).select_columns(
+            ["user_id", "session_start", "session_end"])
+    left = ray.data.read_parquet(events_path,
+                                 columns=["event_id", "ts", "user_id"])
+    return range_join(left, sessions, key="user_id", left_ts="ts",
+                      right_start="session_start", right_end="session_end")
+
+
 def _q_order_priority_revenue(sf_dir: str):
     """Large×large reduce-side hash join (orders ⋈ lineitem) + grouped
     revenue — exercises relational.hash_join (tagged-union co-partition,
@@ -841,6 +870,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
         "order_priority_revenue": _q_order_priority_revenue,
+        "dataset_split": _q_dataset_split,
+        "events_in_sessions": _q_events_in_sessions,
         "windowed_events": _q_windowed_events,
         "hopping_windows": _q_hopping_windows,
         "asof_join": _q_asof_join,
@@ -1224,6 +1255,44 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "dataset_split": """
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 10000
+                       AS split_bp,
+                   CASE WHEN CAST(concat('0x',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 10000 < 8000 THEN 'train'
+                        WHEN CAST(concat('0x',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) % 10000 < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "events_in_sessions": """
+            WITH ordered AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END
+                           AS new_session
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+                SELECT *, SUM(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                           AS session_id
+                FROM ordered
+            ), sessions AS (
+                SELECT user_id, MIN(ts) AS session_start,
+                       MAX(ts) AS session_end
+                FROM numbered GROUP BY user_id, session_id
+            )
+            SELECT e.event_id, e.ts, e.user_id,
+                   s.session_start, s.session_end
+            FROM events e JOIN sessions s
+              ON e.user_id = s.user_id
+             AND e.ts BETWEEN s.session_start AND s.session_end
         """,
         "session_windows": """
             WITH ordered AS (

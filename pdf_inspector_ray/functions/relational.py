@@ -324,6 +324,109 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
                                                batch_format="pyarrow")
 
 
+def range_join(left_ds, right_ds, key: str, left_ts: str,
+               right_start: str, right_end: str,
+               num_partitions: int = JOIN_PARTITIONS) -> "ray.data.Dataset":
+    """Range (interval) join — a non-equi join Ray Data has no primitive
+    for: attach to each left row the right-side interval
+    ``[right_start, right_end]`` of the same ``key`` that contains
+    ``left_ts`` (inclusive bounds). Composed as a tagged union
+    co-partitioned by key hash (one all-to-all carrying both sides once)
+    followed by a vectorized ``np.searchsorted`` probe per group — no
+    per-row Python.
+
+    Partitioning assumptions (documented per SURVEY §2.7 discipline):
+    all intervals+rows of one key meet in one group (same as the asof/
+    session operators — salt by coarse time range + boundary pass for a
+    pathological key), and one key's intervals are NON-overlapping
+    (sessions, validity windows, SCD periods). Left rows contained in no
+    interval are dropped (inner semantics)."""
+    left_schema = [(f.name, f.type) for f in left_ds.schema().base_schema]
+    right_schema = [(f.name, f.type) for f in right_ds.schema().base_schema]
+    left_names = [n for n, _ in left_schema]
+    out_right = [(n, t) for n, t in right_schema
+                 if n in (right_start, right_end)]
+    overlap = set(left_names) & {right_start, right_end}
+    if overlap:
+        raise ValueError(f"range_join output columns collide: {overlap}")
+    union_schema = left_schema + out_right
+
+    def tag(is_left: bool, own_schema):
+        own = {n for n, _ in own_schema}
+
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {name: (pc.cast(batch[name], typ) if name in own
+                           else pa.nulls(len(batch), typ))
+                    for name, typ in union_schema}
+            k = pc.cast(batch[key], pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                part = ((k * np.uint64(2654435761))
+                        % np.uint64(num_partitions)).astype(np.int32)
+            cols["__key"] = pc.cast(batch[key], pa.int64())
+            cols["__part"] = pa.array(part, pa.int32())
+            cols["__left"] = pa.array(np.full(len(batch), is_left), pa.bool_())
+            return pa.table(cols)
+
+        return fn
+
+    def probe(group: pa.Table) -> pa.Table:
+        is_left = group["__left"]
+        lt = group.filter(is_left)
+        rt = group.filter(pc.invert(is_left))
+        empty = pa.table({n: pa.array([], t) for n, t in union_schema})
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        # One vectorized merge over ALL keys in the partition (same shape
+        # as asof_join's searchsorted sweep, generalized cross-key): sort
+        # the union of interval-starts and probe timestamps by
+        # (key, time, side) with interval rows winning ties, then the
+        # candidate interval for each left row is the most recent
+        # interval-start at or before it, validated to lie in the same
+        # key block and to contain the timestamp.
+        lkey = lt["__key"].to_numpy(zero_copy_only=False)
+        lts = pc.cast(lt[left_ts], pa.int64()).to_numpy(zero_copy_only=False)
+        rkey = rt["__key"].to_numpy(zero_copy_only=False)
+        rst = pc.cast(rt[right_start],
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        ren = pc.cast(rt[right_end], pa.int64()).to_numpy(zero_copy_only=False)
+        n_r, n_l = len(rkey), len(lkey)
+        key_all = np.concatenate([rkey, lkey])
+        ts_all = np.concatenate([rst, lts])
+        side_all = np.concatenate([np.zeros(n_r, np.int8),
+                                   np.ones(n_l, np.int8)])
+        order = np.lexsort((side_all, ts_all, key_all))
+        k_s = key_all[order]
+        side_s = side_all[order]
+        n = n_r + n_l
+        # last interval row at or before each sorted position
+        last_right = np.maximum.accumulate(
+            np.where(side_s == 0, np.arange(n), -1))
+        # first sorted position of each key block (k_s is sorted)
+        block_first = np.searchsorted(k_s, k_s, side="left")
+        left_pos = np.nonzero(side_s == 1)[0]
+        j = last_right[left_pos]
+        ok = j >= block_first[left_pos]  # an interval exists in this block
+        left_idx = order[left_pos] - n_r
+        right_idx = order[np.clip(j, 0, n - 1)]  # < n_r where ok
+        ok &= lts[left_idx] <= ren[np.clip(right_idx, 0, n_r - 1)]
+        keep_l = left_idx[ok]
+        keep_r = right_idx[ok]
+        lt_kept = lt.take(pa.array(keep_l, pa.int64()))
+        out = {nm: lt_kept[nm] for nm, _ in left_schema}
+        matched = rt.take(pa.array(keep_r, pa.int64()))
+        for nm, _ in out_right:
+            out[nm] = matched[nm]
+        return pa.table(out) if len(keep_l) else empty
+
+    tagged = (left_ds.map_batches(tag(True, left_schema),
+                                  batch_format="pyarrow")
+              .union(right_ds.map_batches(tag(False, out_right + [(key, dict(right_schema)[key])]),
+                                          batch_format="pyarrow")))
+    return tagged.groupby("__part").map_groups(probe,
+                                               batch_format="pyarrow")
+
+
 def order_priority_revenue(orders_ds, lineitem_ds) -> "ray.data.Dataset":
     """Revenue per order priority — a large×large join pipeline (TPC-H
     Q4-flavored): lineitem revenue is partially pre-aggregated per

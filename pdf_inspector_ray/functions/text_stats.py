@@ -146,6 +146,29 @@ def fingerprint_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     })
 
 
+def assign_split_batch(batch: pa.Table, id_column: str = "doc_id",
+                       train_bp: int = 8000, val_bp: int = 9000) -> pa.Table:
+    """Deterministic train/val/test split: md5 of the id's decimal string
+    → first 8 hex digits → basis points in [0, 10000). train < train_bp ≤
+    val < val_bp ≤ test. Stateless per row, so the assignment is stable
+    across runs/partitionings/corpus growth — the property a training
+    pipeline needs (a seeded ``random_sample`` reassigns when the corpus
+    changes). md5 is the hash so any external system (DuckDB twin:
+    ``CAST(concat('0x', substr(md5(CAST(id AS VARCHAR)), 1, 8)) AS
+    BIGINT) % 10000``) reproduces it; per-row hashing of a short string
+    is ~1 µs and embarrassingly parallel (no shuffle at all)."""
+    ids = batch[id_column].to_pylist()
+    bps = [int(hashlib.md5(str(i).encode(), usedforsecurity=False)
+               .hexdigest()[:8], 16) % 10000 for i in ids]
+    splits = ["train" if b < train_bp else "val" if b < val_bp else "test"
+              for b in bps]
+    return pa.table({
+        id_column: batch[id_column],
+        "split_bp": pa.array(bps, pa.int64()),
+        "split": pa.array(splits, pa.string()),
+    })
+
+
 _ROLL_BASE = 1_000_003
 _ROLL_MOD = (1 << 61) - 1
 

@@ -708,3 +708,97 @@ def test_order_priority_revenue_matches_duckdb(ray_session):
     out = out.sort_values("o_orderpriority").reset_index(drop=True)
     assert list(out["o_orderpriority"]) == list(exp["o_orderpriority"])
     assert np.allclose(out["revenue"], exp["revenue"], atol=0.02)
+
+
+def test_range_join_basic_and_unmatched(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import range_join
+
+    # two keys in the same hash partition + one key with no intervals;
+    # probes at exact boundaries, inside, in gaps, and before any interval
+    left = pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "ts": pa.array([5, 10, 15, 20, 25, 7, 99, 3], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2, 3], pa.int64()),
+    })
+    right = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "win_start": pa.array([5, 18, 6], pa.int64()),
+        "win_end": pa.array([12, 22, 8], pa.int64()),
+    })
+    out = range_join(
+        ray.data.from_arrow(left),
+        ray.data.from_arrow(right.rename_columns(
+            ["user_id", "win_start", "win_end"])),
+        key="user_id", left_ts="ts", right_start="win_start",
+        right_end="win_end", num_partitions=4,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # matched: e0 (ts=5 start-boundary), e1 (ts=10 inside), e3 (ts=20),
+    #          e5 (user2 ts=7); dropped: e2 (gap 15), e4 (after), e6
+    #          (user2 ts=99), e7 (user3: no intervals)
+    assert list(out["event_id"]) == [0, 1, 3, 5]
+    assert list(out["win_start"]) == [5, 5, 18, 6]
+    assert list(out["win_end"]) == [12, 12, 22, 8]
+
+
+def test_range_join_matches_duckdb_on_random(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import range_join
+
+    rng = np.random.default_rng(3)
+    n_keys = 17
+    ivs = []
+    for k in range(n_keys):
+        t = 0
+        for _ in range(rng.integers(0, 5)):
+            t += int(rng.integers(5, 30))
+            s, e = t, t + int(rng.integers(1, 10))
+            ivs.append((k, s, e))
+            t = e
+    right = pa.table({
+        "k": pa.array([i[0] for i in ivs], pa.int64()),
+        "s": pa.array([i[1] for i in ivs], pa.int64()),
+        "e": pa.array([i[2] for i in ivs], pa.int64()),
+    })
+    left = pa.table({
+        "row_id": pa.array(range(400), pa.int64()),
+        "k": pa.array(rng.integers(0, n_keys, 400), pa.int64()),
+        "t": pa.array(rng.integers(0, 150, 400), pa.int64()),
+    })
+    out = range_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                     key="k", left_ts="t", right_start="s", right_end="e",
+                     num_partitions=8).to_pandas()
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    exp = con.execute("""
+        SELECT row_id, l.k, t, s, e FROM l JOIN r
+            ON l.k = r.k AND l.t BETWEEN r.s AND r.e
+    """).df()
+    key = lambda df: sorted(map(tuple, df[["row_id", "s", "e"]]
+                                .values.tolist()))
+    assert key(out) == key(exp) and len(out) > 0
+
+
+def test_assign_split_deterministic_and_matches_duckdb():
+    import duckdb
+    import hashlib
+    from pdf_inspector_ray.functions.text_stats import assign_split_batch
+
+    batch = pa.table({"doc_id": pa.array(range(501), pa.int64())})
+    out = assign_split_batch(batch)
+    out2 = assign_split_batch(batch)
+    assert out.equals(out2)  # stable
+    con = duckdb.connect()
+    con.register("d", batch)
+    exp = con.execute("""
+        SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 10000 AS bp
+        FROM d ORDER BY doc_id
+    """).df()
+    assert list(out["split_bp"].to_pylist()) == list(exp["bp"])
+    # fractions roughly honored
+    splits = out["split"].to_pylist()
+    assert 0.7 < splits.count("train") / len(splits) < 0.9
+    assert {"train", "val", "test"} == set(splits)
