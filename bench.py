@@ -229,6 +229,29 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
             session_windows(ray.data.read_parquet(events_path)).count()
             queries["events_suite"] = round(time.perf_counter() - t0, 3)
 
+        orders_path = os.path.join(sf_dir, "orders.parquet")
+        if os.path.exists(orders_path) and os.path.exists(events_path):
+            from pdf_inspector_ray.functions.relational import (
+                order_priority_revenue, range_join, session_windows)
+
+            t0 = time.perf_counter()
+            order_priority_revenue(
+                ray.data.read_parquet(
+                    orders_path, columns=["o_orderkey", "o_orderpriority"]),
+                ray.data.read_parquet(
+                    os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=["l_orderkey", "l_extendedprice",
+                             "l_discount"])).count()
+            sessions = session_windows(ray.data.read_parquet(
+                events_path, columns=["event_id", "ts", "user_id", "value"])
+            ).select_columns(["user_id", "session_start", "session_end"])
+            range_join(
+                ray.data.read_parquet(
+                    events_path, columns=["event_id", "ts", "user_id"]),
+                sessions, key="user_id", left_ts="ts",
+                right_start="session_start", right_end="session_end").count()
+            queries["joins_suite"] = round(time.perf_counter() - t0, 3)
+
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
             import pyarrow.parquet as pq
