@@ -657,6 +657,16 @@ def _q_orders_by_segment(sf_dir: str):
                   .map_groups(merge, batch_format="pyarrow"))
 
 
+def _q_top_terms_by_lang(sf_dir: str):
+    """Per-language heavy hitters (text_stats.top_terms_by_group):
+    (lang, term) count partials combine per batch before the shuffle."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import top_terms_by_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "text"])
+    return top_terms_by_group(ds, group_column="lang", k=10)
+
+
 def _q_dataset_split(sf_dir: str):
     """Deterministic md5-based train/val/test split — stable across runs
     and corpus growth; no shuffle (text_stats.assign_split_batch)."""
@@ -871,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "order_priority_revenue": _q_order_priority_revenue,
         "dataset_split": _q_dataset_split,
+        "top_terms_by_lang": _q_top_terms_by_lang,
         "events_in_sessions": _q_events_in_sessions,
         "windowed_events": _q_windowed_events,
         "hopping_windows": _q_hopping_windows,
@@ -1158,6 +1169,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, COUNT(*) AS cnt FROM toks
             GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20
+        """,
+        "top_terms_by_lang": r"""
+            WITH toks AS (
+                SELECT lang, unnest(list_filter(
+                    regexp_split_to_array(text, '\s+'), w -> w <> '')) AS term
+                FROM documents
+            ), counts AS (
+                SELECT lang, term, COUNT(*) AS cnt FROM toks
+                GROUP BY lang, term
+            )
+            SELECT lang, term, cnt FROM counts
+            QUALIFY row_number() OVER
+                (PARTITION BY lang ORDER BY cnt DESC, term ASC) <= 10
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_md5, min(doc_id) AS doc_id

@@ -260,6 +260,45 @@ def top_terms(ds, k: int = 20, text_column: str = "text"):
     return tbl.take(order).slice(0, k)
 
 
+def top_terms_by_group(ds, group_column: str = "lang", k: int = 10,
+                       text_column: str = "text"):
+    """Per-group term-frequency top-k (heavy hitters per language /
+    source / domain — the grouped variant of ``top_terms``): per-batch
+    vectorized (group, term) count partials combine BEFORE the shuffle,
+    a (group, term) sum groupby bounds the exchange by vocabulary ×
+    groups, then a per-group vectorized sort+slice. Ties break (count
+    desc, term asc) so the result is deterministic and SQL-twinnable
+    (``QUALIFY row_number() OVER (PARTITION BY g ORDER BY cnt DESC,
+    term)``)."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern_regex(batch[text_column], r"\s+")
+        toks = pc.list_flatten(tok_lists)
+        reps = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        groups = batch[group_column].take(
+            pa.array(np.repeat(np.arange(len(batch)), reps), pa.int64()))
+        mask = pc.not_equal(toks, "")
+        t = pa.table({group_column: groups.filter(mask),
+                      "term": toks.filter(mask)})
+        return (t.group_by([group_column, "term"])
+                 .aggregate([([], "count_all")])
+                 .rename_columns([group_column, "term", "cnt"]))
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby([group_column, "term"])
+                .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def head(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("cnt", "descending"),
+                                                  ("term", "ascending")])
+        return group.take(order.slice(0, k))
+
+    return counts.groupby(group_column).map_groups(
+        head, batch_format="pyarrow")
+
+
 def stratified_sample(ds, group_column: str, n_per_group: int = 5,
                       order_column: str = "doc_id"):
     """Deterministic stratified sample: the first ``n_per_group`` rows of

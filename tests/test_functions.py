@@ -802,3 +802,41 @@ def test_assign_split_deterministic_and_matches_duckdb():
     splits = out["split"].to_pylist()
     assert 0.7 < splits.count("train") / len(splits) < 0.9
     assert {"train", "val", "test"} == set(splits)
+
+
+def test_top_terms_by_group_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import top_terms_by_group
+
+    rng = np.random.default_rng(13)
+    vocab = {"en": ["the", "fox", "dog", "runs"],
+             "fr": ["le", "renard", "chien"],
+             "de": ["der", "fuchs", "hund"]}
+    rows = []
+    for i in range(120):
+        lang = ["en", "fr", "de"][i % 3]
+        words = rng.choice(vocab[lang], size=rng.integers(3, 12)).tolist()
+        rows.append((lang, " ".join(words)))
+    docs = pa.table({"lang": pa.array([r[0] for r in rows]),
+                     "text": pa.array([r[1] for r in rows])})
+    out = top_terms_by_group(ray.data.from_arrow(docs),
+                             group_column="lang", k=2).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    exp = con.execute(r"""
+        WITH toks AS (
+            SELECT lang, unnest(list_filter(
+                regexp_split_to_array(text, '\s+'), w -> w <> '')) AS term
+            FROM documents
+        ), counts AS (
+            SELECT lang, term, COUNT(*) AS cnt FROM toks GROUP BY lang, term
+        )
+        SELECT lang, term, cnt FROM counts
+        QUALIFY row_number() OVER
+            (PARTITION BY lang ORDER BY cnt DESC, term ASC) <= 2
+    """).df()
+    key = lambda df: sorted(map(tuple, df[["lang", "term", "cnt"]]
+                                .values.tolist()))
+    assert key(out) == key(exp)
+    assert len(out) == 6  # 2 per language
