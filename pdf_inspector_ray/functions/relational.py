@@ -293,6 +293,10 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
         own = {n for n, _ in own_schema}
 
         def fn(batch: pa.Table) -> pa.Table:
+            # null keys never match any row (SQL semantics) — drop them
+            # before hashing (a null int64 would round-trip through numpy
+            # as NaN and corrupt the partition assignment)
+            batch = batch.filter(pc.is_valid(batch[key_col]))
             cols = {name: (batch[name] if name in own
                            else pa.nulls(len(batch), typ))
                     for name, typ in union_schema}
@@ -355,6 +359,9 @@ def range_join(left_ds, right_ds, key: str, left_ts: str,
         own = {n for n, _ in own_schema}
 
         def fn(batch: pa.Table) -> pa.Table:
+            # null keys/timestamps never match an interval — drop before
+            # hashing (null → NaN through numpy corrupts partitioning)
+            batch = batch.filter(pc.is_valid(batch[key]))
             cols = {name: (pc.cast(batch[name], typ) if name in own
                            else pa.nulls(len(batch), typ))
                     for name, typ in union_schema}
@@ -374,6 +381,10 @@ def range_join(left_ds, right_ds, key: str, left_ts: str,
         is_left = group["__left"]
         lt = group.filter(is_left)
         rt = group.filter(pc.invert(is_left))
+        # null timestamps / bounds can never satisfy the containment
+        lt = lt.filter(pc.is_valid(lt[left_ts]))
+        rt = rt.filter(pc.and_(pc.is_valid(rt[right_start]),
+                               pc.is_valid(rt[right_end])))
         empty = pa.table({n: pa.array([], t) for n, t in union_schema})
         if lt.num_rows == 0 or rt.num_rows == 0:
             return empty

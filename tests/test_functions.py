@@ -840,3 +840,36 @@ def test_top_terms_by_group_matches_duckdb(ray_session):
                                 .values.tolist()))
     assert key(out) == key(exp)
     assert len(out) == 6  # 2 per language
+
+
+def test_hash_join_and_range_join_null_keys_dropped(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import hash_join, range_join
+
+    left = pa.table({
+        "okey": pa.array([1, None, 3], pa.int64()),
+        "lval": pa.array(["a", "b", "c"], pa.string()),
+    })
+    right = pa.table({
+        "rkey": pa.array([1, 3, None], pa.int64()),
+        "rval": pa.array([10, 30, 99], pa.int64()),
+    })
+    out = hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    on="okey", right_on="rkey",
+                    num_partitions=4).to_pandas()
+    assert sorted(out["okey"]) == [1, 3]  # null keys never match
+
+    ev = pa.table({
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array([5, None, 7], pa.int64()),
+        "user_id": pa.array([1, 1, None], pa.int64()),
+    })
+    iv = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "s": pa.array([0, None], pa.int64()),
+        "e": pa.array([10, None], pa.int64()),
+    })
+    out2 = range_join(ray.data.from_arrow(ev), ray.data.from_arrow(iv),
+                      key="user_id", left_ts="ts", right_start="s",
+                      right_end="e", num_partitions=4).to_pandas()
+    assert list(out2["event_id"]) == [0]  # null ts/key/bounds all dropped
