@@ -171,11 +171,22 @@ def assign_split_batch(batch: pa.Table, id_column: str = "doc_id",
 
 _ROLL_BASE = 1_000_003
 _ROLL_MOD = (1 << 61) - 1
+_ROLL_WINDOW = 16
+
+# Lookup tables for the vectorized rolling hash: _ROLL_TABLES[j][b] =
+# (b * BASE^(window-1-j)) mod M, so the hash of the window starting at s is
+# sum_j table[j][data[s+j]] mod M. Each entry < 2^61, so a running uint64
+# accumulator only needs a Mersenne fold ((x & M) + (x >> 61)) after each
+# add to stay overflow-free.
+_ROLL_TABLES = np.array(
+    [[(b * pow(_ROLL_BASE, _ROLL_WINDOW - 1 - j, _ROLL_MOD)) % _ROLL_MOD
+      for b in range(256)] for j in range(_ROLL_WINDOW)],
+    dtype=np.uint64)
 
 
-def _rolling_fingerprint(text: str, window: int = 16) -> int:
-    """Min of rolling polynomial hashes over char windows — a cheap,
-    deterministic content fingerprint stable under small appends."""
+def _rolling_fingerprint_scalar(text: str, window: int = 16) -> int:
+    """Reference scalar implementation (Horner + subtract); kept as the
+    equality oracle for the vectorized path and for the short-text case."""
     data = text.encode("utf-8", "replace")
     if len(data) <= window:
         h = 0
@@ -193,6 +204,34 @@ def _rolling_fingerprint(text: str, window: int = 16) -> int:
         if i >= window - 1:
             best = h if best is None or h < best else best
     return best if best is not None else h
+
+
+def _rolling_fingerprint(text: str, window: int = _ROLL_WINDOW) -> int:
+    """Min of rolling polynomial hashes over char windows — a cheap,
+    deterministic content fingerprint stable under small appends.
+
+    Vectorized: every window hash is a sum of ``window`` table lookups
+    (numpy fancy indexing over the byte array), folded mod 2^61-1 after
+    each add — one numpy pass per window offset instead of a Python loop
+    per character. Bit-identical to ``_rolling_fingerprint_scalar``
+    (pinned in tests)."""
+    data = text.encode("utf-8", "replace")
+    n = len(data)
+    if n <= window or window != _ROLL_WINDOW:
+        return _rolling_fingerprint_scalar(text, window)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    m = np.uint64(_ROLL_MOD)
+    shift = np.uint64(61)
+    n_win = n - window + 1
+    acc = np.zeros(n_win, dtype=np.uint64)
+    for j in range(window):
+        acc += _ROLL_TABLES[j][arr[j:j + n_win]]
+        if j % 6 == 5:  # 6 terms < 2^61 each + carry stay under 2^64
+            acc = (acc & m) + (acc >> shift)
+    acc = (acc & m) + (acc >> shift)
+    acc = (acc & m) + (acc >> shift)
+    acc = np.where(acc >= m, acc - m, acc)
+    return int(acc.min())
 
 
 def value_quantiles(ds, column: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):

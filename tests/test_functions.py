@@ -873,3 +873,19 @@ def test_hash_join_and_range_join_null_keys_dropped(ray_session):
                       key="user_id", left_ts="ts", right_start="s",
                       right_end="e", num_partitions=4).to_pandas()
     assert list(out2["event_id"]) == [0]  # null ts/key/bounds all dropped
+
+
+def test_rolling_fingerprint_vectorized_matches_scalar():
+    import random
+    from pdf_inspector_ray.functions.text_stats import (
+        _rolling_fingerprint, _rolling_fingerprint_scalar)
+
+    rng = random.Random(11)
+    cases = ["", "a", "x" * 15, "x" * 16, "x" * 17, "é" * 40,
+             "\xff" * 500,            # 0xff bytes maximize table entries
+             "￿" * 300]          # 3-byte utf-8, all-0xbf/0xef tails
+    for _ in range(150):
+        n = rng.randint(0, 500)
+        cases.append("".join(chr(rng.randint(0, 0x2FFF)) for _ in range(n)))
+    for t in cases:
+        assert _rolling_fingerprint(t) == _rolling_fingerprint_scalar(t), repr(t[:30])
