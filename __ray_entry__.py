@@ -711,6 +711,30 @@ def _q_order_priority_revenue(sf_dir: str):
     return order_priority_revenue(orders, lineitem)
 
 
+def _q_doc_length_quantiles_by_lang(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import grouped_quantiles
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "n_chars"])
+    return grouped_quantiles(ds, "lang", "n_chars")
+
+
+def _q_running_totals(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import running_totals
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id", "value"])
+    return running_totals(ds)
+
+
+def _q_distinct_users_by_type(sf_dir: str):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import distinct_count
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    return distinct_count(ds, "event_type", "user_id", alias="n_users")
+
+
 def _q_asof_join(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.relational import asof_join_events
@@ -887,6 +911,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_windows": _q_hopping_windows,
         "asof_join": _q_asof_join,
         "session_windows": _q_session_windows,
+        "running_totals": _q_running_totals,
+        "distinct_users_by_type": _q_distinct_users_by_type,
+        "doc_length_quantiles_by_lang": _q_doc_length_quantiles_by_lang,
         # multimodal plumbing
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -1152,6 +1179,28 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n_chars, 0.75) AS q75,
                    quantile_disc(n_chars, 0.95) AS q95
             FROM documents
+        """,
+        "doc_length_quantiles_by_lang": """
+            SELECT lang,
+                   quantile_disc(n_chars, 0.25) AS q25,
+                   quantile_disc(n_chars, 0.50) AS q50,
+                   quantile_disc(n_chars, 0.75) AS q75,
+                   quantile_disc(n_chars, 0.95) AS q95
+            FROM documents GROUP BY lang
+        """,
+        "running_totals": """
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER w AS rn,
+                   SUM(CAST(floor(coalesce(value, 0) * 100) AS BIGINT))
+                       OVER w AS cum_cents,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "docs_sample_per_lang": """
             SELECT doc_id, lang, n_chars FROM (

@@ -472,3 +472,79 @@ def order_priority_revenue(orders_ds, lineitem_ds) -> "ray.data.Dataset":
     return (joined.map_batches(pr_partial, batch_format="pyarrow")
                   .groupby("o_orderpriority")
                   .map_groups(merge, batch_format="pyarrow"))
+
+
+def running_totals(ds) -> "ray.data.Dataset":
+    """Cumulative window functions over events: per ``user_id`` ordered by
+    ``(ts, event_id)``, running row number, running sum of ``value`` in
+    integer cents, and the inter-event gap in microseconds (a LAG twin).
+
+    The running sum is computed on ``floor(value·100)`` as int64 — exact
+    integer arithmetic, so the result is independent of accumulation
+    order (a float ``SUM(...) OVER`` could diverge from the oracle when
+    the engine sums a frame in a different order). One shuffle (groupby
+    user_id); the per-group sweep is numpy lexsort + cumsum — no Python
+    row loop. At 100 TB the partitioning assumption is the usual one for
+    window functions: a single user's history fits in one group.
+
+    SQL twin: ``ROW_NUMBER() / SUM(cents) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)`` and
+    ``epoch_us(ts) - LAG(epoch_us(ts)) OVER ...``."""
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(
+            pc.coalesce(batch["value"], pa.scalar(0.0)),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "cents": cents,
+        })
+
+    def sweep(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        cents = group["cents"].to_numpy(zero_copy_only=False)[order]
+        gaps = np.empty(len(ts), dtype=object)
+        gaps[0] = None
+        gaps[1:] = (ts[1:] - ts[:-1]).tolist()
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": group["user_id"],
+            "rn": pa.array(np.arange(1, len(ts) + 1), pa.int64()),
+            "cum_cents": pa.array(np.cumsum(cents), pa.int64()),
+            "gap_us": pa.array(gaps.tolist(), pa.int64()),
+        })
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(sweep, batch_format="pyarrow"))
+
+
+def distinct_count(ds, group_column: str, value_column: str,
+                   alias: str = "n_distinct") -> "ray.data.Dataset":
+    """COUNT(DISTINCT value) per group. Per-batch partial dedupe (arrow
+    ``group_by`` on the pair) shrinks the exchange to unique pairs per
+    batch, then ONE shuffle co-locates each group and a vectorized
+    ``map_groups`` counts its unique values. Uniform over group keys —
+    a skewed group carries only its distinct values, not its rows."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"grp": batch[group_column], "val": batch[value_column]})
+        t = t.filter(pc.is_valid(t["val"]))  # COUNT(DISTINCT) ignores NULLs
+        return (t.group_by(["grp", "val"]).aggregate([])
+                 .rename_columns(["grp", "val"]))
+
+    def count_group(group: pa.Table) -> pa.Table:
+        n = len(pc.unique(group["val"]))
+        return pa.table({
+            group_column: group["grp"][:1],
+            alias: pa.array([n], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("grp")
+              .map_groups(count_group, batch_format="pyarrow"))

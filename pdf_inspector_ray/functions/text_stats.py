@@ -267,6 +267,46 @@ def value_quantiles(ds, column: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0
     return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
 
 
+def grouped_quantiles(ds, group_column: str, value_column: str,
+                      qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
+    """Exact distributed per-group quantiles of an integer column: the
+    same value-count sketch as ``value_quantiles`` keyed by
+    ``(group, value)`` — per-batch arrow ``group_by`` count partials, one
+    global sum groupby, then a tiny driver cumsum per group (bounded by
+    #groups × #distinct values; pre-bin continuous columns first at
+    corpus scale). Quantile rule is DuckDB's ``quantile_disc``
+    rank ``ceil(q·n)−1`` per group."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"grp": batch[group_column], "value": batch[value_column]})
+        return (t.group_by(["grp", "value"]).aggregate([([], "count_all")])
+                 .rename_columns(["grp", "value", "cnt"]))
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(["grp", "value"]).aggregate(Sum("cnt", alias_name="cnt")))
+    rows = counts.take_all()  # tiny: one row per (group, distinct value)
+    by_grp: dict = {}
+    for r in rows:
+        by_grp.setdefault(r["grp"], []).append((r["value"], r["cnt"]))
+    out_grp, out_qs = [], {f"q{int(q * 100)}": [] for q in qs}
+    for grp in sorted(by_grp):
+        pairs = sorted(by_grp[grp])
+        values = np.asarray([v for v, _ in pairs], dtype=np.int64)
+        cum = np.cumsum([c for _, c in pairs])
+        n = int(cum[-1])
+        out_grp.append(grp)
+        for q in qs:
+            k = int(np.ceil(q * n)) - 1
+            idx = int(np.searchsorted(cum, k + 1))
+            out_qs[f"q{int(q * 100)}"].append(int(values[idx]))
+    cols = {group_column: pa.array(out_grp)}
+    cols.update({name: pa.array(vals, pa.int64())
+                 for name, vals in out_qs.items()})
+    return pa.table(cols)
+
+
 def top_terms(ds, k: int = 20, text_column: str = "text"):
     """Corpus-level term frequency top-k: per-batch vectorized token counts
     (arrow split + group_by partial combine), a (term → count) sum groupby

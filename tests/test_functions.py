@@ -2,6 +2,7 @@
 recall, text stats, multimodal plumbing, windowed aggregates."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -889,3 +890,67 @@ def test_rolling_fingerprint_vectorized_matches_scalar():
         cases.append("".join(chr(rng.randint(0, 0x2FFF)) for _ in range(n)))
     for t in cases:
         assert _rolling_fingerprint(t) == _rolling_fingerprint_scalar(t), repr(t[:30])
+
+
+def test_running_totals_window(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import running_totals
+
+    t = pa.table({
+        "event_id": pa.array([3, 1, 2, 10, 11], pa.int64()),
+        "ts": pa.array([200, 100, 100, 50, 40], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "value": pa.array([1.25, 2.5, 0.999, 10.0, None], pa.float64()),
+    })
+    out = (running_totals(ray.data.from_arrow(t)).to_pandas()
+           .sort_values(["user_id", "rn"]).reset_index(drop=True))
+    # user 1 order: (100,1) (100,2) (200,3) — ties broken by event_id
+    u1 = out[out.user_id == 1]
+    assert list(u1.event_id) == [1, 2, 3]
+    assert list(u1.rn) == [1, 2, 3]
+    # cents: floor(2.5*100)=250, floor(0.999*100)=99, floor(1.25*100)=125
+    assert list(u1.cum_cents) == [250, 349, 474]
+    assert pd.isna(u1.gap_us.iloc[0]) and list(u1.gap_us.iloc[1:]) == [0, 100]
+    u2 = out[out.user_id == 2]
+    assert list(u2.event_id) == [11, 10]      # ts order 40 < 50
+    assert list(u2.cum_cents) == [0, 1000]    # null value -> 0 cents
+
+
+def test_distinct_count_ignores_nulls(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import distinct_count
+
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+        "user_id": pa.array([1, 1, None, 2, 3], pa.int64()),
+    })
+    out = (distinct_count(ray.data.from_arrow(t), "event_type", "user_id",
+                          alias="n_users").to_pandas()
+           .sort_values("event_type").reset_index(drop=True))
+    assert list(out.event_type) == ["a", "b"]
+    assert list(out.n_users) == [1, 2]
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import grouped_quantiles
+
+    rng = np.random.default_rng(5)
+    # group sizes NOT divisible by 20 — exercises the ceil(q·n)−1 rule
+    langs = ["en"] * 37 + ["de"] * 13 + ["fr"] * 101
+    vals = rng.integers(0, 50, size=len(langs))
+    t = pa.table({"lang": pa.array(langs), "n_chars": pa.array(vals, pa.int64())})
+    out = (grouped_quantiles(ray.data.from_arrow(t), "lang", "n_chars")
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT lang, quantile_disc(n_chars, 0.25) AS q25,
+               quantile_disc(n_chars, 0.50) AS q50,
+               quantile_disc(n_chars, 0.75) AS q75,
+               quantile_disc(n_chars, 0.95) AS q95
+        FROM t GROUP BY lang ORDER BY lang
+    """).df()
+    pd.testing.assert_frame_equal(out.astype({"q25": "int64", "q50": "int64",
+                                              "q75": "int64", "q95": "int64"}),
+                                  exp.astype({"q25": "int64", "q50": "int64",
+                                              "q75": "int64", "q95": "int64"}))
