@@ -229,6 +229,19 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
             session_windows(ray.data.read_parquet(events_path)).count()
             queries["events_suite"] = round(time.perf_counter() - t0, 3)
 
+        if os.path.exists(events_path):
+            from pdf_inspector_ray.functions.relational import (
+                distinct_count, running_totals)
+
+            t0 = time.perf_counter()
+            running_totals(ray.data.read_parquet(
+                events_path,
+                columns=["event_id", "ts", "user_id", "value"])).count()
+            distinct_count(ray.data.read_parquet(
+                events_path, columns=["event_type", "user_id"]),
+                "event_type", "user_id").count()
+            queries["windows_suite"] = round(time.perf_counter() - t0, 3)
+
         orders_path = os.path.join(sf_dir, "orders.parquet")
         if os.path.exists(orders_path) and os.path.exists(events_path):
             from pdf_inspector_ray.functions.relational import (
