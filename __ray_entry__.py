@@ -677,6 +677,18 @@ def _q_dataset_split(sf_dir: str):
     return ds.map_batches(assign_split_batch, batch_format="pyarrow")
 
 
+def _q_contaminated_train_docs(sf_dir: str):
+    """Benchmark decontamination (decontam.contaminated_train_docs): flag
+    every train-split doc sharing a word 3-gram with a test-split doc.
+    One gram-hash co-partition exchange; per-partition dictionary-code
+    sweep; k=3 so the synthetic corpus yields a dense answer set."""
+    import ray.data
+    from pdf_inspector_ray.functions.decontam import contaminated_train_docs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return contaminated_train_docs(ds, k=3)
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range (interval) join: attach each event to the session window that
     contains it (relational.range_join — tagged-union co-partition by
@@ -905,6 +917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "order_priority_revenue": _q_order_priority_revenue,
         "dataset_split": _q_dataset_split,
+        "contaminated_train_docs": _q_contaminated_train_docs,
         "top_terms_by_lang": _q_top_terms_by_lang,
         "events_in_sessions": _q_events_in_sessions,
         "windowed_events": _q_windowed_events,
@@ -1342,6 +1355,32 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) % 10000 < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "contaminated_train_docs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 8)) AS BIGINT) % 10000
+                           AS bp,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   t -> t <> '') AS w
+                FROM documents
+            ), split AS (
+                SELECT doc_id, bp >= 9000 AS is_eval, w FROM toks
+                WHERE bp < 8000 OR bp >= 9000
+            ), grams AS (
+                SELECT DISTINCT doc_id, is_eval,
+                       array_to_string(list_slice(w, g.i, g.i + 2), ' ')
+                           AS gram
+                FROM split,
+                     LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) g
+            ), contaminating AS (
+                SELECT DISTINCT gram FROM grams WHERE is_eval
+            )
+            SELECT p.doc_id, COUNT(*) AS n_hits
+            FROM grams p JOIN contaminating c USING (gram)
+            WHERE NOT p.is_eval
+            GROUP BY p.doc_id
         """,
         "events_in_sessions": """
             WITH ordered AS (
