@@ -723,6 +723,28 @@ def _q_order_priority_revenue(sf_dir: str):
     return order_priority_revenue(orders, lineitem)
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """TPC-H-Q5-flavored multi-way join (relational.revenue_by_nation):
+    broadcast dimension hop (nation ⋈ region, ray.put once) + two
+    large×large reduce-side hash joins + tiny grouped revenue."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from pdf_inspector_ray.functions.relational import revenue_by_nation
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    return revenue_by_nation(customer, orders, lineitem, nation, region,
+                             region_name="ASIA")
+
+
 def _q_doc_length_quantiles_by_lang(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.text_stats import grouped_quantiles
@@ -916,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "orders_by_segment": _q_orders_by_segment,
         "order_priority_revenue": _q_order_priority_revenue,
+        "revenue_by_nation": _q_revenue_by_nation,
         "dataset_split": _q_dataset_split,
         "contaminated_train_docs": _q_contaminated_train_docs,
         "top_terms_by_lang": _q_top_terms_by_lang,
@@ -1341,6 +1364,18 @@ def oracle_sql() -> dict[str, str]:
                        AS revenue
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            JOIN orders ON o_custkey = c_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
         """,
         "dataset_split": """
             SELECT doc_id,

@@ -474,6 +474,78 @@ def order_priority_revenue(orders_ds, lineitem_ds) -> "ray.data.Dataset":
                   .map_groups(merge, batch_format="pyarrow"))
 
 
+def revenue_by_nation(customer_ds, orders_ds, lineitem_ds,
+                      nation: pa.Table, region: pa.Table,
+                      region_name: str = "ASIA") -> "ray.data.Dataset":
+    """Revenue per customer nation within one region — a TPC-H-Q5-flavored
+    multi-way join mixing BOTH join strategies by side size:
+
+    - nation ⋈ region (25×5 rows) joins on the DRIVER, and the resulting
+      nationkey → n_name map is ``ray.put`` once and probed with
+      ``pc.index_in`` inside customer's map_batches (broadcast join —
+      zero shuffle for the dimension hop, rows of other regions drop
+      before any exchange);
+    - orders ⋈ customer and lineitem ⋈ orders are large×large
+      reduce-side ``hash_join``s; lineitem revenue is pre-aggregated per
+      orderkey inside map_batches before its exchange (distributive sum,
+      ~4× smaller shuffle);
+    - the final groupby(n_name) is a partial+merge over ≤ a handful of
+      nations per region.
+    """
+    import ray
+
+    dim = nation.join(region.filter(pc.equal(region["r_name"], region_name)),
+                      keys=["n_regionkey"], right_keys=["r_regionkey"],
+                      join_type="inner")
+    dim_ref = ray.put((dim["n_nationkey"].combine_chunks(),
+                       dim["n_name"].combine_chunks()))
+
+    def cust_map(batch: pa.Table) -> pa.Table:
+        keys, names = ray.get(dim_ref)
+        idx = pc.index_in(batch["c_nationkey"], value_set=keys)
+        t = pa.table({"c_custkey": batch["c_custkey"],
+                      "n_name": pc.cast(pc.take(names, idx), pa.string())})
+        return t.filter(pc.is_valid(t["n_name"]))
+
+    cust = customer_ds.map_batches(cust_map, batch_format="pyarrow")
+
+    def oc_proj(t: pa.Table) -> pa.Table:
+        # explicit projection, not select_columns: Ray 2.49's Project op
+        # after map_groups reports a stale (pre-projection) .schema(),
+        # which the downstream hash_join reads to build its union schema
+        return t.select(["o_orderkey", "n_name"])
+
+    ord_cust = hash_join(orders_ds, cust,
+                         on="o_custkey", right_on="c_custkey"
+                         ).map_batches(oc_proj, batch_format="pyarrow")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev})
+        return (t.group_by(["l_orderkey"]).aggregate([("revenue", "sum")])
+                 .rename_columns(["l_orderkey", "revenue"]))
+
+    li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(li, ord_cust, on="l_orderkey", right_on="o_orderkey")
+
+    def n_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"n_name": batch["n_name"],
+                      "revenue": batch["revenue"]})
+        return (t.group_by(["n_name"]).aggregate([("revenue", "sum")])
+                 .rename_columns(["n_name", "revenue"]))
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": [group["n_name"][0].as_py()],
+            "revenue": [round(pc.sum(group["revenue"]).as_py(), 2)],
+        })
+
+    return (joined.map_batches(n_partial, batch_format="pyarrow")
+                  .groupby("n_name")
+                  .map_groups(merge, batch_format="pyarrow"))
+
+
 def running_totals(ds) -> "ray.data.Dataset":
     """Cumulative window functions over events: per ``user_id`` ordered by
     ``(ts, event_id)``, running row number, running sum of ``value`` in

@@ -711,6 +711,46 @@ def test_order_priority_revenue_matches_duckdb(ray_session):
     assert np.allclose(out["revenue"], exp["revenue"], atol=0.02)
 
 
+def test_revenue_by_nation_matches_duckdb(ray_session):
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+    import ray.data
+    from pdf_inspector_ray.functions.relational import revenue_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    customer = ray.data.read_parquet(
+        os.path.join(sf, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"])
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    nation = pq.read_table(os.path.join(sf, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf, "region.parquet"))
+    out = (revenue_by_nation(customer, orders, lineitem, nation, region,
+                             region_name="EUROPE")
+           .to_pandas().sort_values("n_name").reset_index(drop=True))
+
+    con = duckdb.connect()
+    exp = con.execute(f"""
+        SELECT n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM '{sf}/customer.parquet'
+        JOIN '{sf}/nation.parquet' ON c_nationkey = n_nationkey
+        JOIN '{sf}/region.parquet' ON n_regionkey = r_regionkey
+        JOIN '{sf}/orders.parquet' ON o_custkey = c_custkey
+        JOIN '{sf}/lineitem.parquet' ON l_orderkey = o_orderkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY n_name ORDER BY n_name
+    """).df()
+    assert len(out) > 0 and list(out["n_name"]) == list(exp["n_name"])
+    assert np.allclose(out["revenue"], exp["revenue"], atol=0.02)
+
+
 def test_range_join_basic_and_unmatched(ray_session):
     import ray.data
     from pdf_inspector_ray.functions.relational import range_join
