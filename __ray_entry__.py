@@ -689,6 +689,18 @@ def _q_contaminated_train_docs(sf_dir: str):
     return contaminated_train_docs(ds, k=3)
 
 
+def _q_contaminated_train_docs_bloom(sf_dir: str):
+    """The 100-TB decontamination shape: same exact result, but a Bloom
+    filter of eval grams (built distributed, ray.put once) drops clean
+    train grams BEFORE the gram exchange. Shares the exact-path oracle —
+    no false negatives, and false positives die in the exact join."""
+    import ray.data
+    from pdf_inspector_ray.functions.decontam import contaminated_train_docs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return contaminated_train_docs(ds, k=3, bloom_prescreen=True)
+
+
 def _q_events_in_sessions(sf_dir: str):
     """Range (interval) join: attach each event to the session window that
     contains it (relational.range_join — tagged-union co-partition by
@@ -941,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "dataset_split": _q_dataset_split,
         "contaminated_train_docs": _q_contaminated_train_docs,
+        "contaminated_train_docs_bloom": _q_contaminated_train_docs_bloom,
         "top_terms_by_lang": _q_top_terms_by_lang,
         "events_in_sessions": _q_events_in_sessions,
         "windowed_events": _q_windowed_events,
@@ -1031,7 +1044,7 @@ def oracle_sql() -> dict[str, str]:
         f"read_parquet('{os.path.join(_corpus_dir('/root/testdata/sf0.01'), '*.parquet')}')"
     )
     ivf_dir, ivf_probes = _ivf_assign_dir("/root/testdata/sf0.01")
-    return {
+    sql = {
         "pdf_classify": f"""
             SELECT conv_id, turn_idx,
                    golden_pdf_type AS pdf_type,
@@ -1494,3 +1507,7 @@ def oracle_sql() -> dict[str, str]:
             FROM x GROUP BY window_start
         """,
     }
+    # the Bloom-prescreened path is EXACT by construction (no false
+    # negatives; false positives die in the gram join) — same oracle
+    sql["contaminated_train_docs_bloom"] = sql["contaminated_train_docs"]
+    return sql

@@ -31,12 +31,15 @@ Shape (scale-first):
 4. A final ``groupby(doc_id)`` sum yields ``n_hits`` = COUNT(DISTINCT
    contaminated grams) per train doc.
 
-At 10^12-doc scale the exchange in (2) carries every train/test gram once
-(~k words each). The classic cheaper-but-inexact variant broadcasts a
-Bloom filter of eval grams to a ``map_batches`` stage (no shuffle, false
-positives possible); this module keeps the exact join shape because the
-oracle demands exactness — swap stage 2 for the Bloom broadcast when an
-approximate screen is acceptable.
+At 10^12-doc scale the exchange in (2) carries every train/test gram
+once (~k words each) — that is the bottleneck, and ``bloom_prescreen``
+removes it WITHOUT giving up exactness: a Bloom filter over eval grams
+(``build_eval_gram_bloom`` — per-batch bitmaps OR-folded through a
+fan-in-64 tree stage, broadcast once with ``ray.put``) drops clean train
+grams before the exchange. No false negatives means no missed hits; the
+false positives (~3% at the default sizing) still reach the exact gram
+join and die there, so both paths return identical tables (pinned in
+tests and by the shared driver oracle).
 """
 
 from __future__ import annotations
@@ -48,6 +51,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 GRAM_PARTITIONS = 256
+
+# Bloom prescreen sizing: bits per filter and probes per key. 2^26 bits
+# (8 MiB) at 4 probes holds ~2^23 eval grams under 3% false positives —
+# size up with the eval corpus (m ≈ 10 × n_grams keeps fp < 1%).
+BLOOM_BITS = 1 << 26
+BLOOM_HASHES = 4
 
 
 def _gram_rows(texts, k: int) -> tuple[np.ndarray, pa.Array]:
@@ -81,14 +90,100 @@ def _split_bps(ids) -> np.ndarray:
         dtype=np.int64, count=len(ids))
 
 
+def _bloom_positions(h: np.ndarray, m_bits: int,
+                     n_hashes: int) -> np.ndarray:
+    """(len(h), n_hashes) bit positions via double hashing: the two
+    halves of one 64-bit xxhash act as (h1, h2)."""
+    h1 = h >> np.uint64(32)
+    h2 = h & np.uint64(0xFFFFFFFF) | np.uint64(1)  # odd → full-period step
+    i = np.arange(n_hashes, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def _bloom_set(bitmap: np.ndarray, pos: np.ndarray) -> None:
+    np.bitwise_or.at(bitmap, pos >> np.uint64(6),
+                     np.uint64(1) << (pos & np.uint64(63)))
+
+
+def _bloom_test(bitmap: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Row mask: True where ALL of the row's probe bits are set."""
+    hit = (bitmap[(pos >> np.uint64(6)).astype(np.int64)]
+           >> (pos & np.uint64(63))) & np.uint64(1)
+    return hit.all(axis=1)
+
+
+def _gram_hash(grams: pa.Array) -> np.ndarray:
+    """Seed-pinned 64-bit gram hash (polars xxhash) — the same basis
+    routes partitions and probes the Bloom prescreen."""
+    import polars as pl
+    return pl.from_arrow(grams).hash(seed=0).to_numpy()
+
+
+def build_eval_gram_bloom(ds, k: int = 5, eval_bp: int = 9000,
+                          text_column: str = "text",
+                          id_column: str = "doc_id",
+                          m_bits: int = BLOOM_BITS,
+                          n_hashes: int = BLOOM_HASHES) -> np.ndarray:
+    """Bloom filter (uint64 bitmap, ``m_bits`` total) over every word
+    k-gram of the eval (test) split. Per-batch bitmaps are OR-combined in
+    a fan-in-64 ``map_batches`` tree stage, so the driver folds at most
+    ~num_batches/64 bitmaps (one more tree level covers any corpus)."""
+    words = m_bits >> 6
+
+    def batch_bloom(batch: pa.Table) -> pa.Table:
+        bps = _split_bps(batch[id_column].to_pylist())
+        batch = batch.filter(pa.array(bps >= eval_bp))
+        bitmap = np.zeros(words, dtype=np.uint64)
+        if batch.num_rows:
+            _, grams = _gram_rows(batch[text_column], k)
+            if len(grams):
+                _bloom_set(bitmap, _bloom_positions(
+                    _gram_hash(grams), m_bits, n_hashes))
+        return pa.table({"bloom": pa.array([bitmap.view(np.uint8)
+                                            .tobytes()], pa.large_binary())})
+
+    def or_combine(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(words, dtype=np.uint64)
+        for blob in batch["bloom"]:
+            acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+        return pa.table({"bloom": pa.array([acc.view(np.uint8).tobytes()],
+                                           pa.large_binary())})
+
+    parts = (ds.map_batches(batch_bloom, batch_format="pyarrow")
+               .map_batches(or_combine, batch_format="pyarrow",
+                            batch_size=64))
+    acc = np.zeros(words, dtype=np.uint64)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b["bloom"]:
+            acc |= np.frombuffer(blob.as_py(), dtype=np.uint64)
+    return acc
+
+
 def contaminated_train_docs(ds, k: int = 5, train_bp: int = 8000,
                             eval_bp: int = 9000, text_column: str = "text",
                             id_column: str = "doc_id",
-                            num_partitions: int = GRAM_PARTITIONS):
+                            num_partitions: int = GRAM_PARTITIONS,
+                            bloom_prescreen: bool = False,
+                            m_bits: int = BLOOM_BITS,
+                            n_hashes: int = BLOOM_HASHES):
     """(doc_id, n_hits) for every train-split doc sharing ≥1 word k-gram
     with any test-split doc; ``n_hits`` counts its distinct contaminated
-    grams. Val-split docs participate on neither side."""
-    import polars as pl
+    grams. Val-split docs participate on neither side.
+
+    ``bloom_prescreen=True`` is the 100-TB shape: a Bloom filter of eval
+    grams (built distributed, broadcast once via ``ray.put``) drops every
+    train gram that cannot be contaminated BEFORE the exchange, shrinking
+    it from all-grams to eval grams + (hits + fp·clean) train grams —
+    with a realistic ≪1% contamination rate that is ~the eval split
+    size. The result is still EXACT: Bloom filters have no false
+    negatives, and false positives die in the exact gram join."""
+    bloom_ref = None
+    if bloom_prescreen:
+        import ray
+        bloom_ref = ray.put(build_eval_gram_bloom(
+            ds, k=k, eval_bp=eval_bp, text_column=text_column,
+            id_column=id_column, m_bits=m_bits, n_hashes=n_hashes))
 
     def to_rows(batch: pa.Table) -> pa.Table:
         # one md5 per DOCUMENT; val-split docs never emit a gram
@@ -105,7 +200,14 @@ def contaminated_train_docs(ds, k: int = 5, train_bp: int = 8000,
         })
         # distinct (doc, gram) pairs — global because one doc = one row
         t = t.group_by(["doc_id", "gram", "is_eval"]).aggregate([])
-        h = pl.from_arrow(t["gram"].combine_chunks()).hash(seed=0).to_numpy()
+        h = _gram_hash(t["gram"].combine_chunks())
+        if bloom_ref is not None and t.num_rows:
+            import ray
+            bitmap = ray.get(bloom_ref)
+            maybe = _bloom_test(bitmap,
+                                _bloom_positions(h, m_bits, n_hashes))
+            keep = maybe | t["is_eval"].to_numpy(zero_copy_only=False)
+            t, h = t.filter(pa.array(keep)), h[keep]
         part = (h % np.uint64(num_partitions)).astype(np.int32)
         return t.append_column("__part", pa.array(part, pa.int32()))
 

@@ -113,6 +113,61 @@ def test_contaminated_train_docs_matches_duckdb(ray_session):
                                   exp.astype({"n_hits": "int64"}))
 
 
+def test_bloom_primitives_no_false_negatives():
+    from pdf_inspector_ray.functions.decontam import (_bloom_positions,
+                                                      _bloom_set,
+                                                      _bloom_test)
+    rng = np.random.default_rng(7)
+    m_bits, n_hashes = 1 << 16, 4
+    members = rng.integers(0, 2**63, size=500, dtype=np.uint64)
+    others = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    bitmap = np.zeros(m_bits >> 6, dtype=np.uint64)
+    _bloom_set(bitmap, _bloom_positions(members, m_bits, n_hashes))
+    assert _bloom_test(bitmap,
+                       _bloom_positions(members, m_bits, n_hashes)).all()
+    # 500 keys × 4 probes in 64Ki bits → fp ≈ (2000/65536)^4 ≈ 1e-6;
+    # a loose bound still catches a broken probe scheme
+    fp = _bloom_test(bitmap, _bloom_positions(others, m_bits, n_hashes))
+    assert fp.mean() < 0.01
+
+
+def test_bloom_prescreen_path_matches_exact(ray_session):
+    import ray.data
+    docs = _random_docs(400, seed=19, vocab=10)
+    t = pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()))})
+    ds = ray.data.from_arrow(t).repartition(4)
+    exact = (contaminated_train_docs(ds, k=3)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    bloom = (contaminated_train_docs(ds, k=3, bloom_prescreen=True,
+                                     m_bits=1 << 18)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(exact) > 10
+    pd.testing.assert_frame_equal(bloom, exact)
+
+
+def test_bloom_prescreen_shrinks_exchange():
+    """A tight filter must drop (nearly) every clean train gram while
+    keeping every contaminated one — checked at the primitive level so
+    the assertion covers what the prescreen actually ships."""
+    from pdf_inspector_ray.functions.decontam import (_bloom_positions,
+                                                      _bloom_set,
+                                                      _bloom_test,
+                                                      _gram_hash)
+    eval_grams = pa.array([f"e{i} x y" for i in range(1000)])
+    clean_train = pa.array([f"t{i} u v" for i in range(20000)])
+    m_bits, n_hashes = 1 << 18, 4
+    bitmap = np.zeros(m_bits >> 6, dtype=np.uint64)
+    _bloom_set(bitmap, _bloom_positions(_gram_hash(eval_grams),
+                                        m_bits, n_hashes))
+    kept = _bloom_test(bitmap, _bloom_positions(_gram_hash(clean_train),
+                                                m_bits, n_hashes))
+    assert kept.mean() < 0.02  # ≥98% of the clean exchange disappears
+    shared = _bloom_test(bitmap, _bloom_positions(_gram_hash(eval_grams),
+                                                  m_bits, n_hashes))
+    assert shared.all()
+
+
 def test_val_split_docs_never_participate(ray_session):
     import ray.data
     # a gram present ONLY in (train, val) pairs must not count
