@@ -677,6 +677,29 @@ def _q_dataset_split(sf_dir: str):
     return ds.map_batches(assign_split_batch, batch_format="pyarrow")
 
 
+def _q_top_revenue_orders(sf_dir: str):
+    """ORDER BY … LIMIT shape (relational.top_revenue_orders): grouped
+    revenue → Ray distributed sample-based sort (revenue DESC, orderkey
+    ASC tie-break) → limit(100)."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import top_revenue_orders
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    return top_revenue_orders(lineitem, k=100)
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition quality signals per doc
+    (text_stats.repetition_stats_batch): top-word count + duplicate
+    word-2/3-gram fractions — stateless vectorized map, no shuffle."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import repetition_stats_batch
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
+
+
 def _q_contaminated_train_docs(sf_dir: str):
     """Benchmark decontamination (decontam.contaminated_train_docs): flag
     every train-split doc sharing a word 3-gram with a test-split doc.
@@ -952,6 +975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": _q_order_priority_revenue,
         "revenue_by_nation": _q_revenue_by_nation,
         "dataset_split": _q_dataset_split,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "repetition_stats": _q_repetition_stats,
         "contaminated_train_docs": _q_contaminated_train_docs,
         "contaminated_train_docs_bloom": _q_contaminated_train_docs_bloom,
         "top_terms_by_lang": _q_top_terms_by_lang,
@@ -1403,6 +1428,58 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) % 10000 < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "top_revenue_orders": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 100
+        """,
+        "repetition_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), wstats AS (
+                SELECT doc_id, SUM(cnt) AS n_words,
+                       MAX(cnt) AS top_word_count
+                FROM (SELECT doc_id, word, COUNT(*) AS cnt
+                      FROM (SELECT doc_id, unnest(w) AS word FROM toks)
+                      GROUP BY doc_id, word)
+                GROUP BY doc_id
+            ), g2 AS (
+                SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT gram) AS d
+                FROM (SELECT doc_id,
+                             array_to_string(list_slice(w, g.i, g.i + 1),
+                                             ' ') AS gram
+                      FROM toks,
+                           LATERAL (SELECT unnest(range(1, len(w))) AS i) g)
+                GROUP BY doc_id
+            ), g3 AS (
+                SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT gram) AS d
+                FROM (SELECT doc_id,
+                             array_to_string(list_slice(w, g.i, g.i + 2),
+                                             ' ') AS gram
+                      FROM toks,
+                           LATERAL (SELECT unnest(range(1, len(w) - 1))
+                                    AS i) g)
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(ws.n_words, 0) AS n_words,
+                   COALESCE(ws.top_word_count, 0) AS top_word_count,
+                   COALESCE(g2.n, 0) AS n_2grams,
+                   COALESCE((g2.n - g2.d) / CAST(g2.n AS DOUBLE), 0.0)
+                       AS dup_2gram_frac,
+                   COALESCE(g3.n, 0) AS n_3grams,
+                   COALESCE((g3.n - g3.d) / CAST(g3.n AS DOUBLE), 0.0)
+                       AS dup_3gram_frac
+            FROM toks t
+            LEFT JOIN wstats ws USING (doc_id)
+            LEFT JOIN g2 USING (doc_id)
+            LEFT JOIN g3 USING (doc_id)
         """,
         "contaminated_train_docs": r"""
             WITH toks AS (

@@ -546,6 +546,40 @@ def revenue_by_nation(customer_ds, orders_ds, lineitem_ds,
                   .map_groups(merge, batch_format="pyarrow"))
 
 
+def top_revenue_orders(lineitem_ds, k: int = 100) -> "ray.data.Dataset":
+    """Global top-k orders by lineitem revenue — the ORDER BY … LIMIT
+    shape: per-orderkey partial revenue inside map_batches, one
+    groupby(orderkey) exchange, then Ray's distributed sample-based sort
+    on (revenue DESC, orderkey ASC) with the limit pushed against the
+    sorted stream. Revenue is rounded to 2 dp BEFORE the sort so the
+    boundary tie-break (orderkey) is a total order the SQL twin shares.
+
+    Scale note: the sort's input is one row per ORDER (already reduced),
+    not per lineitem — at 100 TB the exchange is ~1% of the raw table;
+    a top-k that skipped the per-key aggregate could instead per-batch
+    prune, but revenue spans batches so the aggregate is required."""
+    from ray.data.aggregate import Sum
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev})
+        return (t.group_by(["l_orderkey"]).aggregate([("revenue", "sum")])
+                 .rename_columns(["l_orderkey", "revenue"]))
+
+    def round2(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("revenue"), "revenue",
+            pc.round(batch["revenue"], ndigits=2))
+
+    return (lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Sum("revenue", alias_name="revenue"))
+            .map_batches(round2, batch_format="pyarrow")
+            .sort(["revenue", "l_orderkey"], descending=[True, False])
+            .limit(k))
+
+
 def running_totals(ds) -> "ray.data.Dataset":
     """Cumulative window functions over events: per ``user_id`` ordered by
     ``(ts, event_id)``, running row number, running sum of ``value`` in

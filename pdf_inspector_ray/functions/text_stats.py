@@ -393,3 +393,51 @@ def stratified_sample(ds, group_column: str, n_per_group: int = 5,
         return group.take(order.slice(0, n_per_group))
 
     return ds.groupby(group_column).map_groups(head, batch_format="pyarrow")
+
+
+def repetition_stats_batch(batch: pa.Table,
+                           text_column: str = "text") -> pa.Table:
+    """Gopher-style repetition quality signals, per document: total word
+    count, the count of the single most frequent word, and the duplicate
+    fraction of word 2-grams and 3-grams ((n − n_distinct)/n, 0.0 for a
+    doc with no grams). High values flag boilerplate/templated text that
+    repetition filters drop before pre-training.
+
+    Fully vectorized: gram emission reuses ``decontam._gram_rows``
+    (Arrow shifted-slice join, document boundaries masked), per-doc
+    counting is two Arrow ``group_by`` passes over (row, gram) — no
+    Python row loops. Tokenizer rule is the corpus-wide one (whitespace
+    split, empties dropped), so the SQL twin is exact."""
+    from pdf_inspector_ray.functions.decontam import _gram_rows
+
+    n = len(batch)
+    cols = {"doc_id": batch["doc_id"]}
+    for k, total_name, extra in ((1, "n_words", "top_word_count"),
+                                 (2, "n_2grams", "dup_2gram_frac"),
+                                 (3, "n_3grams", "dup_3gram_frac")):
+        idx, grams = _gram_rows(batch[text_column], k)
+        per = (pa.table({"row": pa.array(idx, pa.int64()), "g": grams})
+               .group_by(["row", "g"]).aggregate([([], "count_all")])
+               .rename_columns(["row", "g", "cnt"]))
+        agg = (per.group_by(["row"])
+               .aggregate([("cnt", "sum"), ("cnt", "max"),
+                           ([], "count_all")])
+               .rename_columns(["row", "total", "max_cnt", "distinct"]))
+        rows = agg["row"].to_numpy(zero_copy_only=False)
+        total = np.zeros(n, np.int64)
+        total[rows] = agg["total"].to_numpy(zero_copy_only=False)
+        cols[total_name] = pa.array(total, pa.int64())
+        if k == 1:
+            top = np.zeros(n, np.int64)
+            top[rows] = agg["max_cnt"].to_numpy(zero_copy_only=False)
+            cols[extra] = pa.array(top, pa.int64())
+        else:
+            dup = np.zeros(n, np.float64)
+            t = total[rows].astype(np.float64)
+            d = agg["distinct"].to_numpy(zero_copy_only=False)
+            # raw IEEE division, NOT rounded: double((n−d))/double(n) is
+            # bit-identical in numpy and DuckDB, while round-to-6dp
+            # diverges on half-even vs half-away ties (n a power of two)
+            dup[rows] = (t - d) / t
+            cols[extra] = pa.array(dup, pa.float64())
+    return pa.table(cols)

@@ -751,6 +751,56 @@ def test_revenue_by_nation_matches_duckdb(ray_session):
     assert np.allclose(out["revenue"], exp["revenue"], atol=0.02)
 
 
+def test_repetition_stats_matches_brute_force():
+    import re
+    from collections import Counter
+
+    from pdf_inspector_ray.functions.text_stats import repetition_stats_batch
+
+    texts = ["a b a b a", "x y z", "", "  q  q\tq ", "solo",
+             "w1 w2 w1 w2 w1 w2 w1 w2"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = repetition_stats_batch(t).to_pandas()
+    for i, text in enumerate(texts):
+        toks = [x for x in re.split(r"\s+", text) if x]
+        row = out.iloc[i]
+        assert row["n_words"] == len(toks)
+        assert row["top_word_count"] == (max(Counter(toks).values())
+                                         if toks else 0)
+        for k, (ncol, fcol) in ((2, ("n_2grams", "dup_2gram_frac")),
+                                (3, ("n_3grams", "dup_3gram_frac"))):
+            grams = [" ".join(toks[j:j + k])
+                     for j in range(len(toks) - k + 1)]
+            assert row[ncol] == len(grams)
+            exp = ((len(grams) - len(set(grams))) / len(grams)
+                   if grams else 0.0)
+            assert row[fcol] == exp
+
+
+def test_top_revenue_orders_matches_duckdb(ray_session):
+    import os
+
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import top_revenue_orders
+
+    sf = "/root/testdata/sf0.001"
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    out = top_revenue_orders(lineitem, k=50).to_pandas()
+    exp = duckdb.sql(f"""
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM '{sf}/lineitem.parquet' GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 50
+    """).df()
+    # limit feeds from the sorted stream — row ORDER itself must match
+    assert list(out["l_orderkey"]) == list(exp["l_orderkey"])
+    assert np.allclose(out["revenue"], exp["revenue"], atol=0.011)
+
+
 def test_range_join_basic_and_unmatched(ray_session):
     import ray.data
     from pdf_inspector_ray.functions.relational import range_join
