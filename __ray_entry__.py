@@ -677,6 +677,27 @@ def _q_dataset_split(sf_dir: str):
     return ds.map_batches(assign_split_batch, batch_format="pyarrow")
 
 
+def _q_event_props(sf_dir: str):
+    """Vectorized JSON property extraction (json_ops) — row-level pull of
+    the integer ``k`` out of the ``props`` JSON string; compiled RE2
+    kernel, no Python rows."""
+    import ray.data
+    from pdf_inspector_ray.functions.json_ops import extract_json_int_batch
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "props"])
+    return ds.map_batches(extract_json_int_batch, batch_format="pyarrow")
+
+
+def _q_event_props_sum_by_type(sf_dir: str):
+    """Grouped sum of the extracted JSON property (json_ops) — per-batch
+    integer partials before one tiny groupby exchange."""
+    import ray.data
+    from pdf_inspector_ray.functions.json_ops import json_int_sum_by_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "props"])
+    return json_int_sum_by_group(ds, group_column="event_type")
+
+
 def _q_top_revenue_orders(sf_dir: str):
     """ORDER BY … LIMIT shape (relational.top_revenue_orders): grouped
     revenue → Ray distributed sample-based sort (revenue DESC, orderkey
@@ -975,6 +996,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": _q_order_priority_revenue,
         "revenue_by_nation": _q_revenue_by_nation,
         "dataset_split": _q_dataset_split,
+        "event_props": _q_event_props,
+        "event_props_sum_by_type": _q_event_props_sum_by_type,
         "top_revenue_orders": _q_top_revenue_orders,
         "repetition_stats": _q_repetition_stats,
         "contaminated_train_docs": _q_contaminated_train_docs,
@@ -1428,6 +1451,20 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) % 10000 < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "event_props": r"""
+            SELECT event_id,
+                   TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+                            AS BIGINT) AS k
+            FROM events
+        """,
+        "event_props_sum_by_type": r"""
+            SELECT event_type,
+                   SUM(TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)',
+                                               1) AS BIGINT)) AS sum_v,
+                   COUNT(TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)',
+                                                 1) AS BIGINT)) AS n_v
+            FROM events GROUP BY event_type
         """,
         "top_revenue_orders": """
             SELECT l_orderkey,

@@ -242,6 +242,26 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
                 "event_type", "user_id").count()
             queries["windows_suite"] = round(time.perf_counter() - t0, 3)
 
+        if os.path.exists(docs_path):
+            from pdf_inspector_ray.functions.decontam import (
+                contaminated_train_docs)
+            from pdf_inspector_ray.functions.text_stats import (
+                repetition_stats_batch)
+
+            t0 = time.perf_counter()
+            contaminated_train_docs(
+                ray.data.read_parquet(docs_path,
+                                      columns=["doc_id", "text"]),
+                k=3).count()
+            contaminated_train_docs(
+                ray.data.read_parquet(docs_path,
+                                      columns=["doc_id", "text"]),
+                k=3, bloom_prescreen=True).count()
+            ray.data.read_parquet(
+                docs_path, columns=["doc_id", "text"]).map_batches(
+                repetition_stats_batch, batch_format="pyarrow").count()
+            queries["curation_suite"] = round(time.perf_counter() - t0, 3)
+
         orders_path = os.path.join(sf_dir, "orders.parquet")
         if os.path.exists(orders_path) and os.path.exists(events_path):
             from pdf_inspector_ray.functions.relational import (
@@ -263,6 +283,26 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
                     events_path, columns=["event_id", "ts", "user_id"]),
                 sessions, key="user_id", left_ts="ts",
                 right_start="session_start", right_end="session_end").count()
+            import pyarrow.parquet as _pq
+
+            from pdf_inspector_ray.functions.relational import (
+                revenue_by_nation, top_revenue_orders)
+            li_cols = ["l_orderkey", "l_extendedprice", "l_discount"]
+            revenue_by_nation(
+                ray.data.read_parquet(
+                    os.path.join(sf_dir, "customer.parquet"),
+                    columns=["c_custkey", "c_nationkey"]),
+                ray.data.read_parquet(
+                    orders_path, columns=["o_orderkey", "o_custkey"]),
+                ray.data.read_parquet(
+                    os.path.join(sf_dir, "lineitem.parquet"),
+                    columns=li_cols),
+                _pq.read_table(os.path.join(sf_dir, "nation.parquet")),
+                _pq.read_table(os.path.join(sf_dir, "region.parquet"))
+            ).count()
+            top_revenue_orders(ray.data.read_parquet(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=li_cols)).count()
             queries["joins_suite"] = round(time.perf_counter() - t0, 3)
 
         emb_path = os.path.join(sf_dir, "embeddings.parquet")

@@ -801,6 +801,47 @@ def test_top_revenue_orders_matches_duckdb(ray_session):
     assert np.allclose(out["revenue"], exp["revenue"], atol=0.011)
 
 
+def test_extract_json_int_edge_cases():
+    from pdf_inspector_ray.functions.json_ops import extract_json_int_batch
+
+    t = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "props": ['{"k": 42}', '{"k":-7, "j": 1}', '{"j": 5}',
+                  'not json', '', '{ "k" : 0 }'],
+    })
+    out = extract_json_int_batch(t).to_pandas()
+    assert out["k"][0] == 42 and out["k"][1] == -7 and out["k"][5] == 0
+    assert out["k"][2:5].isna().all()
+
+
+def test_json_int_sum_by_group_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.json_ops import json_int_sum_by_group
+
+    rng = np.random.default_rng(23)
+    groups = rng.choice(["a", "b", "c"], size=200)
+    vals = rng.integers(-50, 50, size=200)
+    props = [f'{{"k": {v}}}' if i % 7 else '{"other": 1}'
+             for i, v in enumerate(vals)]
+    t = pa.table({"event_type": pa.array(groups.tolist()),
+                  "props": pa.array(props)})
+    out = (json_int_sum_by_group(ray.data.from_arrow(t).repartition(3),
+                                 "event_type")
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    exp = duckdb.sql(r"""
+        SELECT event_type,
+               SUM(TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+                   AS BIGINT)) AS sum_v,
+               COUNT(TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1)
+                     AS BIGINT)) AS n_v
+        FROM t GROUP BY event_type ORDER BY event_type
+    """).df()
+    pd.testing.assert_frame_equal(
+        out.astype({"sum_v": "int64", "n_v": "int64"}),
+        exp.astype({"sum_v": "int64", "n_v": "int64"}))
+
+
 def test_range_join_basic_and_unmatched(ray_session):
     import ray.data
     from pdf_inspector_ray.functions.relational import range_join
