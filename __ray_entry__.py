@@ -1467,11 +1467,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "top_revenue_orders": """
-            SELECT l_orderkey,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
-                       AS revenue
-            FROM lineitem GROUP BY l_orderkey
-            ORDER BY revenue DESC, l_orderkey LIMIT 100
+            WITH rev AS (
+                SELECT l_orderkey,
+                       SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                                      * 100 + 0.5) AS BIGINT)) AS cents
+                FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT l_orderkey, CAST(cents AS DOUBLE) / 100 AS revenue
+            FROM rev ORDER BY revenue DESC, l_orderkey LIMIT 100
         """,
         "repetition_stats": r"""
             WITH toks AS (

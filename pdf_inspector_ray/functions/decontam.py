@@ -131,15 +131,21 @@ def build_eval_gram_bloom(ds, k: int = 5, eval_bp: int = 9000,
     ~num_batches/64 bitmaps (one more tree level covers any corpus)."""
     words = m_bits >> 6
 
+    empty = pa.table({"bloom": pa.array([], pa.large_binary())})
+
     def batch_bloom(batch: pa.Table) -> pa.Table:
         bps = _split_bps(batch[id_column].to_pylist())
         batch = batch.filter(pa.array(bps >= eval_bp))
+        if not batch.num_rows:
+            # train-only batch — ship NOTHING, not an all-zero bitmap
+            # (at a realistic 90/10 split most batches land here)
+            return empty
+        _, grams = _gram_rows(batch[text_column], k)
+        if not len(grams):
+            return empty
         bitmap = np.zeros(words, dtype=np.uint64)
-        if batch.num_rows:
-            _, grams = _gram_rows(batch[text_column], k)
-            if len(grams):
-                _bloom_set(bitmap, _bloom_positions(
-                    _gram_hash(grams), m_bits, n_hashes))
+        _bloom_set(bitmap, _bloom_positions(
+            _gram_hash(grams), m_bits, n_hashes))
         return pa.table({"bloom": pa.array([bitmap.view(np.uint8)
                                             .tobytes()], pa.large_binary())})
 

@@ -551,8 +551,10 @@ def top_revenue_orders(lineitem_ds, k: int = 100) -> "ray.data.Dataset":
     shape: per-orderkey partial revenue inside map_batches, one
     groupby(orderkey) exchange, then Ray's distributed sample-based sort
     on (revenue DESC, orderkey ASC) with the limit pushed against the
-    sorted stream. Revenue is rounded to 2 dp BEFORE the sort so the
-    boundary tie-break (orderkey) is a total order the SQL twin shares.
+    sorted stream. Revenue accumulates in integer CENTS (exact in any
+    order — the ``running_totals`` discipline) so the value, and with
+    the orderkey tie-break the top-k set, is a total order the SQL twin
+    shares bit-for-bit.
 
     Scale note: the sort's input is one row per ORDER (already reduced),
     not per lineitem — at 100 TB the exchange is ~1% of the raw table;
@@ -561,21 +563,29 @@ def top_revenue_orders(lineitem_ds, k: int = 100) -> "ray.data.Dataset":
     from ray.data.aggregate import Sum
 
     def li_partial(batch: pa.Table) -> pa.Table:
+        # integer CENTS per lineitem (floor(x·100 + 0.5) = the SQL twin's
+        # exact per-row expression): int64 partials sum exactly in any
+        # accumulation order, where a float sum rounded at the end flips
+        # half-cent boundaries depending on block split (seen at sf0.1)
         rev = pc.multiply(batch["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        t = pa.table({"l_orderkey": batch["l_orderkey"], "revenue": rev})
-        return (t.group_by(["l_orderkey"]).aggregate([("revenue", "sum")])
-                 .rename_columns(["l_orderkey", "revenue"]))
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"])
+                          ).to_numpy(zero_copy_only=False)
+        cents = np.floor(rev * 100.0 + 0.5).astype(np.int64)
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "cents": pa.array(cents, pa.int64())})
+        return (t.group_by(["l_orderkey"]).aggregate([("cents", "sum")])
+                 .rename_columns(["l_orderkey", "cents"]))
 
-    def round2(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.column_names.index("revenue"), "revenue",
-            pc.round(batch["revenue"], ndigits=2))
+    def to_revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.divide(pc.cast(batch["cents"], pa.float64()),
+                        pa.scalar(100.0))
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "revenue": rev})
 
     return (lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
             .groupby("l_orderkey")
-            .aggregate(Sum("revenue", alias_name="revenue"))
-            .map_batches(round2, batch_format="pyarrow")
+            .aggregate(Sum("cents", alias_name="cents"))
+            .map_batches(to_revenue, batch_format="pyarrow")
             .sort(["revenue", "l_orderkey"], descending=[True, False])
             .limit(k))
 

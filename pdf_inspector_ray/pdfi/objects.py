@@ -118,10 +118,18 @@ class Stream:
                 if isinstance(p, dict):
                     data = _apply_predictor(data, p, doc)
             elif fname in ("ASCIIHexDecode", "AHx"):
-                hexdata = bytes(c for c in data if not chr(c).isspace() and c != 0x3E)
+                # spec §7.4.2: '>' is EOD — everything after it is ignored;
+                # non-hex non-whitespace bytes are a parse error (PdfError,
+                # never a raw ValueError — fuzz-found crash)
+                end = data.find(b">")
+                hexpart = data[:end] if end >= 0 else data
+                hexdata = bytes(c for c in hexpart if not chr(c).isspace())
                 if len(hexdata) % 2:
                     hexdata += b"0"
-                data = bytes.fromhex(hexdata.decode("ascii", "ignore"))
+                try:
+                    data = bytes.fromhex(hexdata.decode("ascii"))
+                except (ValueError, UnicodeDecodeError) as e:
+                    raise PdfError(f"bad ASCIIHex data: {e}") from e
             elif fname in ("ASCII85Decode", "A85"):
                 data = _ascii85_decode(data)
             elif fname in ("RunLengthDecode", "RL"):

@@ -791,14 +791,19 @@ def test_top_revenue_orders_matches_duckdb(ray_session):
         columns=["l_orderkey", "l_extendedprice", "l_discount"])
     out = top_revenue_orders(lineitem, k=50).to_pandas()
     exp = duckdb.sql(f"""
-        SELECT l_orderkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        FROM '{sf}/lineitem.parquet' GROUP BY l_orderkey
-        ORDER BY revenue DESC, l_orderkey LIMIT 50
+        WITH rev AS (
+            SELECT l_orderkey,
+                   SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount))
+                                  * 100 + 0.5) AS BIGINT)) AS cents
+            FROM '{sf}/lineitem.parquet' GROUP BY l_orderkey
+        )
+        SELECT l_orderkey, CAST(cents AS DOUBLE) / 100 AS revenue
+        FROM rev ORDER BY revenue DESC, l_orderkey LIMIT 50
     """).df()
-    # limit feeds from the sorted stream — row ORDER itself must match
+    # limit feeds from the sorted stream — row ORDER itself must match,
+    # and integer-cents accumulation makes values exactly equal
     assert list(out["l_orderkey"]) == list(exp["l_orderkey"])
-    assert np.allclose(out["revenue"], exp["revenue"], atol=0.011)
+    assert list(out["revenue"]) == list(exp["revenue"])
 
 
 def test_extract_json_int_edge_cases():
