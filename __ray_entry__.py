@@ -175,6 +175,45 @@ def _q_pdf_extract_resumable(sf_dir: str):
             _cast_markdown_str, batch_format="pyarrow")
 
 
+def _q_pdf_classify_jsonl(sf_dir: str):
+    """S5 driver row: the JSON sink round-tripped — the classify result
+    is written with ``write_json``, read BACK with ``read_json``, dtypes
+    re-narrowed (JSON widens int32/uint32/float32), and compared against
+    the same golden oracle as `pdf_classify`. Pins the JSON sink
+    end-to-end (ref: src/lib.rs --json surface), not just in CLI smoke."""
+    import glob as _glob
+    import hashlib as _hashlib
+    import shutil
+
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data
+
+    out = _q_pdf_classify(sf_dir)
+    tag = _hashlib.md5(sf_dir.encode(), usedforsecurity=False).hexdigest()[:8]
+    out_dir = f"/tmp/pdfi_jsonl_query/{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out.write_json(out_dir)
+    back = ray.data.read_json(
+        sorted(_glob.glob(os.path.join(out_dir, "*.json*"))))
+    types = [("conv_id", _pa.string()), ("turn_idx", _pa.int32()),
+             ("pdf_type", _pa.string()), ("page_count", _pa.uint32()),
+             ("pages_sampled", _pa.uint32()),
+             ("pages_with_text", _pa.uint32()),
+             ("confidence", _pa.float32()), ("title", _pa.string()),
+             ("ocr_recommended", _pa.bool_()),
+             ("error_kind", _pa.string())]
+
+    def norm(batch: _pa.Table) -> _pa.Table:
+        return _pa.table({
+            name: (_pc.cast(batch[name], typ)
+                   if name in batch.column_names
+                   else _pa.nulls(batch.num_rows, typ))
+            for name, typ in types})
+
+    return back.map_batches(norm, batch_format="pyarrow")
+
+
 def _q_pdf_extract_salted(sf_dir: str):
     """Salted-bucket ordering path — must agree row-for-row with the sort
     path after canonical reorder (the driver compares order-insensitively)."""
@@ -963,6 +1002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_extract": _q_pdf_extract,
         "pdf_extract_salted": _q_pdf_extract_salted,
         "pdf_extract_resumable": _q_pdf_extract_resumable,
+        "pdf_classify_jsonl": _q_pdf_classify_jsonl,
         "pdf_type_histogram": _q_pdf_type_histogram,
         "pdf_equality_rate": _q_pdf_equality_rate,
         "html_extract": _q_html_extract,
@@ -1094,6 +1134,18 @@ def oracle_sql() -> dict[str, str]:
     ivf_dir, ivf_probes = _ivf_assign_dir("/root/testdata/sf0.01")
     sql = {
         "pdf_classify": f"""
+            SELECT conv_id, turn_idx,
+                   golden_pdf_type AS pdf_type,
+                   golden_page_count AS page_count,
+                   golden_pages_sampled AS pages_sampled,
+                   golden_pages_with_text AS pages_with_text,
+                   golden_confidence AS confidence,
+                   golden_title AS title,
+                   coalesce(golden_ocr_recommended, FALSE) AS ocr_recommended,
+                   golden_error_kind AS error_kind
+            FROM {corpus}
+        """,
+        "pdf_classify_jsonl": f"""
             SELECT conv_id, turn_idx,
                    golden_pdf_type AS pdf_type,
                    golden_page_count AS page_count,

@@ -254,7 +254,9 @@ JOIN_PARTITIONS = 256
 
 def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
               join_type: str = "inner",
-              num_partitions: int = JOIN_PARTITIONS) -> "ray.data.Dataset":
+              num_partitions: int = JOIN_PARTITIONS,
+              left_schema: list | None = None,
+              right_schema: list | None = None) -> "ray.data.Dataset":
     """Reduce-side hash join of two LARGE datasets (neither side fits a
     broadcast): tagged union → coarse hash(key) co-partition → per-group
     Acero ``pa.Table.join`` (vectorized C++ hash join, no Python row
@@ -279,8 +281,15 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
     if right_on is None:
         right_on = on
 
-    left_schema = [(f.name, f.type) for f in left_ds.schema().base_schema]
-    right_schema = [(f.name, f.type) for f in right_ds.schema().base_schema]
+    # ``Dataset.schema()`` on a map-produced dataset EXECUTES a limit-1
+    # probe; callers that know their projection pass [(name, type), …]
+    # explicitly to skip it (cheaper, and avoids stacking probe datasets)
+    if left_schema is None:
+        left_schema = [(f.name, f.type)
+                       for f in left_ds.schema().base_schema]
+    if right_schema is None:
+        right_schema = [(f.name, f.type)
+                        for f in right_ds.schema().base_schema]
     left_names = [n for n, _ in left_schema]
     overlap = set(left_names) & {n for n, _ in right_schema}
     if overlap:
@@ -515,8 +524,14 @@ def revenue_by_nation(customer_ds, orders_ds, lineitem_ds,
         # which the downstream hash_join reads to build its union schema
         return t.select(["o_orderkey", "n_name"])
 
+    # schemas passed explicitly: every intermediate here is map-produced,
+    # and Dataset.schema() on those EXECUTES a limit-1 probe per call
     ord_cust = hash_join(orders_ds, cust,
-                         on="o_custkey", right_on="c_custkey"
+                         on="o_custkey", right_on="c_custkey",
+                         left_schema=[("o_orderkey", pa.int64()),
+                                      ("o_custkey", pa.int64())],
+                         right_schema=[("c_custkey", pa.int64()),
+                                       ("n_name", pa.string())]
                          ).map_batches(oc_proj, batch_format="pyarrow")
 
     def li_partial(batch: pa.Table) -> pa.Table:
@@ -527,7 +542,11 @@ def revenue_by_nation(customer_ds, orders_ds, lineitem_ds,
                  .rename_columns(["l_orderkey", "revenue"]))
 
     li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
-    joined = hash_join(li, ord_cust, on="l_orderkey", right_on="o_orderkey")
+    joined = hash_join(li, ord_cust, on="l_orderkey", right_on="o_orderkey",
+                       left_schema=[("l_orderkey", pa.int64()),
+                                    ("revenue", pa.float64())],
+                       right_schema=[("o_orderkey", pa.int64()),
+                                     ("n_name", pa.string())])
 
     def n_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"n_name": batch["n_name"],
