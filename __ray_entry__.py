@@ -101,6 +101,19 @@ def entry() -> Any:
     ])
 
 
+def _exchange_parts(est_rows: int, rows_per_part: int = 20_000) -> int:
+    """Right-size a hash exchange to the data: ~rows_per_part rows per
+    partition bounds per-task memory at scale, while the floor of 16
+    keeps toy inputs from paying the Ray per-task launch cost 256×.
+    ``est_rows`` usually comes from a parquet footer (no data read)."""
+    return max(16, min(256, est_rows // rows_per_part))
+
+
+def _footer_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -767,9 +780,12 @@ def _q_contaminated_train_docs(sf_dir: str):
     sweep; k=3 so the synthetic corpus yields a dense answer set."""
     import ray.data
     from pdf_inspector_ray.functions.decontam import contaminated_train_docs
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
-    return contaminated_train_docs(ds, k=3)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    # the exchange carries gram rows (~200 words per synthetic doc)
+    return contaminated_train_docs(
+        ds, k=3,
+        num_partitions=_exchange_parts(_footer_rows(docs_path) * 200))
 
 
 def _q_contaminated_train_docs_bloom(sf_dir: str):
@@ -779,9 +795,11 @@ def _q_contaminated_train_docs_bloom(sf_dir: str):
     no false negatives, and false positives die in the exact join."""
     import ray.data
     from pdf_inspector_ray.functions.decontam import contaminated_train_docs
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
-    return contaminated_train_docs(ds, k=3, bloom_prescreen=True)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    return contaminated_train_docs(
+        ds, k=3, bloom_prescreen=True,
+        num_partitions=_exchange_parts(_footer_rows(docs_path) * 200))
 
 
 def _q_events_in_sessions(sf_dir: str):
@@ -797,10 +815,19 @@ def _q_events_in_sessions(sf_dir: str):
                               columns=["event_id", "ts", "user_id", "value"]),
         gap_minutes=30).select_columns(
             ["user_id", "session_start", "session_end"])
+    import pyarrow as _pa
     left = ray.data.read_parquet(events_path,
                                  columns=["event_id", "ts", "user_id"])
+    # explicit right schema: sessions is groupby-produced, and schema()
+    # on it would execute the whole session shuffle once just to probe
     return range_join(left, sessions, key="user_id", left_ts="ts",
-                      right_start="session_start", right_end="session_end")
+                      right_start="session_start", right_end="session_end",
+                      num_partitions=_exchange_parts(
+                          _footer_rows(events_path)),
+                      right_schema=[
+                          ("user_id", _pa.int64()),
+                          ("session_start", _pa.timestamp("us")),
+                          ("session_end", _pa.timestamp("us"))])
 
 
 def _q_order_priority_revenue(sf_dir: str):
@@ -812,10 +839,11 @@ def _q_order_priority_revenue(sf_dir: str):
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"])
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
     lineitem = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount"])
-    return order_priority_revenue(orders, lineitem)
+        li_path, columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    return order_priority_revenue(
+        orders, lineitem, num_partitions=_exchange_parts(_footer_rows(li_path)))
 
 
 def _q_revenue_by_nation(sf_dir: str):
@@ -831,13 +859,14 @@ def _q_revenue_by_nation(sf_dir: str):
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey"])
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
     lineitem = ray.data.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+        li_path, columns=["l_orderkey", "l_extendedprice", "l_discount"])
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
     region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
-    return revenue_by_nation(customer, orders, lineitem, nation, region,
-                             region_name="ASIA")
+    return revenue_by_nation(
+        customer, orders, lineitem, nation, region, region_name="ASIA",
+        num_partitions=_exchange_parts(_footer_rows(li_path)))
 
 
 def _q_doc_length_quantiles_by_lang(sf_dir: str):

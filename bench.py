@@ -77,6 +77,17 @@ def _bench_corpus(sf_dir: str) -> str:
 #   * read pruning is asserted (the corpus scan must project exactly the
 #     input columns) and recorded.
 
+def _exchange_parts(est_rows: int, rows_per_part: int = 20_000) -> int:
+    """~rows_per_part rows per hash partition (bounds per-task memory at
+    scale; floor 16 keeps toy inputs off the 256× per-task launch floor)."""
+    return max(16, min(256, est_rows // rows_per_part))
+
+
+def _footer_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def _prewarm_files(path: str) -> float:
     """Read every file under ``path`` once (page-cache warm); returns GB."""
     total = 0
@@ -248,15 +259,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
             from pdf_inspector_ray.functions.text_stats import (
                 repetition_stats_batch)
 
+            gram_parts = _exchange_parts(_footer_rows(docs_path) * 200)
             t0 = time.perf_counter()
             contaminated_train_docs(
                 ray.data.read_parquet(docs_path,
                                       columns=["doc_id", "text"]),
-                k=3).count()
+                k=3, num_partitions=gram_parts).count()
             contaminated_train_docs(
                 ray.data.read_parquet(docs_path,
                                       columns=["doc_id", "text"]),
-                k=3, bloom_prescreen=True).count()
+                k=3, bloom_prescreen=True,
+                num_partitions=gram_parts).count()
             ray.data.read_parquet(
                 docs_path, columns=["doc_id", "text"]).map_batches(
                 repetition_stats_batch, batch_format="pyarrow").count()
@@ -267,22 +280,31 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
             from pdf_inspector_ray.functions.relational import (
                 order_priority_revenue, range_join, session_windows)
 
+            li_path = os.path.join(sf_dir, "lineitem.parquet")
+            join_parts = _exchange_parts(_footer_rows(li_path))
+            ev_parts = _exchange_parts(_footer_rows(events_path))
             t0 = time.perf_counter()
             order_priority_revenue(
                 ray.data.read_parquet(
                     orders_path, columns=["o_orderkey", "o_orderpriority"]),
                 ray.data.read_parquet(
-                    os.path.join(sf_dir, "lineitem.parquet"),
+                    li_path,
                     columns=["l_orderkey", "l_extendedprice",
-                             "l_discount"])).count()
+                             "l_discount"]),
+                num_partitions=join_parts).count()
             sessions = session_windows(ray.data.read_parquet(
                 events_path, columns=["event_id", "ts", "user_id", "value"])
             ).select_columns(["user_id", "session_start", "session_end"])
+            import pyarrow as _pa
             range_join(
                 ray.data.read_parquet(
                     events_path, columns=["event_id", "ts", "user_id"]),
                 sessions, key="user_id", left_ts="ts",
-                right_start="session_start", right_end="session_end").count()
+                right_start="session_start", right_end="session_end",
+                num_partitions=ev_parts,
+                right_schema=[("user_id", _pa.int64()),
+                              ("session_start", _pa.timestamp("us")),
+                              ("session_end", _pa.timestamp("us"))]).count()
             import pyarrow.parquet as _pq
 
             from pdf_inspector_ray.functions.relational import (
@@ -294,15 +316,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
                     columns=["c_custkey", "c_nationkey"]),
                 ray.data.read_parquet(
                     orders_path, columns=["o_orderkey", "o_custkey"]),
-                ray.data.read_parquet(
-                    os.path.join(sf_dir, "lineitem.parquet"),
-                    columns=li_cols),
+                ray.data.read_parquet(li_path, columns=li_cols),
                 _pq.read_table(os.path.join(sf_dir, "nation.parquet")),
-                _pq.read_table(os.path.join(sf_dir, "region.parquet"))
+                _pq.read_table(os.path.join(sf_dir, "region.parquet")),
+                num_partitions=join_parts,
             ).count()
             top_revenue_orders(ray.data.read_parquet(
-                os.path.join(sf_dir, "lineitem.parquet"),
-                columns=li_cols)).count()
+                li_path, columns=li_cols)).count()
             queries["joins_suite"] = round(time.perf_counter() - t0, 3)
 
         emb_path = os.path.join(sf_dir, "embeddings.parquet")

@@ -339,7 +339,9 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
 
 def range_join(left_ds, right_ds, key: str, left_ts: str,
                right_start: str, right_end: str,
-               num_partitions: int = JOIN_PARTITIONS) -> "ray.data.Dataset":
+               num_partitions: int = JOIN_PARTITIONS,
+               left_schema: list | None = None,
+               right_schema: list | None = None) -> "ray.data.Dataset":
     """Range (interval) join — a non-equi join Ray Data has no primitive
     for: attach to each left row the right-side interval
     ``[right_start, right_end]`` of the same ``key`` that contains
@@ -353,9 +355,18 @@ def range_join(left_ds, right_ds, key: str, left_ts: str,
     session operators — salt by coarse time range + boundary pass for a
     pathological key), and one key's intervals are NON-overlapping
     (sessions, validity windows, SCD periods). Left rows contained in no
-    interval are dropped (inner semantics)."""
-    left_schema = [(f.name, f.type) for f in left_ds.schema().base_schema]
-    right_schema = [(f.name, f.type) for f in right_ds.schema().base_schema]
+    interval are dropped (inner semantics).
+
+    Pass ``left_schema``/``right_schema`` ([(name, type), …]) when a side
+    is map/groupby-produced: ``Dataset.schema()`` on those EXECUTES a
+    probe — for a groupby side that means running the whole shuffle once
+    just to learn the column types."""
+    if left_schema is None:
+        left_schema = [(f.name, f.type)
+                       for f in left_ds.schema().base_schema]
+    if right_schema is None:
+        right_schema = [(f.name, f.type)
+                        for f in right_ds.schema().base_schema]
     left_names = [n for n, _ in left_schema]
     out_right = [(n, t) for n, t in right_schema
                  if n in (right_start, right_end)]
@@ -447,13 +458,17 @@ def range_join(left_ds, right_ds, key: str, left_ts: str,
                                                batch_format="pyarrow")
 
 
-def order_priority_revenue(orders_ds, lineitem_ds) -> "ray.data.Dataset":
+def order_priority_revenue(orders_ds, lineitem_ds,
+                           num_partitions: int = JOIN_PARTITIONS
+                           ) -> "ray.data.Dataset":
     """Revenue per order priority — a large×large join pipeline (TPC-H
     Q4-flavored): lineitem revenue is partially pre-aggregated per
     orderkey inside map_batches (shrinks the exchange ~4×, sum is
     distributive so cross-batch partials need no reduce before the join),
     hash-joined to orders, then a tiny partial+merge groupby on
-    priority."""
+    priority. Size ``num_partitions`` to the data (rows/partition bounds
+    per-task memory; at toy scale fewer partitions avoid paying the
+    per-task floor 256 times)."""
 
     def li_partial(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(batch["l_extendedprice"],
@@ -463,7 +478,10 @@ def order_priority_revenue(orders_ds, lineitem_ds) -> "ray.data.Dataset":
                  .rename_columns(["l_orderkey", "revenue"]))
 
     li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
-    joined = hash_join(orders_ds, li, on="o_orderkey", right_on="l_orderkey")
+    joined = hash_join(orders_ds, li, on="o_orderkey", right_on="l_orderkey",
+                       num_partitions=num_partitions,
+                       right_schema=[("l_orderkey", pa.int64()),
+                                     ("revenue", pa.float64())])
 
     def pr_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"o_orderpriority": batch["o_orderpriority"],
@@ -485,7 +503,9 @@ def order_priority_revenue(orders_ds, lineitem_ds) -> "ray.data.Dataset":
 
 def revenue_by_nation(customer_ds, orders_ds, lineitem_ds,
                       nation: pa.Table, region: pa.Table,
-                      region_name: str = "ASIA") -> "ray.data.Dataset":
+                      region_name: str = "ASIA",
+                      num_partitions: int = JOIN_PARTITIONS
+                      ) -> "ray.data.Dataset":
     """Revenue per customer nation within one region — a TPC-H-Q5-flavored
     multi-way join mixing BOTH join strategies by side size:
 
@@ -528,6 +548,7 @@ def revenue_by_nation(customer_ds, orders_ds, lineitem_ds,
     # and Dataset.schema() on those EXECUTES a limit-1 probe per call
     ord_cust = hash_join(orders_ds, cust,
                          on="o_custkey", right_on="c_custkey",
+                         num_partitions=num_partitions,
                          left_schema=[("o_orderkey", pa.int64()),
                                       ("o_custkey", pa.int64())],
                          right_schema=[("c_custkey", pa.int64()),
@@ -543,6 +564,7 @@ def revenue_by_nation(customer_ds, orders_ds, lineitem_ds,
 
     li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
     joined = hash_join(li, ord_cust, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=num_partitions,
                        left_schema=[("l_orderkey", pa.int64()),
                                     ("revenue", pa.float64())],
                        right_schema=[("o_orderkey", pa.int64()),
