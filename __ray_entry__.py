@@ -729,6 +729,19 @@ def _q_dataset_split(sf_dir: str):
     return ds.map_batches(assign_split_batch, batch_format="pyarrow")
 
 
+def _q_hll_user_registers(sf_dir: str):
+    """HyperLogLog distinct-user sketch (sketch.hll_registers): per-batch
+    register fold (≤ 1024 rows leave any batch) + one tiny max-merge
+    groupby. The md5 hash basis makes every register value exactly
+    recomputable in SQL — the sketch itself is oracled, not just its
+    estimate (which tests pin to ≤10%% error vs exact)."""
+    import ray.data
+    from pdf_inspector_ray.functions.sketch import hll_registers
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    return hll_registers(ds, "user_id")
+
+
 def _q_event_props(sf_dir: str):
     """Vectorized JSON property extraction (json_ops) — row-level pull of
     the integer ``k`` out of the ``props`` JSON string; compiled RE2
@@ -1065,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": _q_order_priority_revenue,
         "revenue_by_nation": _q_revenue_by_nation,
         "dataset_split": _q_dataset_split,
+        "hll_user_registers": _q_hll_user_registers,
         "event_props": _q_event_props,
         "event_props_sum_by_type": _q_event_props_sum_by_type,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -1532,6 +1546,24 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) % 10000 < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "hll_user_registers": """
+            WITH h AS (
+                SELECT DISTINCT
+                       CAST(concat('0x',
+                            substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                            AS UBIGINT) AS hv
+                FROM events
+            ), parts AS (
+                SELECT hv >> 54 AS bucket,
+                       hv & ((1::UBIGINT << 54) - 1) AS w
+                FROM h
+            )
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(MAX(CASE WHEN w = 0 THEN 55
+                                 ELSE 54 - length(bin(w)) + 1 END)
+                        AS BIGINT) AS rho
+            FROM parts GROUP BY bucket
         """,
         "event_props": r"""
             SELECT event_id,

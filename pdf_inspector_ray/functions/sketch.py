@@ -1,0 +1,73 @@
+"""HyperLogLog distinct-count sketch (Flajolet et al. 2007) — the
+constant-memory cardinality operator for 100-TB streams where exact
+``distinct_count`` (one shuffle of all pairs) is overkill.
+
+Dataflow: per batch, values dedupe locally and fold into (bucket,
+max rho) register rows — at most ``m = 2**b`` rows leave a batch no
+matter its size; one tiny ``groupby(bucket).max(rho)`` merges them
+(registers are a max-monoid, so merging is associative, idempotent and
+order-free — the same property that lets two CLUSTERS' sketches merge
+by row-wise max). The driver-side estimator touches only m rows.
+
+The hash is the corpus-wide md5 basis (first 16 hex chars → uint64,
+the ``assign_split_batch`` scheme widened to 64 bits) so the registers
+are EXACTLY reproducible in SQL — the DuckDB twin recomputes every
+register value, making the sketch itself oracle-checkable, not just
+its estimate. At production scale swap the per-unique md5 loop for a
+vectorized 64-bit hash (e.g. polars xxhash) and keep the same register
+algebra; the md5 basis is what buys the exact SQL twin here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+HLL_B = 10  # 2**10 = 1024 registers → ~3.3% standard error
+
+
+def hll_registers(ds, column: str, b: int = HLL_B):
+    """(bucket, rho) HyperLogLog registers over the distinct values of
+    ``column``: bucket = top ``b`` hash bits, rho = 1 + leading zeros of
+    the remaining ``64−b`` bits. Hash collisions are part of the sketch
+    definition (both the estimate's error model and the SQL twin see the
+    same hashed multiset), so register equality is exact."""
+    from ray.data.aggregate import Max
+
+    suffix_bits = 64 - b
+    mask = (1 << suffix_bits) - 1
+
+    def batch_regs(batch: pa.Table) -> pa.Table:
+        regs: dict[int, int] = {}
+        for v in pc.unique(batch[column]).to_pylist():
+            if v is None:
+                continue
+            h = int(hashlib.md5(str(v).encode(),
+                                usedforsecurity=False).hexdigest()[:16], 16)
+            bucket = h >> suffix_bits
+            w = h & mask
+            rho = suffix_bits - w.bit_length() + 1 if w else suffix_bits + 1
+            if rho > regs.get(bucket, 0):
+                regs[bucket] = rho
+        return pa.table({"bucket": pa.array(list(regs), pa.int64()),
+                         "rho": pa.array(list(regs.values()), pa.int64())})
+
+    return (ds.map_batches(batch_regs, batch_format="pyarrow")
+              .groupby("bucket").aggregate(Max("rho", alias_name="rho")))
+
+
+def hll_estimate(registers: pa.Table, b: int = HLL_B) -> float:
+    """Cardinality estimate from a register table — driver-side, m rows.
+    Standard HLL with the small-range (linear counting) correction."""
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    rhos = registers["rho"].to_pylist()
+    zeros = m - len(rhos)
+    denom = zeros + sum(2.0 ** -r for r in rhos)
+    est = alpha * m * m / denom
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est

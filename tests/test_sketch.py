@@ -1,0 +1,72 @@
+"""HyperLogLog sketch tests: exact register parity vs the DuckDB twin,
+estimate accuracy vs true cardinality, and the max-monoid merge law
+that makes cross-cluster sketch union trivial."""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pdf_inspector_ray.functions.sketch import hll_estimate, hll_registers
+
+
+def _regs_pd(ds) -> pd.DataFrame:
+    return ds.to_pandas().sort_values("bucket").reset_index(drop=True)
+
+
+def test_hll_registers_match_duckdb(ray_session):
+    import ray.data
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, 10**9, size=60_000)  # ~59k distinct
+    t = pa.table({"user_id": pa.array(vals, pa.int64())})
+    out = _regs_pd(hll_registers(ray.data.from_arrow(t).repartition(6),
+                                 "user_id"))
+    exp = duckdb.sql("""
+        WITH h AS (
+            SELECT DISTINCT CAST(concat('0x',
+                   substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                   AS UBIGINT) AS hv
+            FROM t
+        ), parts AS (
+            SELECT hv >> 54 AS bucket, hv & ((1::UBIGINT << 54) - 1) AS w
+            FROM h
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(MAX(CASE WHEN w = 0 THEN 55
+                             ELSE 54 - length(bin(w)) + 1 END)
+                    AS BIGINT) AS rho
+        FROM parts GROUP BY bucket ORDER BY bucket
+    """).df()
+    assert len(out) == 1024  # 59k distinct fills every register
+    pd.testing.assert_frame_equal(out, exp.astype({"bucket": "int64",
+                                                   "rho": "int64"}))
+
+
+def test_hll_estimate_accuracy(ray_session):
+    import ray.data
+    for n, seed in ((500, 1), (20_000, 2), (300_000, 3)):
+        vals = np.arange(n, dtype=np.int64) * 7919 + seed  # n distinct
+        t = pa.table({"user_id": pa.array(vals, pa.int64())})
+        regs = hll_registers(ray.data.from_arrow(t).repartition(4),
+                             "user_id").take_all()
+        est = hll_estimate(pa.table({
+            "bucket": pa.array([r["bucket"] for r in regs], pa.int64()),
+            "rho": pa.array([r["rho"] for r in regs], pa.int64())}))
+        # m=1024 → ~3.3% standard error; 10% is a 3-sigma bound
+        assert abs(est - n) / n < 0.10, (n, est)
+
+
+def test_hll_registers_merge_is_max(ray_session):
+    import ray.data
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 10**8, size=5_000)
+    b_ = rng.integers(0, 10**8, size=5_000)
+    ta = pa.table({"user_id": pa.array(a, pa.int64())})
+    tb = pa.table({"user_id": pa.array(b_, pa.int64())})
+    tall = pa.table({"user_id": pa.array(np.concatenate([a, b_]),
+                                         pa.int64())})
+    ra = _regs_pd(hll_registers(ray.data.from_arrow(ta), "user_id"))
+    rb = _regs_pd(hll_registers(ray.data.from_arrow(tb), "user_id"))
+    rall = _regs_pd(hll_registers(ray.data.from_arrow(tall), "user_id"))
+    merged = (pd.concat([ra, rb]).groupby("bucket", as_index=False)["rho"]
+              .max().sort_values("bucket").reset_index(drop=True))
+    pd.testing.assert_frame_equal(merged, rall)
