@@ -734,12 +734,25 @@ def _q_hll_user_registers(sf_dir: str):
     register fold (≤ 1024 rows leave any batch) + one tiny max-merge
     groupby. The md5 hash basis makes every register value exactly
     recomputable in SQL — the sketch itself is oracled, not just its
-    estimate (which tests pin to ≤10%% error vs exact)."""
+    estimate (which tests pin to ≤10% error vs exact)."""
     import ray.data
     from pdf_inspector_ray.functions.sketch import hll_registers
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id"])
     return hll_registers(ds, "user_id")
+
+
+def _q_cms_user_counters(sf_dir: str):
+    """Count-min sketch of per-user event frequencies
+    (sketch.cms_counters): 4 md5-salted hash rows × 1024 buckets; ≤ 4096
+    counter rows leave any batch, one tiny sum-merge groupby. Counters
+    are SQL-recomputable exactly — the sketch is oracled, point-query
+    overestimate bound pinned in pytest."""
+    import ray.data
+    from pdf_inspector_ray.functions.sketch import cms_counters
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    return cms_counters(ds, "user_id")
 
 
 def _q_event_props(sf_dir: str):
@@ -1079,6 +1092,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "dataset_split": _q_dataset_split,
         "hll_user_registers": _q_hll_user_registers,
+        "cms_user_counters": _q_cms_user_counters,
         "event_props": _q_event_props,
         "event_props_sum_by_type": _q_event_props_sum_by_type,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -1564,6 +1578,23 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 54 - length(bin(w)) + 1 END)
                         AS BIGINT) AS rho
             FROM parts GROUP BY bucket
+        """,
+        "cms_user_counters": """
+            WITH vc AS (
+                SELECT user_id, COUNT(*) AS c FROM events
+                WHERE user_id IS NOT NULL GROUP BY user_id
+            ), hashed AS (
+                SELECT d.d AS depth,
+                       CAST(CAST(concat('0x', substr(md5(concat(
+                                 CAST(d.d AS VARCHAR), ':',
+                                 CAST(user_id AS VARCHAR))), 1, 16))
+                            AS UBIGINT) % 1024 AS BIGINT) AS bucket,
+                       c
+                FROM vc CROSS JOIN
+                     (SELECT unnest([0, 1, 2, 3]) AS d) d
+            )
+            SELECT depth, bucket, SUM(c) AS cnt
+            FROM hashed GROUP BY depth, bucket
         """,
         "event_props": r"""
             SELECT event_id,

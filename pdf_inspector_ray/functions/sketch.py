@@ -71,3 +71,60 @@ def hll_estimate(registers: pa.Table, b: int = HLL_B) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def cms_counters(ds, column: str, depth: int = CMS_DEPTH,
+                 width: int = CMS_WIDTH):
+    """Count-min sketch (Cormode & Muthukrishnan 2005) counters over
+    ``column``: ``depth`` independent md5-salted hash rows × ``width``
+    buckets. Per batch, local value counts fold into at most
+    depth×width counter rows regardless of batch size; one tiny
+    ``groupby((depth, bucket)).sum`` merges them — counters are a
+    sum-monoid, so cross-cluster sketches merge by row-wise addition.
+    Like ``hll_registers``, the md5 basis makes every counter exactly
+    recomputable in SQL (the oracle checks the sketch, not an estimate);
+    swap in a vectorized hash at production scale, same algebra."""
+    from ray.data.aggregate import Sum
+
+    def batch_counters(batch: pa.Table) -> pa.Table:
+        vc = batch[column].value_counts()
+        vals = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_pylist()
+        acc: dict[tuple[int, int], int] = {}
+        for v, c in zip(vals, counts):
+            if v is None:
+                continue
+            s = str(v)
+            for d in range(depth):
+                h = int(hashlib.md5(f"{d}:{s}".encode(),
+                                    usedforsecurity=False)
+                        .hexdigest()[:16], 16)
+                key = (d, h % width)
+                acc[key] = acc.get(key, 0) + c
+        return pa.table({
+            "depth": pa.array([k[0] for k in acc], pa.int64()),
+            "bucket": pa.array([k[1] for k in acc], pa.int64()),
+            "cnt": pa.array(list(acc.values()), pa.int64()),
+        })
+
+    return (ds.map_batches(batch_counters, batch_format="pyarrow")
+              .groupby(["depth", "bucket"])
+              .aggregate(Sum("cnt", alias_name="cnt")))
+
+
+def cms_query(counters: pa.Table, value, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> int:
+    """Point frequency estimate: min over the value's ``depth`` counters
+    (never underestimates; overestimate bounded by collisions)."""
+    lut = {(d, b): c for d, b, c in zip(counters["depth"].to_pylist(),
+                                        counters["bucket"].to_pylist(),
+                                        counters["cnt"].to_pylist())}
+    s = str(value)
+    return min(lut.get(
+        (d, int(hashlib.md5(f"{d}:{s}".encode(),
+                            usedforsecurity=False).hexdigest()[:16], 16)
+         % width), 0) for d in range(depth))

@@ -70,3 +70,57 @@ def test_hll_registers_merge_is_max(ray_session):
     merged = (pd.concat([ra, rb]).groupby("bucket", as_index=False)["rho"]
               .max().sort_values("bucket").reset_index(drop=True))
     pd.testing.assert_frame_equal(merged, rall)
+
+
+def test_cms_counters_match_duckdb(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.sketch import cms_counters
+
+    rng = np.random.default_rng(43)
+    vals = rng.zipf(1.5, size=30_000) % 5000  # skewed, with hot keys
+    t = pa.table({"user_id": pa.array(vals, pa.int64())})
+    out = (cms_counters(ray.data.from_arrow(t).repartition(5), "user_id")
+           .to_pandas().sort_values(["depth", "bucket"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH vc AS (
+            SELECT user_id, COUNT(*) AS c FROM t
+            WHERE user_id IS NOT NULL GROUP BY user_id
+        ), hashed AS (
+            SELECT d.d AS depth,
+                   CAST(CAST(concat('0x', substr(md5(concat(
+                             CAST(d.d AS VARCHAR), ':',
+                             CAST(user_id AS VARCHAR))), 1, 16))
+                        AS UBIGINT) % 1024 AS BIGINT) AS bucket,
+                   c
+            FROM vc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+        )
+        SELECT depth, bucket, SUM(c) AS cnt
+        FROM hashed GROUP BY depth, bucket ORDER BY depth, bucket
+    """).df()
+    pd.testing.assert_frame_equal(
+        out.astype({"depth": "int64", "bucket": "int64", "cnt": "int64"}),
+        exp.astype({"depth": "int64", "bucket": "int64", "cnt": "int64"}))
+
+
+def test_cms_point_query_bounds(ray_session):
+    import ray.data
+    from collections import Counter
+
+    from pdf_inspector_ray.functions.sketch import cms_counters, cms_query
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([np.full(2_000, 7),       # one hot key
+                           rng.integers(0, 400, size=8_000)])
+    true = Counter(vals.tolist())
+    t = pa.table({"user_id": pa.array(vals, pa.int64())})
+    counters = pa.table(
+        {c: [r[c] for r in cms_counters(
+            ray.data.from_arrow(t).repartition(3), "user_id").take_all()]
+         for c in ("depth", "bucket", "cnt")})
+    n = len(vals)
+    for v in (7, 0, 100, 399):
+        est = cms_query(counters, v)
+        assert est >= true[v]                       # never underestimates
+        # classic bound: overestimate ≤ 2e/width · n w.h.p.
+        assert est - true[v] <= (2 * np.e / 1024) * n
