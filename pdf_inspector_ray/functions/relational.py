@@ -256,7 +256,9 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
               join_type: str = "inner",
               num_partitions: int = JOIN_PARTITIONS,
               left_schema: list | None = None,
-              right_schema: list | None = None) -> "ray.data.Dataset":
+              right_schema: list | None = None,
+              hot_keys: list | None = None,
+              salt: int = 8) -> "ray.data.Dataset":
     """Reduce-side hash join of two LARGE datasets (neither side fits a
     broadcast): tagged union → coarse hash(key) co-partition → per-group
     Acero ``pa.Table.join`` (vectorized C++ hash join, no Python row
@@ -271,15 +273,27 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
 
     Scale notes: one all-to-all exchange carrying both sides once; each
     of the ``num_partitions`` groups holds ~1/P of either table, so P
-    bounds per-task memory — raise it with data size. A pathologically
-    hot key concentrates in one group; salt the key (replicate the small
-    side's hot rows over salted keys) before calling if the key
-    distribution is skewed. Keys must be integer-typed (castable to
-    int64); non-key column names must not collide across sides —
-    pre-rename or pre-hash string keys to int (e.g. the md5 scheme in
-    ``dedup``)."""
+    bounds per-task memory — raise it with data size. Keys must be
+    integer-typed (castable to int64); non-key column names must not
+    collide across sides — pre-rename or pre-hash string keys to int
+    (e.g. the md5 scheme in ``dedup``).
+
+    Skew (``hot_keys`` + ``salt``): a pathologically hot key
+    concentrates its rows in one group. Passing its key values spreads
+    each hot LEFT row over one of ``salt`` sub-partitions
+    (deterministic round-robin) and REPLICATES each hot RIGHT row into
+    all of them, so every left row still meets every matching right row
+    exactly once. Correct for inner / left outer / left semi / left
+    anti (each left row lands in exactly one group and every group
+    holds the full hot right set); right/full outer would emit
+    replicated unmatched right rows and raise. Find hot keys cheaply
+    with ``sketch.cms_counters`` over the key column."""
     if right_on is None:
         right_on = on
+    if hot_keys and join_type in ("right outer", "full outer"):
+        raise ValueError(
+            f"salting replicates right-side hot rows — {join_type} would "
+            "emit duplicates; use it on the un-replicated side instead")
 
     # ``Dataset.schema()`` on a map-produced dataset EXECUTES a limit-1
     # probe; callers that know their projection pass [(name, type), …]
@@ -298,6 +312,9 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
             f"{sorted(overlap)} — rename before joining")
     union_schema = left_schema + right_schema
 
+    hot = (np.asarray(sorted(hot_keys), dtype=np.int64).astype(np.uint64)
+           if hot_keys else None)
+
     def tag(is_left: bool, key_col: str, own_schema):
         own = {n for n, _ in own_schema}
 
@@ -306,13 +323,37 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
             # before hashing (a null int64 would round-trip through numpy
             # as NaN and corrupt the partition assignment)
             batch = batch.filter(pc.is_valid(batch[key_col]))
+            key = pc.cast(batch[key_col], pa.int64()).to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            salt_idx = np.zeros(len(batch), dtype=np.uint64)
+            if hot is not None:
+                is_hot = np.isin(key, hot)
+                if is_left:
+                    # deterministic round-robin: same batch → same salts
+                    # on retry, so the shuffle stays replay-safe
+                    salt_idx[is_hot] = (np.arange(len(batch),
+                                                  dtype=np.uint64)[is_hot]
+                                        % np.uint64(salt))
+                elif is_hot.any():
+                    # replicate each hot right row into every salt group
+                    reps = np.where(is_hot, salt, 1).astype(np.int64)
+                    take = np.repeat(np.arange(len(batch)), reps)
+                    batch = batch.take(pa.array(take))
+                    key = key[take]
+                    salt_idx = np.zeros(len(batch), dtype=np.uint64)
+                    grew = np.repeat(is_hot, reps)
+                    # 0..salt-1 within each replicated run
+                    pos = np.arange(len(batch), dtype=np.int64)
+                    run_start = np.repeat(
+                        np.cumsum(np.concatenate([[0], reps[:-1]])), reps)
+                    salt_idx[grew] = (pos - run_start)[grew].astype(
+                        np.uint64)
             cols = {name: (batch[name] if name in own
                            else pa.nulls(len(batch), typ))
                     for name, typ in union_schema}
-            key = pc.cast(batch[key_col], pa.int64()).to_numpy(
-                zero_copy_only=False).astype(np.uint64)
             with np.errstate(over="ignore"):
-                part = ((key * np.uint64(2654435761))
+                part = ((key * np.uint64(2654435761)
+                         + salt_idx * np.uint64(40503))
                         % np.uint64(num_partitions)).astype(np.int32)
             cols["__part"] = pa.array(part, pa.int32())
             cols["__left"] = pa.array(

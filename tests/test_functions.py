@@ -672,6 +672,46 @@ def test_hash_join_outer_semi_anti(ray_session):
     assert sorted(anti["okey"]) == list(range(20))
 
 
+def test_hash_join_salted_matches_unsalted(ray_session):
+    """Skew salting must not change ANY allowed join's result: hot left
+    rows spread over salt sub-partitions, hot right rows replicate into
+    all of them, so every pair still meets exactly once."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import hash_join
+
+    rng = np.random.default_rng(29)
+    # 70% of left rows hit key 42 (the hot key); right has multiplicity 3
+    # on it so inner-join fan-out is exercised, plus unmatched rows on
+    # both sides for the outer/semi/anti paths
+    lkey = np.where(rng.random(4000) < 0.7, 42,
+                    rng.integers(0, 50, size=4000))
+    left = pa.table({"k": pa.array(lkey, pa.int64()),
+                     "lv": pa.array(np.arange(4000), pa.int64())})
+    rkey = np.concatenate([[42, 42, 42], np.arange(30, 60)])
+    right = pa.table({"rk": pa.array(rkey, pa.int64()),
+                      "rv": pa.array(np.arange(len(rkey)), pa.int64())})
+
+    for jt in ("inner", "left outer", "left semi", "left anti"):
+        plain = (hash_join(ray.data.from_arrow(left).repartition(4),
+                           ray.data.from_arrow(right), on="k",
+                           right_on="rk", join_type=jt, num_partitions=16)
+                 .to_pandas())
+        salted = (hash_join(ray.data.from_arrow(left).repartition(4),
+                            ray.data.from_arrow(right), on="k",
+                            right_on="rk", join_type=jt, num_partitions=16,
+                            hot_keys=[42], salt=4)
+                  .to_pandas())
+        cols = list(plain.columns)
+        pd.testing.assert_frame_equal(
+            plain.sort_values(cols).reset_index(drop=True),
+            salted.sort_values(cols).reset_index(drop=True))
+
+    with pytest.raises(ValueError, match="replicates"):
+        hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                  on="k", right_on="rk", join_type="right outer",
+                  hot_keys=[42])
+
+
 def test_hash_join_column_collision_raises(ray_session):
     import ray.data
     from pdf_inspector_ray.functions.relational import hash_join
