@@ -742,6 +742,18 @@ def _q_hll_user_registers(sf_dir: str):
     return hll_registers(ds, "user_id")
 
 
+def _q_hll_users_by_type(sf_dir: str):
+    """Per-group COUNT(DISTINCT) at sketch cost
+    (sketch.hll_registers_by_group): per-(batch, event_type) register
+    fold, one (group, bucket) max-merge exchange; register-exact SQL
+    twin like the global sketch's."""
+    import ray.data
+    from pdf_inspector_ray.functions.sketch import hll_registers_by_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    return hll_registers_by_group(ds, "event_type", "user_id")
+
+
 def _q_cms_user_counters(sf_dir: str):
     """Count-min sketch of per-user event frequencies
     (sketch.cms_counters): 4 md5-salted hash rows × 1024 buckets; ≤ 4096
@@ -1093,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _q_dataset_split,
         "hll_user_registers": _q_hll_user_registers,
         "cms_user_counters": _q_cms_user_counters,
+        "hll_users_by_type": _q_hll_users_by_type,
         "event_props": _q_event_props,
         "event_props_sum_by_type": _q_event_props_sum_by_type,
         "top_revenue_orders": _q_top_revenue_orders,
@@ -1578,6 +1591,25 @@ def oracle_sql() -> dict[str, str]:
                                  ELSE 54 - length(bin(w)) + 1 END)
                         AS BIGINT) AS rho
             FROM parts GROUP BY bucket
+        """,
+        "hll_users_by_type": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       CAST(concat('0x',
+                            substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+                            AS UBIGINT) AS hv
+                FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            ), parts AS (
+                SELECT event_type, hv >> 54 AS bucket,
+                       hv & ((1::UBIGINT << 54) - 1) AS w
+                FROM h
+            )
+            SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(MAX(CASE WHEN w = 0 THEN 55
+                                 ELSE 54 - length(bin(w)) + 1 END)
+                        AS BIGINT) AS rho
+            FROM parts GROUP BY event_type, bucket
         """,
         "cms_user_counters": """
             WITH vc AS (

@@ -128,3 +128,41 @@ def cms_query(counters: pa.Table, value, depth: int = CMS_DEPTH,
         (d, int(hashlib.md5(f"{d}:{s}".encode(),
                             usedforsecurity=False).hexdigest()[:16], 16)
          % width), 0) for d in range(depth))
+
+
+def hll_registers_by_group(ds, group_column: str, column: str,
+                           b: int = HLL_B):
+    """Per-group HyperLogLog registers — COUNT(DISTINCT …) GROUP BY at
+    sketch cost: ≤ m register rows per (batch, group) leave any batch,
+    merged by one ``groupby((group, bucket)).max`` exchange. Registers
+    per group merge exactly like the global sketch's (max-monoid), so a
+    100-TB job's per-shard grouped sketches union by row-wise max."""
+    from ray.data.aggregate import Max
+
+    suffix_bits = 64 - b
+    mask = (1 << suffix_bits) - 1
+
+    def batch_regs(batch: pa.Table) -> pa.Table:
+        pairs = (pa.table({"g": batch[group_column], "v": batch[column]})
+                 .group_by(["g", "v"]).aggregate([]))
+        regs: dict[tuple, int] = {}
+        for g, v in zip(pairs["g"].to_pylist(), pairs["v"].to_pylist()):
+            if v is None or g is None:
+                continue
+            h = int(hashlib.md5(str(v).encode(),
+                                usedforsecurity=False).hexdigest()[:16], 16)
+            bucket = h >> suffix_bits
+            w = h & mask
+            rho = suffix_bits - w.bit_length() + 1 if w else suffix_bits + 1
+            key = (g, bucket)
+            if rho > regs.get(key, 0):
+                regs[key] = rho
+        return pa.table({
+            group_column: pa.array([k[0] for k in regs]),
+            "bucket": pa.array([k[1] for k in regs], pa.int64()),
+            "rho": pa.array(list(regs.values()), pa.int64()),
+        })
+
+    return (ds.map_batches(batch_regs, batch_format="pyarrow")
+              .groupby([group_column, "bucket"])
+              .aggregate(Max("rho", alias_name="rho")))

@@ -124,3 +124,34 @@ def test_cms_point_query_bounds(ray_session):
         assert est >= true[v]                       # never underestimates
         # classic bound: overestimate ≤ 2e/width · n w.h.p.
         assert est - true[v] <= (2 * np.e / 1024) * n
+
+
+def test_hll_registers_by_group_consistent_with_global(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.sketch import (hll_estimate,
+                                                    hll_registers_by_group)
+
+    rng = np.random.default_rng(53)
+    groups = rng.choice(["a", "b"], size=40_000, p=[0.8, 0.2])
+    vals = rng.integers(0, 15_000, size=40_000)
+    t = pa.table({"event_type": pa.array(groups.tolist()),
+                  "user_id": pa.array(vals, pa.int64())})
+    regs = (hll_registers_by_group(
+                ray.data.from_arrow(t).repartition(5),
+                "event_type", "user_id")
+            .to_pandas())
+    for g in ("a", "b"):
+        sub = regs[regs["event_type"] == g]
+        est = hll_estimate(pa.table({
+            "bucket": pa.array(sub["bucket"], pa.int64()),
+            "rho": pa.array(sub["rho"], pa.int64())}))
+        true = len(set(vals[groups == g]))
+        assert abs(est - true) / true < 0.10, (g, true, est)
+    # a group's registers must equal a standalone sketch of its rows
+    from pdf_inspector_ray.functions.sketch import hll_registers
+    only_a = t.filter(pa.array(groups == "a"))
+    ga = (hll_registers(ray.data.from_arrow(only_a), "user_id")
+          .to_pandas().sort_values("bucket").reset_index(drop=True))
+    sub_a = (regs[regs["event_type"] == "a"][["bucket", "rho"]]
+             .sort_values("bucket").reset_index(drop=True))
+    pd.testing.assert_frame_equal(sub_a, ga)
