@@ -800,6 +800,18 @@ def _q_top_revenue_orders(sf_dir: str):
     return top_revenue_orders(lineitem, k=100)
 
 
+def _q_term_doc_freq(sf_dir: str):
+    """Vocabulary build (text_stats.term_doc_frequency): (term, df) with
+    df = distinct docs containing the term, min_df-pruned; per-batch
+    (term, doc) dedupe + partial df so the one exchange is vocabulary-
+    bounded."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import term_doc_frequency
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return term_doc_frequency(ds, min_df=2)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality signals per doc
     (text_stats.repetition_stats_batch): top-word count + duplicate
@@ -1109,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props": _q_event_props,
         "event_props_sum_by_type": _q_event_props_sum_by_type,
         "top_revenue_orders": _q_top_revenue_orders,
+        "term_doc_freq": _q_term_doc_freq,
         "repetition_stats": _q_repetition_stats,
         "contaminated_train_docs": _q_contaminated_train_docs,
         "contaminated_train_docs_bloom": _q_contaminated_train_docs_bloom,
@@ -1651,6 +1664,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_orderkey, CAST(cents AS DOUBLE) / 100 AS revenue
             FROM rev ORDER BY revenue DESC, l_orderkey LIMIT 100
+        """,
+        "term_doc_freq": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), pairs AS (
+                SELECT DISTINCT doc_id, unnest(w) AS term FROM toks
+            )
+            SELECT term, COUNT(*) AS df
+            FROM pairs GROUP BY term HAVING COUNT(*) >= 2
         """,
         "repetition_stats": r"""
             WITH toks AS (

@@ -441,3 +441,40 @@ def repetition_stats_batch(batch: pa.Table,
             dup[rows] = (t - d) / t
             cols[extra] = pa.array(dup, pa.float64())
     return pa.table(cols)
+
+
+def term_doc_frequency(ds, text_column: str = "text",
+                       id_column: str = "doc_id", min_df: int = 2):
+    """Vocabulary build: (term, df) where df = number of DISTINCT
+    documents containing the term — the primitive under TF-IDF weights,
+    stopword discovery, and df-pruned feature vocabularies. Terms with
+    ``df < min_df`` are dropped (hapax noise dominates raw vocabularies).
+
+    Dataflow: per-batch (term, doc) pairs dedupe locally (one doc = one
+    row, so local distinct is globally distinct — same argument as
+    ``decontam``), then fold to per-batch (term, partial_df) counts, so
+    the single exchange carries one row per (batch, term) — vocabulary-
+    bounded, not corpus-bounded. Tokenizer is the corpus-wide whitespace
+    rule, so the SQL twin is exact."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from pdf_inspector_ray.functions.decontam import _gram_rows
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx, terms = _gram_rows(batch[text_column], 1)
+        pairs = (pa.table({"term": terms,
+                           "d": pa.array(idx, pa.int64())})
+                 .group_by(["term", "d"]).aggregate([]))
+        return (pairs.group_by(["term"]).aggregate([([], "count_all")])
+                     .rename_columns(["term", "df"]))
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("df", alias_name="df")))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["df"], min_df))
+
+    return out.map_batches(prune, batch_format="pyarrow")

@@ -1130,3 +1130,31 @@ def test_grouped_quantiles_matches_duckdb(ray_session):
                                               "q75": "int64", "q95": "int64"}),
                                   exp.astype({"q25": "int64", "q50": "int64",
                                               "q75": "int64", "q95": "int64"}))
+
+
+def test_term_doc_frequency_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import term_doc_frequency
+
+    rng = np.random.default_rng(61)
+    vocab = [f"w{i}" for i in range(300)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+             for _ in range(400)]
+    texts += ["", "  ", "w0 w0 w0"]  # dup terms in one doc count once
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = (term_doc_frequency(ray.data.from_arrow(t).repartition(5),
+                              min_df=3)
+           .to_pandas().sort_values("term").reset_index(drop=True))
+    exp = duckdb.sql(r"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x <> '') AS w FROM t
+        ), pairs AS (SELECT DISTINCT doc_id, unnest(w) AS term FROM toks)
+        SELECT term, COUNT(*) AS df FROM pairs
+        GROUP BY term HAVING COUNT(*) >= 3 ORDER BY term
+    """).df()
+    assert len(out) > 50
+    pd.testing.assert_frame_equal(out.astype({"df": "int64"}),
+                                  exp.astype({"df": "int64"}))
