@@ -812,6 +812,19 @@ def _q_term_doc_freq(sf_dir: str):
     return term_doc_frequency(ds, min_df=2)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Per-doc characteristic terms (text_stats.tfidf_top_terms):
+    distributed vocabulary build → ray.put broadcast → stateless scored
+    map with vectorized per-doc top-k; ratio-form score keeps IEEE
+    parity with the SQL twin (no libm ln)."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import tfidf_top_terms
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(docs_path, columns=["doc_id", "text"])
+    return tfidf_top_terms(ds, n_docs=_footer_rows(docs_path), k=3,
+                           min_df=2)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality signals per doc
     (text_stats.repetition_stats_batch): top-word count + duplicate
@@ -1122,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_props_sum_by_type": _q_event_props_sum_by_type,
         "top_revenue_orders": _q_top_revenue_orders,
         "term_doc_freq": _q_term_doc_freq,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
         "contaminated_train_docs": _q_contaminated_train_docs,
         "contaminated_train_docs_bloom": _q_contaminated_train_docs_bloom,
@@ -1676,6 +1690,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT term, COUNT(*) AS df
             FROM pairs GROUP BY term HAVING COUNT(*) >= 2
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+                GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, COUNT(*) AS df FROM (
+                    SELECT DISTINCT doc_id, term FROM tf)
+                GROUP BY term HAVING COUNT(*) >= 2
+            )
+            SELECT doc_id, term, tf,
+                   tf * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                         / df) AS score
+            FROM tf JOIN df USING (term)
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term) <= 3
         """,
         "repetition_stats": r"""
             WITH toks AS (

@@ -478,3 +478,63 @@ def term_doc_frequency(ds, text_column: str = "text",
         return batch.filter(pc.greater_equal(batch["df"], min_df))
 
     return out.map_batches(prune, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds, n_docs: int, k: int = 3, min_df: int = 2,
+                    text_column: str = "text", id_column: str = "doc_id"):
+    """Top-k characteristic terms per document by a TF-IDF-style score
+    ``tf · (N / df)`` — the ratio form, NOT ``log``-damped: both sides
+    of the oracle then compute the same two IEEE ops (one divide, one
+    multiply), which is bit-identical in numpy and DuckDB, where libm
+    ``ln`` implementations may differ by an ulp.
+
+    Dataflow: the vocabulary (df) builds distributed via
+    ``term_doc_frequency`` and broadcasts ONCE via ``ray.put``
+    (vocab-bounded — the classic small-side broadcast); scoring is then
+    a stateless map over docs with a vectorized per-doc top-k (lexsort +
+    run-position prune; score ties break by term ascending). ``n_docs``
+    comes from the caller (parquet footer — no count pass)."""
+    import ray
+
+    from pdf_inspector_ray.functions.decontam import _gram_rows
+
+    df_tbl = term_doc_frequency(ds, text_column=text_column,
+                                id_column=id_column, min_df=min_df)
+    rows = df_tbl.take_all()  # vocabulary-bounded by construction
+    vocab = pa.array([r["term"] for r in rows], pa.string())
+    dfs = np.array([r["df"] for r in rows], np.float64)
+    df_ref = ray.put((vocab, dfs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc, dfv = ray.get(df_ref)
+        idx, terms = _gram_rows(batch[text_column], 1)
+        tf_tbl = (pa.table({"row": pa.array(idx, pa.int64()),
+                            "term": terms})
+                  .group_by(["row", "term"])
+                  .aggregate([([], "count_all")])
+                  .rename_columns(["row", "term", "tf"]))
+        pos = pc.index_in(tf_tbl["term"], value_set=voc)
+        keep = pc.is_valid(pos)  # min_df-pruned terms drop here
+        tf_tbl, pos = tf_tbl.filter(keep), pos.filter(keep)
+        row = tf_tbl["row"].to_numpy(zero_copy_only=False)
+        tf = tf_tbl["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf * (np.float64(n_docs) / dfv[pos.to_numpy(
+            zero_copy_only=False)])
+        terms_np = np.asarray(tf_tbl["term"].to_pylist(), dtype=object)
+        order = np.lexsort((terms_np, -s, row))  # row, score desc, term
+        r_sorted = row[order]
+        run_start = np.flatnonzero(
+            np.concatenate([[True], r_sorted[1:] != r_sorted[:-1]]))
+        rank = np.arange(len(order)) - np.repeat(
+            run_start, np.diff(np.concatenate([run_start, [len(order)]])))
+        top = order[rank < k]
+        docs = pc.cast(batch[id_column], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            id_column: pa.array(docs[row[top]], pa.int64()),
+            "term": pa.array(terms_np[top].tolist(), pa.string()),
+            "tf": pa.array(tf[top].astype(np.int64), pa.int64()),
+            "score": pa.array(s[top], pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1158,3 +1158,45 @@ def test_term_doc_frequency_matches_duckdb(ray_session):
     assert len(out) > 50
     pd.testing.assert_frame_equal(out.astype({"df": "int64"}),
                                   exp.astype({"df": "int64"}))
+
+
+def test_tfidf_top_terms_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import tfidf_top_terms
+
+    rng = np.random.default_rng(67)
+    vocab = [f"w{i}" for i in range(120)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 40)))
+             for _ in range(300)]
+    texts += ["", "w0 w1"]  # short/empty docs; ties (equal tf, equal df)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = (tfidf_top_terms(ray.data.from_arrow(t).repartition(4),
+                           n_docs=t.num_rows, k=3, min_df=2)
+           .to_pandas().sort_values(["doc_id", "term"])
+           .reset_index(drop=True))
+    exp = duckdb.sql(r"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x <> '') AS w FROM t
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+            GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, term FROM tf)
+            GROUP BY term HAVING COUNT(*) >= 2
+        )
+        SELECT doc_id, term, tf,
+               tf * (CAST((SELECT COUNT(*) FROM t) AS DOUBLE) / df)
+                   AS score
+        FROM tf JOIN df USING (term)
+        QUALIFY row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) <= 3
+        ORDER BY doc_id, term
+    """).df()
+    assert len(out) > 500
+    pd.testing.assert_frame_equal(
+        out.astype({"tf": "int64"}), exp.astype({"tf": "int64"}))
