@@ -461,6 +461,32 @@ def _q_minhash_lsh_pairs(sf_dir: str):
     return verified.select_columns(["doc_a", "doc_b"])
 
 
+EXACT_JACCARD_T = 0.7  # the prefix-filter exact join runs at its own tau
+
+
+def _q_jaccard_pairs_exact(sf_dir: str):
+    """EXACT all-pairs word-3-gram Jaccard ≥ τ via prefix filtering
+    (AllPairs/PPJoin, dedup.jaccard_prefix_candidates) — unlike the
+    minhash row, recall here is a theorem, so the brute-force SQL
+    self-join must match at ANY scale and threshold."""
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import (
+        jaccard_prefix_candidates, verify_pairs_jaccard)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    cands = jaccard_prefix_candidates(ds, threshold=EXACT_JACCARD_T)
+    if (_parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+            > PAIR_VERIFY_BROADCAST_LIMIT):
+        from pdf_inspector_ray.functions.dedup import (
+            verify_pairs_jaccard_distributed)
+        verified = verify_pairs_jaccard_distributed(
+            cands, ds, threshold=EXACT_JACCARD_T)
+    else:
+        verified = verify_pairs_jaccard(cands, _docs_lookup(sf_dir),
+                                        threshold=EXACT_JACCARD_T)
+    return verified.select_columns(["doc_a", "doc_b"])
+
+
 SIMHASH_MAX_HAMMING = 7  # = bands − 1: the radius banding guarantees
 
 
@@ -1115,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "jaccard_pairs_exact": _q_jaccard_pairs_exact,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
         "neardup_dedup_docs": _q_neardup_dedup_docs,
@@ -1158,7 +1185,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # DuckDB oracles (ANSI SQL on the pre-registered views)
 # ---------------------------------------------------------------------------
 
-_JACCARD_CTES = f"""
+def _jaccard_ctes(tau: float) -> str:
+    """Exact word-3-gram Jaccard pair CTEs at threshold ``tau`` —
+    shared by the minhash oracle (tau = NEARDUP_JACCARD_T) and the
+    prefix-filter exact join oracle (its own tau)."""
+    return f"""
     toks AS (
         SELECT doc_id,
                list_filter(regexp_split_to_array(text, '\\s+'),
@@ -1178,8 +1209,11 @@ _JACCARD_CTES = f"""
         WHERE len(list_distinct(list_concat(a.g, b.g))) > 0
           AND round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
                     / len(list_distinct(list_concat(a.g, b.g))), 6)
-              >= {NEARDUP_JACCARD_T}
+              >= {tau}
     )"""
+
+
+_JACCARD_CTES = _jaccard_ctes(NEARDUP_JACCARD_T)
 
 _JACCARD_PAIRS_SQL = f"""
     WITH {_JACCARD_CTES}
@@ -1486,6 +1520,10 @@ def oracle_sql() -> dict[str, str]:
         # both the MinHash-LSH and SimHash candidate paths must land on
         # after verification (tokenization mirrors Python str.split)
         "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        "jaccard_pairs_exact": f"""
+            WITH {_jaccard_ctes(EXACT_JACCARD_T)}
+            SELECT doc_a, doc_b FROM jpairs
+        """,
         "simhash_pairs": f"""
             WITH s AS (SELECT doc_id, simhash FROM read_parquet(
                 '{os.path.join(_simhash_sidecar('/root/testdata/sf0.01'), '*.parquet')}'))

@@ -1029,3 +1029,207 @@ def verify_pairs_cosine_distributed(pairs_ds, emb_ds,
         return t
 
     return with_ab.map_batches(verify, batch_format="pyarrow")
+
+
+# -- exact set-similarity join (AllPairs / PPJoin prefix filtering) ----------
+
+def _doc_gram_rows(batch: pa.Table, text_column: str, id_column: str,
+                   k: int) -> pa.Table:
+    """One batch of docs → DISTINCT (doc_id, gram, sz) rows, where ``sz``
+    is the doc's distinct-gram count. Gram semantics match
+    ``ngram_jaccard`` (and the SQL oracle CTE): word k-grams for docs
+    with ≥ k tokens, the whole whitespace-joined text as a single gram
+    for docs with 1..k−1 tokens, nothing for empty docs. Distinct within
+    the batch IS globally distinct — a doc lives in exactly one row."""
+    import pyarrow.compute as pc
+
+    from pdf_inspector_ray.functions.decontam import _gram_rows
+
+    texts = batch[text_column]  # ChunkedArray — _gram_rows requires it
+    ids = pc.cast(batch[id_column], pa.int64()).to_numpy(
+        zero_copy_only=False)
+    idx, grams = _gram_rows(texts, k)
+    t = (pa.table({"row": pa.array(idx, pa.int64()), "gram": grams})
+         .group_by(["row", "gram"]).aggregate([]))
+    rows = t["row"].to_numpy(zero_copy_only=False)
+    gram_arr = t["gram"].combine_chunks()
+
+    # short docs (0 < tokens < k): single whole-text gram
+    tok_lists = pc.split_pattern_regex(texts, r"\s+")
+    reps = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+    rr = np.repeat(np.arange(len(texts)), reps)
+    ne = pc.not_equal(pc.list_flatten(tok_lists),
+                      "").to_numpy(zero_copy_only=False)
+    counts = np.bincount(rr[ne], minlength=len(texts)).astype(np.int64)
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    if len(short):
+        extra = pa.array([" ".join(texts[i].as_py().split())
+                          for i in short], pa.string())
+        rows = np.concatenate([rows, short])
+        gram_arr = pa.concat_arrays([gram_arr, extra])
+    sz = np.bincount(rows, minlength=len(texts)).astype(np.int64)
+    return pa.table({
+        id_column: pa.array(ids[rows], pa.int64()),
+        "gram": gram_arr,
+        "sz": pa.array(sz[rows], pa.int64()),
+    })
+
+
+def _prefix_pairs_block(group: pa.Table, threshold: float) -> pa.Table:
+    """All prefix-posting buckets of one coarse partition → candidate
+    pairs, with the PPJoin LENGTH filter: a pair only qualifies when
+    sz_small ≥ τ·sz_big (else J ≤ sz_small/sz_big < τ), so each member
+    pairs only with the sz-window [sz, sz/τ] above it — this, not a
+    cap, bounds a hot posting list. No pair is ever dropped: exactness
+    is the contract."""
+    if group.num_rows == 0:
+        return _EMPTY_PAIRS
+    bkt = group["bucket"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    szs = group["sz"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((ids, szs, bkt))
+    bkt, ids, szs = bkt[order], ids[order], szs[order]
+    change = np.nonzero(bkt[1:] != bkt[:-1])[0] + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(bkt)]])
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        m_ids, m_szs = ids[s:e], szs[s:e]
+        # a doc can reach one bucket via two hash-colliding grams — dedupe
+        m_ids, first = np.unique(m_ids, return_index=True)
+        m_szs = m_szs[first]
+        o = np.lexsort((m_ids, m_szs))
+        m_ids, m_szs = m_ids[o], m_szs[o]
+        hi = np.searchsorted(m_szs, m_szs / threshold, side="right")
+        for i in range(len(m_ids) - 1):
+            h = hi[i]
+            if h <= i + 1:
+                continue
+            js = m_ids[i + 1:h]
+            a_out.append(np.minimum(m_ids[i], js))
+            b_out.append(np.maximum(m_ids[i], js))
+    if not a_out:
+        return _EMPTY_PAIRS
+    return pa.table({
+        "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+        "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+    })
+
+
+def jaccard_prefix_candidates(ds, threshold: float = 0.8, k: int = 3,
+                              text_column: str = "text",
+                              id_column: str = "doc_id",
+                              num_partitions: int = PAIR_PARTITIONS):
+    """EXACT-recall candidate pairs for word-k-gram Jaccard ≥ τ via
+    prefix filtering (Bayardo et al., "Scaling Up All Pairs Similarity
+    Search", WWW'07; Xiao et al. PPJoin) — the non-probabilistic sibling
+    of ``minhash_lsh_candidates``: every pair with J ≥ τ is emitted
+    (completeness is a theorem, not a probability), false candidates die
+    in exact verification.
+
+    Dataflow (three skew-free shuffles, all gram/doc-keyed):
+      1. docs → distinct (doc, gram, sz) rows → co-partition by
+         hash(gram): per-partition df counting is GLOBAL df (all copies
+         of a gram land together).
+      2. re-partition by hash(doc): per doc, order grams by the global
+         (df asc, gram asc) order — rarest first — and keep only the
+         PREFIX of length sz − ⌈τ·sz⌉ + 1. Any pair with J ≥ τ must
+         share a gram inside both prefixes (with the length filter
+         |y| ≥ τ|x|, the required overlap ⌈τ(|x|+|y|)/(1+τ)⌉ ≥ ⌈τ|x|⌉,
+         so missing the prefix bounds overlap below it).
+      3. prefix rows → bucket by gram hash → windowed pair expansion
+         with the length filter, then global pair dedup.
+
+    The prefix cuts candidate volume by ~1/(1−τ)·df-ordering: common
+    grams (huge posting lists) sit last in the order and enter only the
+    prefixes of docs that are mostly MADE of common grams."""
+    import functools
+
+    import pyarrow.compute as pc
+
+    from pdf_inspector_ray.functions.decontam import _gram_hash
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        t = _doc_gram_rows(batch, text_column, id_column, k)
+        h = (_gram_hash(t["gram"].combine_chunks()) if t.num_rows
+             else np.zeros(0, dtype=np.uint64))
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    _ROWS_SCHEMA = pa.schema([(id_column, pa.int64()),
+                              ("gram", pa.string()), ("sz", pa.int64()),
+                              ("df", pa.int64())])
+
+    def with_df(group: pa.Table) -> pa.Table:
+        """Per gram-partition: attach each gram's GLOBAL df."""
+        if group.num_rows == 0:
+            return _ROWS_SCHEMA.empty_table()
+        enc = group["gram"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        df = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({
+            id_column: group[id_column], "gram": group["gram"],
+            "sz": group["sz"],
+            "df": pa.array(df[codes], pa.int64()),
+        })
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        key = batch[id_column].to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((key * np.uint64(2654435761))
+                    % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__dpart", pa.array(part, pa.int32()))
+
+    _PREFIX_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                                ("bucket", pa.uint64()),
+                                ("sz", pa.int64())])
+
+    def prefix_rows(group: pa.Table) -> pa.Table:
+        """Per doc-partition: keep each doc's df-order prefix."""
+        if group.num_rows == 0:
+            return _PREFIX_SCHEMA.empty_table()
+        doc = group[id_column].to_numpy(zero_copy_only=False)
+        df = group["df"].to_numpy(zero_copy_only=False)
+        sz = group["sz"].to_numpy(zero_copy_only=False)
+        grams = np.asarray(group["gram"].to_pylist(), dtype=object)
+        order = np.lexsort((grams, df, doc))  # global order = (df, gram)
+        d_sorted = doc[order]
+        run_start = np.flatnonzero(np.concatenate(
+            [[True], d_sorted[1:] != d_sorted[:-1]]))
+        rank = np.arange(len(order)) - np.repeat(
+            run_start,
+            np.diff(np.concatenate([run_start, [len(order)]])))
+        p = sz[order] - np.ceil(threshold * sz[order]) + 1
+        keep = order[rank < p]
+        h = _gram_hash(pa.array(grams[keep].tolist(), pa.string()))
+        return pa.table({
+            "doc_id": pa.array(doc[keep], pa.int64()),
+            "bucket": pa.array(h, pa.uint64()),
+            "sz": pa.array(sz[keep], pa.int64()),
+        })
+
+    rows = (ds.map_batches(to_rows, batch_format="pyarrow")
+              .groupby("__part").map_groups(with_df,
+                                            batch_format="pyarrow")
+              .map_batches(add_doc_part, batch_format="pyarrow")
+              .groupby("__dpart").map_groups(prefix_rows,
+                                             batch_format="pyarrow"))
+
+    def block_part(batch: pa.Table) -> pa.Table:
+        key = batch["bucket"].to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = (((key ^ (key >> np.uint64(29)))
+                     * np.uint64(2654435761))
+                    % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    expand = functools.partial(_prefix_pairs_block, threshold=threshold)
+    pairs = (rows.map_batches(block_part, batch_format="pyarrow")
+                 .groupby("part").map_groups(expand,
+                                             batch_format="pyarrow"))
+    return _dedupe_pairs(pairs)

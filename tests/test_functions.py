@@ -1200,3 +1200,51 @@ def test_tfidf_top_terms_matches_duckdb(ray_session):
     assert len(out) > 500
     pd.testing.assert_frame_equal(
         out.astype({"tf": "int64"}), exp.astype({"tf": "int64"}))
+
+
+def test_jaccard_prefix_candidates_complete(ray_session):
+    """Prefix filtering is EXACT-recall: every pair with J >= tau that a
+    brute-force sweep finds must appear in the candidate set, across
+    thresholds, including short (<k tokens), empty and duplicate docs."""
+    import itertools
+
+    import ray.data
+
+    from pdf_inspector_ray.functions.dedup import (
+        jaccard_prefix_candidates, ngram_jaccard, verify_pairs_jaccard)
+
+    rng = np.random.default_rng(97)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(120):
+        base = list(rng.choice(vocab, size=rng.integers(5, 25)))
+        texts.append(" ".join(base))
+        if rng.random() < 0.5:  # planted near-dup: light edit
+            mut = base.copy()
+            if rng.random() < 0.5 and len(mut) > 6:
+                del mut[rng.integers(0, len(mut))]
+            else:
+                mut[rng.integers(0, len(mut))] = str(
+                    rng.choice(vocab))
+            texts.append(" ".join(mut))
+    texts += ["", "   ", "one", "one two", "one two", "a b c",
+              texts[0], texts[0]]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    lookup = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    for tau in (0.5, 0.8):
+        truth = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(lookup), 2)
+            if round(ngram_jaccard(lookup[a], lookup[b]), 6) >= tau
+        }
+        cands = jaccard_prefix_candidates(
+            ray.data.from_arrow(t).repartition(4), threshold=tau)
+        c = cands.to_pandas()
+        got_cands = {tuple(sorted(p)) for p in zip(c.doc_a, c.doc_b)}
+        assert truth <= got_cands, (tau, truth - got_cands)
+        verified = verify_pairs_jaccard(cands, lookup,
+                                        threshold=tau).to_pandas()
+        got = {tuple(sorted(p))
+               for p in zip(verified.doc_a, verified.doc_b)}
+        assert got == truth, (tau, got ^ truth)
