@@ -851,6 +851,37 @@ def _q_tfidf_top_terms(sf_dir: str):
                            min_df=2)
 
 
+# PII rules + one entity rule that actually matches the synthetic corpus
+# (the PII patterns are exercised with planted fixtures in pytest; here
+# they prove the no-op path end-to-end while <ENT> proves the rewrite)
+_REDACT_RULES = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d() .-]{6,}\d", "<PHONE>"),
+    (r"\b(customer|supplier)\b", "<ENT>"),
+)
+
+
+def _q_pii_redact(sf_dir: str):
+    """Sequential regex redaction (scrub.regex_redact): RE2 kernels on
+    both sides (Arrow ↔ DuckDB) make the SQL twin bit-identical."""
+    import ray.data
+    from pdf_inspector_ray.functions.scrub import regex_redact
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return regex_redact(ds, rules=_REDACT_RULES)
+
+
+def _q_docs_normalized(sf_dir: str):
+    """Canonical text form (scrub.normalize_text): lower + whitespace
+    collapse + trim, vectorized Arrow kernels."""
+    import ray.data
+    from pdf_inspector_ray.functions.scrub import normalize_text
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return normalize_text(ds)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality signals per doc
     (text_stats.repetition_stats_batch): top-word count + duplicate
@@ -1164,6 +1195,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_freq": _q_term_doc_freq,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
+        "pii_redact": _q_pii_redact,
+        "docs_normalized": _q_docs_normalized,
         "contaminated_train_docs": _q_contaminated_train_docs,
         "contaminated_train_docs_bloom": _q_contaminated_train_docs_bloom,
         "top_terms_by_lang": _q_top_terms_by_lang,
@@ -1214,6 +1247,26 @@ def _jaccard_ctes(tau: float) -> str:
 
 
 _JACCARD_CTES = _jaccard_ctes(NEARDUP_JACCARD_T)
+
+
+def _redact_oracle_sql(rules) -> str:
+    """Nested regexp_replace chain mirroring scrub.regex_redact rule
+    order — generated from the same rule tuple so the twin can't drift."""
+    ctes = ["s0 AS (SELECT doc_id, text AS t0 FROM documents)"]
+    carried: list[str] = []
+    for i, (pat, repl) in enumerate(rules):
+        prev = ", ".join(carried) + (", " if carried else "")
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, {prev}"
+            f"len(regexp_extract_all(t{i}, '{pat}')) AS n_rule{i}, "
+            f"regexp_replace(t{i}, '{pat}', '{repl}', 'g') AS t{i + 1} "
+            f"FROM s{i})")
+        carried.append(f"n_rule{i}")
+    total = " + ".join(carried)
+    n = len(rules)
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT doc_id, t{n} AS clean_text, {', '.join(carried)}, "
+            f"{total} AS n_redactions FROM s{n}")
 
 _JACCARD_PAIRS_SQL = f"""
     WITH {_JACCARD_CTES}
@@ -1520,6 +1573,15 @@ def oracle_sql() -> dict[str, str]:
         # both the MinHash-LSH and SimHash candidate paths must land on
         # after verification (tokenization mirrors Python str.split)
         "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        "pii_redact": _redact_oracle_sql(_REDACT_RULES),
+        "docs_normalized": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                       AS norm_text,
+                   length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS n_chars_norm
+            FROM documents
+        """,
         "jaccard_pairs_exact": f"""
             WITH {_jaccard_ctes(EXACT_JACCARD_T)}
             SELECT doc_a, doc_b FROM jpairs

@@ -1248,3 +1248,68 @@ def test_jaccard_prefix_candidates_complete(ray_session):
         got = {tuple(sorted(p))
                for p in zip(verified.doc_a, verified.doc_b)}
         assert got == truth, (tau, got ^ truth)
+
+
+def test_regex_redact_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.scrub import PII_RULES, regex_redact
+
+    texts = [
+        "contact me at bob.smith+spam@example.co.uk or on +1 (555) 123-4567",
+        "see https://example.com/a?b=c&d=e and http://foo.bar/baz too",
+        "no pii here at all",
+        "",
+        "double email a@b.io c@d.org and url https://x.y inside text",
+        "digits 1234567890 and short 123 should differ",
+        "unicode café ÉMAIL über@straße.de maybe",
+        "a@b.io a@b.io a@b.io",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = (regex_redact(ray.data.from_arrow(t).repartition(3))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    p0, p1, p2 = (p for p, _ in PII_RULES)
+    exp = duckdb.sql(f"""
+        WITH s0 AS (SELECT doc_id, text AS t0 FROM t),
+        s1 AS (SELECT doc_id, len(regexp_extract_all(t0, '{p0}')) AS n_rule0,
+                      regexp_replace(t0, '{p0}', '<URL>', 'g') AS t1 FROM s0),
+        s2 AS (SELECT doc_id, n_rule0,
+                      len(regexp_extract_all(t1, '{p1}')) AS n_rule1,
+                      regexp_replace(t1, '{p1}', '<EMAIL>', 'g') AS t2 FROM s1),
+        s3 AS (SELECT doc_id, n_rule0, n_rule1,
+                      len(regexp_extract_all(t2, '{p2}')) AS n_rule2,
+                      regexp_replace(t2, '{p2}', '<PHONE>', 'g') AS t3 FROM s2)
+        SELECT doc_id, t3 AS clean_text, n_rule0, n_rule1, n_rule2,
+               n_rule0 + n_rule1 + n_rule2 AS n_redactions
+        FROM s3 ORDER BY doc_id
+    """).df()
+    assert out.n_redactions.sum() > 5
+    pd.testing.assert_frame_equal(
+        out, exp.astype({c: "int64" for c in
+                         ("n_rule0", "n_rule1", "n_rule2", "n_redactions")}))
+
+
+def test_normalize_text_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.scrub import normalize_text
+
+    texts = ["  Hello   WORLD \t\n mixed\tCase  ", "", "  \t ", "Éclair CAFÉ",
+             "one", "a  b\r\nc"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = (normalize_text(ray.data.from_arrow(t).repartition(2))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = duckdb.sql(r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+                   AS norm_text,
+               length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS n_chars_norm
+        FROM t ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        out, exp.astype({"n_chars_norm": "int64"}))
