@@ -882,6 +882,71 @@ def _q_docs_normalized(sf_dir: str):
     return normalize_text(ds)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over orders (relational.rollup_agg): one
+    distributed finest-level aggregate, coarser levels folded from its
+    group-cardinality-bounded result. Integer cents (floor(x·100+0.5))
+    keep the sum order-independent vs the SQL twin."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import rollup_agg
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return rollup_agg(ds, ["o_orderstatus", "o_orderpriority"],
+                      "o_totalprice")
+
+
+def _q_events_pivot(sf_dir: str):
+    """Long→wide pivot (relational.pivot_counts): per-batch 2-D bincount
+    partials, one groupby-sum exchange carrying (batch, user) rows."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import pivot_counts
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type", _EVENT_TYPES)
+
+
+def _q_customers_without_orders(sf_dir: str):
+    """Left ANTI join via the tagged-union co-partition hash_join —
+    customers with no FULFILLED ('F') order. The status filter is pushed
+    into the parquet read (row-level predicate at the source) and keeps
+    the result non-empty at every scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from pdf_inspector_ray.functions.relational import hash_join
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pc.field("o_orderstatus") == "F")
+    return hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey",
+        join_type="left anti",
+        left_schema=[("c_custkey", pa.int64()), ("c_name", pa.string())],
+        right_schema=[("o_custkey", pa.int64())])
+
+
+def _q_customers_with_orders(sf_dir: str):
+    """Left SEMI join (existence probe) on the same machinery."""
+    import pyarrow as pa
+    import ray.data
+    from pdf_inspector_ray.functions.relational import hash_join
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey"])
+    return hash_join(
+        cust, orders, on="c_custkey", right_on="o_custkey",
+        join_type="left semi",
+        left_schema=[("c_custkey", pa.int64()), ("c_name", pa.string())],
+        right_schema=[("o_custkey", pa.int64())])
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality signals per doc
     (text_stats.repetition_stats_batch): top-word count + duplicate
@@ -1197,6 +1262,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pii_redact": _q_pii_redact,
         "docs_normalized": _q_docs_normalized,
+        "revenue_rollup": _q_revenue_rollup,
+        "events_pivot": _q_events_pivot,
+        "customers_without_orders": _q_customers_without_orders,
+        "customers_with_orders": _q_customers_with_orders,
         "contaminated_train_docs": _q_contaminated_train_docs,
         "contaminated_train_docs_bloom": _q_contaminated_train_docs_bloom,
         "top_terms_by_lang": _q_top_terms_by_lang,
@@ -1574,6 +1643,32 @@ def oracle_sql() -> dict[str, str]:
         # after verification (tokenization mirrors Python str.split)
         "minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
         "pii_redact": _redact_oracle_sql(_REDACT_RULES),
+        "revenue_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents,
+                   COUNT(*) AS n_rows
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "events_pivot": f"""
+            SELECT user_id,
+                   {", ".join(
+                       f"COUNT(*) FILTER (event_type = '{c}') AS n_{c}"
+                       for c in _EVENT_TYPES)}
+            FROM events GROUP BY user_id
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
+        """,
+        "customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        """,
         "docs_normalized": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))

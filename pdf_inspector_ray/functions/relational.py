@@ -746,3 +746,93 @@ def distinct_count(ds, group_column: str, value_column: str,
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("grp")
               .map_groups(count_group, batch_format="pyarrow"))
+
+
+def rollup_agg(ds, group_cols: list[str], value_column: str):
+    """GROUP BY ROLLUP(``group_cols``): every prefix level of the
+    hierarchy plus the grand total, as one table with NULLs marking
+    rolled-up columns — ``sum_cents`` (int64 cents, so accumulation
+    order can't diverge from a SQL twin) and ``n_rows``.
+
+    Dataflow: ONE distributed partial-agg + groupby at the FINEST level
+    (the only data-sized work), then the coarser levels fold from the
+    finest result, which is group-cardinality-bounded (take_all of a
+    few-hundred-row table, never the input)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch[value_column], pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        t = batch.select(group_cols).append_column("cents", cents)
+        return (t.group_by(group_cols)
+                 .aggregate([("cents", "sum"), ([], "count_all")])
+                 .rename_columns(group_cols + ["sum_cents", "n_rows"]))
+
+    from ray.data.aggregate import Sum
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(group_cols)
+                .aggregate(Sum("sum_cents", alias_name="sum_cents"),
+                           Sum("n_rows", alias_name="n_rows")))
+    rows = finest.take_all()  # bounded by finest group cardinality
+    base = pa.table({
+        **{c: pa.array([r[c] for r in rows], pa.string())
+           for c in group_cols},
+        "sum_cents": pa.array([r["sum_cents"] for r in rows], pa.int64()),
+        "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+    })
+    levels = [base]
+    for lvl in range(len(group_cols) - 1, -1, -1):
+        keep = group_cols[:lvl]
+        agg = (base.group_by(keep)
+                   .aggregate([("sum_cents", "sum"), ("n_rows", "sum")])
+               if keep else pa.table({
+                   "sum_cents_sum": pa.array(
+                       [pc.sum(base["sum_cents"]).as_py()], pa.int64()),
+                   "n_rows_sum": pa.array(
+                       [pc.sum(base["n_rows"]).as_py()], pa.int64()),
+               }))
+        cols = {c: (agg[c] if c in keep
+                    else pa.nulls(agg.num_rows, pa.string()))
+                for c in group_cols}
+        cols["sum_cents"] = agg["sum_cents_sum"]
+        cols["n_rows"] = agg["n_rows_sum"]
+        levels.append(pa.table(cols))
+    return pa.concat_tables(levels)
+
+
+def pivot_counts(ds, group_column: str, pivot_column: str,
+                 categories: list[str]):
+    """Long→wide conditional-count pivot: one output row per
+    ``group_column`` value with an ``n_<category>`` int64 column per
+    category (unlisted categories are ignored). Classic two-phase
+    aggregate: per-batch vectorized partials (dictionary-encode + 2-D
+    bincount — no Python row loop), then ONE groupby summing the
+    per-category partial columns; the exchange carries one row per
+    (batch, group), never the events."""
+    import pyarrow.compute as pc
+
+    cat_index = {c: i for i, c in enumerate(categories)}
+    cat_set = pa.array(categories)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        grp = batch[group_column]
+        enc_g = grp.combine_chunks().dictionary_encode()
+        gcodes = enc_g.indices.to_numpy(zero_copy_only=False)
+        pos = _pc.index_in(batch[pivot_column], value_set=cat_set)
+        ccodes = _pc.fill_null(pos, -1).to_numpy(zero_copy_only=False)
+        keep = ccodes >= 0
+        n_g, n_c = len(enc_g.dictionary), len(categories)
+        counts = np.zeros((n_g, n_c), dtype=np.int64)
+        np.add.at(counts, (gcodes[keep], ccodes[keep]), 1)
+        cols = {group_column: enc_g.dictionary}
+        for c, i in cat_index.items():
+            cols[f"n_{c}"] = pa.array(counts[:, i], pa.int64())
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_column)
+              .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}")
+                           for c in categories]))

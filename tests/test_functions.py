@@ -1313,3 +1313,60 @@ def test_normalize_text_matches_duckdb(ray_session):
     """).df()
     pd.testing.assert_frame_equal(
         out, exp.astype({"n_chars_norm": "int64"}))
+
+
+def test_rollup_agg_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import rollup_agg
+
+    rng = np.random.default_rng(3)
+    n = 400
+    t = pa.table({
+        "status": pa.array(rng.choice(["A", "B", "C"], n).tolist()),
+        "prio": pa.array(rng.choice(["1-HI", "2-LO"], n).tolist()),
+        "price": pa.array(np.round(rng.uniform(1, 900, n), 2)),
+    })
+    out = (pa.Table.from_pandas(
+        rollup_agg(ray.data.from_arrow(t).repartition(4),
+                   ["status", "prio"], "price").to_pandas())
+           .to_pandas().sort_values(["status", "prio"], na_position="first")
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT status, prio,
+               CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               COUNT(*) AS n_rows
+        FROM t GROUP BY ROLLUP(status, prio)
+        ORDER BY status NULLS FIRST, prio NULLS FIRST
+    """).df()
+    assert len(out) == 3 * 2 + 3 + 1
+    pd.testing.assert_frame_equal(out, exp.astype({"n_rows": "int64"}))
+
+
+def test_pivot_counts_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import pivot_counts
+
+    rng = np.random.default_rng(11)
+    n = 600
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "event_type": pa.array(
+            rng.choice(["click", "view", "buy", "other"], n).tolist()),
+    })
+    out = (pivot_counts(ray.data.from_arrow(t).repartition(5),
+                        "user_id", "event_type", ["click", "view", "buy"])
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT user_id,
+               COUNT(*) FILTER (event_type = 'click') AS n_click,
+               COUNT(*) FILTER (event_type = 'view') AS n_view,
+               COUNT(*) FILTER (event_type = 'buy') AS n_buy
+        FROM t GROUP BY user_id ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        out, exp.astype({c: "int64" for c in ("n_click", "n_view", "n_buy")}))
