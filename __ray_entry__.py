@@ -947,6 +947,42 @@ def _q_customers_with_orders(sf_dir: str):
         right_schema=[("o_custkey", pa.int64())])
 
 
+def _q_docs_above_p90(sf_dir: str):
+    """Percentile-threshold filter: the p90 length comes from the
+    distributed value-count quantile sketch (one tiny scalar on the
+    driver), then a vectorized filter pass — two cheap stages, no sort."""
+    import pyarrow.compute as pc
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import value_quantiles
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang", "n_chars"])
+    p90 = value_quantiles(ds, "n_chars", (0.9,))["q90"][0].as_py()
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_chars"], p90)),
+        batch_format="pyarrow")
+
+
+def _q_events_value_histogram(sf_dir: str):
+    """Fixed-width histogram (relational.value_histogram): bin floor is
+    pure IEEE divide+floor on both sides of the oracle."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import value_histogram
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    return value_histogram(ds, "value", 25.0)
+
+
+def _q_top_events_per_user(sf_dir: str):
+    """Distributed QUALIFY row_number() ≤ 3 (relational.grouped_topk):
+    coarse hash(user) partitions, one lexsort + rank prune per
+    partition. Ordering-only float use — no arithmetic drift."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import grouped_topk
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_id", "value"])
+    return grouped_topk(ds, "user_id", "value", 3, "event_id")
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition quality signals per doc
     (text_stats.repetition_stats_batch): top-word count + duplicate
@@ -1263,6 +1299,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "docs_normalized": _q_docs_normalized,
         "revenue_rollup": _q_revenue_rollup,
+        "docs_above_p90": _q_docs_above_p90,
+        "events_value_histogram": _q_events_value_histogram,
+        "top_events_per_user": _q_top_events_per_user,
         "events_pivot": _q_events_pivot,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
@@ -1657,6 +1696,21 @@ def oracle_sql() -> dict[str, str]:
                        f"COUNT(*) FILTER (event_type = '{c}') AS n_{c}"
                        for c in _EVENT_TYPES)}
             FROM events GROUP BY user_id
+        """,
+        "docs_above_p90": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.9)
+                              FROM documents)
+        """,
+        "events_value_histogram": """
+            SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer c

@@ -836,3 +836,60 @@ def pivot_counts(ds, group_column: str, pivot_column: str,
               .groupby(group_column)
               .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}")
                            for c in categories]))
+
+
+def value_histogram(ds, column: str, width: float):
+    """Fixed-width histogram: ``bin = floor(value / width)`` (int64) →
+    count. Per-batch vectorized bin partials, one tiny groupby-sum
+    exchange (one row per (batch, bin))."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bins = pc.cast(pc.floor(pc.divide(
+            pc.cast(batch[column], pa.float64()), float(width))),
+            pa.int64())
+        return (pa.table({"bin": bins})
+                .group_by(["bin"]).aggregate([([], "count_all")])
+                .rename_columns(["bin", "n"]))
+
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bin").aggregate(Sum("n", alias_name="n")))
+
+
+def grouped_topk(ds, group_column: str, order_column: str, k: int,
+                 tie_column: str, num_partitions: int = JOIN_PARTITIONS):
+    """Top-k rows per group by (``order_column`` DESC, ``tie_column``
+    ASC) — the distributed QUALIFY row_number() <= k. Rows co-locate by
+    hash(group) into coarse partitions (one map_groups call per
+    PARTITION, not per group); inside, one lexsort + run-position prune
+    over the whole partition (no per-group Python loop). Only ordering
+    ever touches ``order_column`` values, so float columns are safe —
+    no arithmetic to diverge from a SQL twin."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = batch[group_column].to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            part = ((key * np.uint64(2654435761))
+                    % np.uint64(num_partitions)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part, pa.int32()))
+
+    def head(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns(["__part"])
+        grp = group[group_column].to_numpy(zero_copy_only=False)
+        val = group[order_column].to_numpy(zero_copy_only=False)
+        tie = group[tie_column].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, -val, grp))
+        g_sorted = grp[order]
+        run_start = np.flatnonzero(np.concatenate(
+            [[True], g_sorted[1:] != g_sorted[:-1]]))
+        rank = np.arange(len(order)) - np.repeat(
+            run_start,
+            np.diff(np.concatenate([run_start, [len(order)]])))
+        return (group.take(pa.array(order[rank < k], pa.int64()))
+                     .drop_columns(["__part"]))
+
+    return (ds.map_batches(add_part, batch_format="pyarrow")
+              .groupby("__part").map_groups(head, batch_format="pyarrow"))

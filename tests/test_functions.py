@@ -1370,3 +1370,42 @@ def test_pivot_counts_matches_duckdb(ray_session):
     """).df()
     pd.testing.assert_frame_equal(
         out, exp.astype({c: "int64" for c in ("n_click", "n_view", "n_buy")}))
+
+
+def test_value_histogram_and_grouped_topk_match_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import (
+        grouped_topk, value_histogram)
+
+    rng = np.random.default_rng(5)
+    n = 700
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+        "event_id": pa.array(range(n), pa.int64()),
+        "value": pa.array(np.round(rng.uniform(-40, 200, n), 3)),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    hist = (value_histogram(ds, "value", 25.0)
+            .to_pandas().sort_values("bin").reset_index(drop=True))
+    exp_h = duckdb.sql("""
+        SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, COUNT(*) AS n
+        FROM t GROUP BY 1 ORDER BY bin
+    """).df()
+    pd.testing.assert_frame_equal(hist, exp_h.astype({"n": "int64"}))
+
+    # force value ties so the tie_column path is exercised
+    t2 = t.set_column(2, "value",
+                      pa.array(np.round(t["value"].to_numpy() / 50) * 50.0))
+    top = (grouped_topk(ray.data.from_arrow(t2).repartition(4),
+                        "user_id", "value", 3, "event_id")
+           .to_pandas().sort_values(["user_id", "event_id"])
+           .reset_index(drop=True))
+    exp_t = duckdb.sql("""
+        SELECT user_id, event_id, value FROM t2
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+        ORDER BY user_id, event_id
+    """).df()
+    pd.testing.assert_frame_equal(top, exp_t)
