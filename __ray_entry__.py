@@ -1219,6 +1219,41 @@ def _q_hopping_windows(sf_dir: str):
     return hopping_window_counts(ds)
 
 
+def _real_media_dir(sf_dir: str) -> str:
+    """Write (once) the REAL-format media parquet (BMP/WAV payloads +
+    golden_* stats frozen from the raw arrays before encoding)."""
+    import pyarrow.parquet as pq
+    from pdf_inspector_ray.functions.multimodal import (
+        REAL_MEDIA_GENERATOR_VERSION, synthesize_real_media_table)
+
+    sf = _sf_of(sf_dir)
+    n = _MEDIA_ROWS.get(sf, 200)
+    out = os.path.join(_CORPUS_ROOT,
+                       f"media-real-sf{sf}-v{REAL_MEDIA_GENERATOR_VERSION}")
+    marker = os.path.join(out, "_complete")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(synthesize_real_media_table(n),
+                       os.path.join(out, "media-00000.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def _q_media_decode(sf_dir: str):
+    """REAL media decode (multimodal.RealMediaDecoder): parses 24-bit
+    BMP (numpy) and RIFF PCM WAV (stdlib wave) payloads and recomputes
+    the stats the generator froze as golden columns the pipeline never
+    reads (read is pruned to id/type/payload)."""
+    import ray.data
+    from pdf_inspector_ray.functions.multimodal import RealMediaDecoder
+    ds = ray.data.read_parquet(_real_media_dir(sf_dir),
+                               columns=["media_id", "media_type",
+                                        "payload"])
+    return ds.map_batches(RealMediaDecoder, batch_size=32,
+                          concurrency=(1, 4), batch_format="pyarrow")
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.multimodal import MediaFeatureExtractor
@@ -1318,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles_by_lang": _q_doc_length_quantiles_by_lang,
         # multimodal plumbing
         "media_features": _q_media_features,
+        "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
     }
 
@@ -1512,6 +1548,18 @@ def oracle_sql() -> dict[str, str]:
                    sha256(decode(payload)) AS payload_sha256,
                    octet_length(payload) AS n_bytes
             FROM read_parquet('{os.path.join(_media_dir('/root/testdata/sf0.01'), '*.parquet')}')
+        """,
+        "media_decode": f"""
+            SELECT media_id, media_type,
+                   golden_width AS width, golden_height AS height,
+                   golden_mean_r AS mean_r, golden_mean_g AS mean_g,
+                   golden_mean_b AS mean_b,
+                   golden_thumb_mean AS thumb_mean,
+                   golden_rate AS rate, golden_n_samples AS n_samples,
+                   golden_duration_ms AS duration_ms,
+                   golden_rms AS rms, golden_peak AS peak,
+                   CAST(NULL AS VARCHAR) AS error
+            FROM read_parquet('{os.path.join(_real_media_dir('/root/testdata/sf0.01'), '*.parquet')}')
         """,
         "html_extract": f"""
             SELECT doc_id, fixture,

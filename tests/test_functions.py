@@ -1409,3 +1409,35 @@ def test_value_histogram_and_grouped_topk_match_duckdb(ray_session):
         ORDER BY user_id, event_id
     """).df()
     pd.testing.assert_frame_equal(top, exp_t)
+
+
+def test_real_media_decode_reproduces_goldens(ray_session):
+    import ray.data
+
+    from pdf_inspector_ray.functions.multimodal import (
+        RealMediaDecoder, _REAL_STAT_COLS, synthesize_real_media_table)
+
+    t = synthesize_real_media_table(80, seed=9)
+    ds = ray.data.from_arrow(t.select(["media_id", "media_type", "payload"]))
+    out = (ds.map_batches(RealMediaDecoder, batch_size=16,
+                          concurrency=(1, 2), batch_format="pyarrow")
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert out.error.isna().all()
+    golden = t.to_pandas().sort_values("media_id").reset_index(drop=True)
+    for name, _ in _REAL_STAT_COLS:
+        got, exp = out[name], golden[f"golden_{name}"]
+        assert ((got == exp) | (got.isna() & exp.isna())).all(), name
+
+
+def test_real_media_decode_corrupt_payloads():
+    from pdf_inspector_ray.functions.multimodal import RealMediaDecoder
+
+    batch = pa.table({
+        "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "media_type": pa.array(["image", "audio", "video", "image"]),
+        "payload": pa.array([b"notabmp", b"RIFFgarbage", b"x", None],
+                            pa.binary()),
+    })
+    out = RealMediaDecoder()(batch).to_pandas()
+    assert out.error.notna().all()  # every row surfaced an error
+    assert out.width.isna().all()
