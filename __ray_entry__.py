@@ -947,6 +947,26 @@ def _q_customers_with_orders(sf_dir: str):
         right_schema=[("o_custkey", pa.int64())])
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Training-data chunking (text_stats.chunk_documents): 64-token
+    windows, stride 48 — flat vectorized expansion, no shuffle."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import chunk_documents
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=64, stride=48)
+
+
+def _q_token_counts(sf_dir: str):
+    """Whitespace + BPE-ish regex token counts (text_stats.
+    token_count_batch): two RE2 count kernels per batch."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import token_count_batch
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
 def _q_docs_above_p90(sf_dir: str):
     """Percentile-threshold filter: the p90 length comes from the
     distributed value-count quantile sketch (one tiny scalar on the
@@ -1334,6 +1354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "docs_normalized": _q_docs_normalized,
         "revenue_rollup": _q_revenue_rollup,
+        "doc_chunks": _q_doc_chunks,
+        "token_counts": _q_token_counts,
         "docs_above_p90": _q_docs_above_p90,
         "events_value_histogram": _q_events_value_histogram,
         "top_events_per_user": _q_top_events_per_user,
@@ -1391,6 +1413,14 @@ def _jaccard_ctes(tau: float) -> str:
 
 
 _JACCARD_CTES = _jaccard_ctes(NEARDUP_JACCARD_T)
+
+
+def _bpe_sql_pattern() -> str:
+    from pdf_inspector_ray.functions.text_stats import BPE_TOKEN_PATTERN
+    return BPE_TOKEN_PATTERN.replace("'", "''")
+
+
+_BPE_SQL_PATTERN = _bpe_sql_pattern()
 
 
 def _redact_oracle_sql(rules) -> str:
@@ -1744,6 +1774,32 @@ def oracle_sql() -> dict[str, str]:
                        f"COUNT(*) FILTER (event_type = '{c}') AS n_{c}"
                        for c in _EVENT_TYPES)}
             FROM events GROUP BY user_id
+        """,
+        "doc_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), wins AS (
+                SELECT doc_id, w, len(w) AS n,
+                       CASE WHEN len(w) = 0 THEN 0
+                            ELSE (greatest(len(w) - 64, 0) + 47) // 48 + 1
+                       END AS n_win
+                FROM toks)
+            SELECT doc_id, i - 1 AS chunk_idx,
+                   array_to_string(
+                       w[(i-1)*48 + 1 : least((i-1)*48 + 64, n)], ' ')
+                       AS chunk_text,
+                   least((i-1)*48 + 64, n) - (i-1)*48 AS n_tokens
+            FROM wins, unnest(generate_series(1, n_win)) AS u(i)
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text,
+                       '{_BPE_SQL_PATTERN}')) AS n_bpe_tokens
+            FROM documents
         """,
         "docs_above_p90": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -538,3 +538,86 @@ def tfidf_top_terms(ds, n_docs: int, k: int = 3, min_df: int = 2,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# GPT-2-style pretokenizer pattern, lookahead-free so the SAME RE2 source
+# runs in Arrow and DuckDB (both are RE2; the original's `\s+(?!\S)` tail
+# needs lookahead, which RE2 lacks — the contraction/letter/number/punct
+# classes are what carries the count signal)
+BPE_TOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_batch(batch: pa.Table, text_column: str = "text",
+                      id_column: str = "doc_id") -> pa.Table:
+    """Whitespace tokens + BPE-ish regex tokens per doc — both via
+    vectorized RE2 count kernels (zero Python row loops)."""
+    txt = batch[text_column]
+    ws = pc.count_substring_regex(txt, r"\S+")
+    bpe = pc.count_substring_regex(txt, BPE_TOKEN_PATTERN)
+    return pa.table({
+        id_column: pc.cast(batch[id_column], pa.int64()),
+        "n_ws_tokens": pc.cast(ws, pa.int64()),
+        "n_bpe_tokens": pc.cast(bpe, pa.int64()),
+    })
+
+
+def chunk_documents(ds, chunk_tokens: int = 64, stride: int = 48,
+                    text_column: str = "text", id_column: str = "doc_id"):
+    """Fixed-size token windows with overlap (stride < chunk_tokens) —
+    the standard training-data chunking step. One output row per
+    (doc, window): (doc_id, chunk_idx, chunk_text, n_tokens). Windows
+    start every ``stride`` tokens; the LAST window may be short (every
+    token appears in ≥1 chunk; no empty chunks). Pure flat expansion
+    inside ``map_batches`` — embarrassingly parallel, no shuffle.
+
+    Vectorized: one regex token split per batch, then numpy window
+    arithmetic over the flat token array; chunk text is rebuilt with a
+    single list-slice + join kernel pass per batch."""
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern_regex(batch[text_column], r"\s+")
+        toks = pc.list_flatten(tok_lists)
+        reps = pc.list_value_length(tok_lists).to_numpy(
+            zero_copy_only=False)
+        row = np.repeat(np.arange(len(batch)), reps)
+        mask = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        toks = toks.filter(pa.array(mask))
+        row = row[mask]
+        n_tok = np.bincount(row, minlength=len(batch)).astype(np.int64)
+        doc_start = np.concatenate([[0], np.cumsum(n_tok)])
+        # number of windows per doc: ceil(max(n - chunk, 0) / stride) + 1
+        # for non-empty docs, 0 for empty ones
+        extra = np.maximum(n_tok - chunk_tokens, 0)
+        n_win = np.where(n_tok > 0,
+                         (extra + stride - 1) // stride + 1, 0)
+        doc_idx = np.repeat(np.arange(len(batch)), n_win)
+        win_start = np.concatenate([[0], np.cumsum(n_win)])
+        chunk_idx = np.arange(len(doc_idx)) - np.repeat(
+            win_start[:-1], n_win)
+        starts = doc_start[doc_idx] + chunk_idx * stride
+        ends = np.minimum(starts + chunk_tokens,
+                          doc_start[doc_idx] + n_tok[doc_idx])
+        flat = pa.chunked_array([toks]).combine_chunks()
+        # build list<string> windows from (start, end) index pairs: one
+        # ListArray per window via take on a range expansion
+        lens = ends - starts
+        take_idx = (np.repeat(starts, lens)
+                    + (np.arange(lens.sum())
+                       - np.repeat(np.concatenate([[0],
+                                                   np.cumsum(lens)[:-1]]),
+                                   lens)))
+        flat_taken = flat.take(pa.array(take_idx, pa.int64()))
+        win_offsets = pa.array(
+            np.concatenate([[0], np.cumsum(lens)]), pa.int32())
+        windows = pa.ListArray.from_arrays(win_offsets, flat_taken)
+        texts = pc.binary_join(windows, " ")
+        ids = pc.cast(batch[id_column], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            id_column: pa.array(ids[doc_idx], pa.int64()),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "chunk_text": texts,
+            "n_tokens": pa.array(lens, pa.int64()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

