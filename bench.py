@@ -275,6 +275,33 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
                 repetition_stats_batch, batch_format="pyarrow").count()
             queries["curation_suite"] = round(time.perf_counter() - t0, 3)
 
+            # round-3 text operators: exact similarity join (prefix
+            # filtering), chunking, redaction, tf-idf — one timed pass
+            from pdf_inspector_ray.functions.dedup import (
+                jaccard_prefix_candidates)
+            from pdf_inspector_ray.functions.scrub import regex_redact
+            from pdf_inspector_ray.functions.text_stats import (
+                chunk_documents, tfidf_top_terms, token_count_batch)
+
+            t0 = time.perf_counter()
+            jaccard_prefix_candidates(
+                ray.data.read_parquet(docs_path,
+                                      columns=["doc_id", "text"]),
+                threshold=0.7,
+                num_partitions=gram_parts).count()
+            chunk_documents(ray.data.read_parquet(
+                docs_path, columns=["doc_id", "text"])).count()
+            regex_redact(ray.data.read_parquet(
+                docs_path, columns=["doc_id", "text"])).count()
+            tfidf_top_terms(
+                ray.data.read_parquet(docs_path,
+                                      columns=["doc_id", "text"]),
+                n_docs=_footer_rows(docs_path)).count()
+            ray.data.read_parquet(
+                docs_path, columns=["doc_id", "text"]).map_batches(
+                token_count_batch, batch_format="pyarrow").count()
+            queries["text_ops_suite"] = round(time.perf_counter() - t0, 3)
+
         orders_path = os.path.join(sf_dir, "orders.parquet")
         if os.path.exists(orders_path) and os.path.exists(events_path):
             from pdf_inspector_ray.functions.relational import (
