@@ -1189,27 +1189,29 @@ def jaccard_prefix_candidates(ds, threshold: float = 0.8, k: int = 3,
                                 ("sz", pa.int64())])
 
     def prefix_rows(group: pa.Table) -> pa.Table:
-        """Per doc-partition: keep each doc's df-order prefix."""
+        """Per doc-partition: keep each doc's df-order prefix. The
+        (doc, df, gram) multi-key sort runs in Arrow C++ — gram strings
+        never materialize into Python."""
         if group.num_rows == 0:
             return _PREFIX_SCHEMA.empty_table()
-        doc = group[id_column].to_numpy(zero_copy_only=False)
-        df = group["df"].to_numpy(zero_copy_only=False)
-        sz = group["sz"].to_numpy(zero_copy_only=False)
-        grams = np.asarray(group["gram"].to_pylist(), dtype=object)
-        order = np.lexsort((grams, df, doc))  # global order = (df, gram)
-        d_sorted = doc[order]
+        order = pc.sort_indices(group, sort_keys=[
+            (id_column, "ascending"), ("df", "ascending"),
+            ("gram", "ascending")])  # global order = (df asc, gram asc)
+        g = group.take(order)
+        doc = g[id_column].to_numpy(zero_copy_only=False)
+        sz = g["sz"].to_numpy(zero_copy_only=False)
         run_start = np.flatnonzero(np.concatenate(
-            [[True], d_sorted[1:] != d_sorted[:-1]]))
-        rank = np.arange(len(order)) - np.repeat(
+            [[True], doc[1:] != doc[:-1]]))
+        rank = np.arange(len(doc)) - np.repeat(
             run_start,
-            np.diff(np.concatenate([run_start, [len(order)]])))
-        p = sz[order] - np.ceil(threshold * sz[order]) + 1
-        keep = order[rank < p]
-        h = _gram_hash(pa.array(grams[keep].tolist(), pa.string()))
+            np.diff(np.concatenate([run_start, [len(doc)]])))
+        p = sz - np.ceil(threshold * sz) + 1
+        kept = g.filter(pa.array(rank < p))
+        h = _gram_hash(kept["gram"].combine_chunks())
         return pa.table({
-            "doc_id": pa.array(doc[keep], pa.int64()),
+            "doc_id": pc.cast(kept[id_column], pa.int64()),
             "bucket": pa.array(h, pa.uint64()),
-            "sz": pa.array(sz[keep], pa.int64()),
+            "sz": pc.cast(kept["sz"], pa.int64()),
         })
 
     rows = (ds.map_batches(to_rows, batch_format="pyarrow")
