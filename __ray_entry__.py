@@ -957,6 +957,39 @@ def _q_doc_chunks(sf_dir: str):
     return chunk_documents(ds, chunk_tokens=64, stride=48)
 
 
+def _q_chunk_dedup(sf_dir: str):
+    """Operator composition: chunk_documents → exact dedup over the
+    CHUNK text (paragraph-level dedup, the shape RefinedWeb/Gopher
+    pipelines run after document-level dedup). Keeps the lexicographic
+    min (doc_id, chunk_idx) owner per distinct chunk text; same
+    md5-digest groupby as exact_dedup."""
+    import hashlib as _hl
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import chunk_documents
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    chunks = chunk_documents(ds, chunk_tokens=64, stride=48)
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        digests = [_hl.md5(t.encode(), usedforsecurity=False).hexdigest()
+                   for t in batch["chunk_text"].to_pylist()]
+        return batch.append_column(
+            pa.field("__digest", pa.string()), pa.array(digests))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("doc_id", "ascending"), ("chunk_idx", "ascending")])
+        return (group.take(order[:1])
+                     .select(["doc_id", "chunk_idx", "n_tokens"]))
+
+    return (chunks.map_batches(add_md5, batch_format="pyarrow")
+                  .groupby("__digest")
+                  .map_groups(keep_first, batch_format="pyarrow"))
+
+
 def _q_token_counts(sf_dir: str):
     """Whitespace + BPE-ish regex token counts (text_stats.
     token_count_batch): two RE2 count kernels per batch."""
@@ -1355,6 +1388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_normalized": _q_docs_normalized,
         "revenue_rollup": _q_revenue_rollup,
         "doc_chunks": _q_doc_chunks,
+        "chunk_dedup": _q_chunk_dedup,
         "token_counts": _q_token_counts,
         "docs_above_p90": _q_docs_above_p90,
         "events_value_histogram": _q_events_value_histogram,
@@ -1793,6 +1827,30 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    least((i-1)*48 + 64, n) - (i-1)*48 AS n_tokens
             FROM wins, unnest(generate_series(1, n_win)) AS u(i)
+        """,
+        "chunk_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), wins AS (
+                SELECT doc_id, w, len(w) AS n,
+                       CASE WHEN len(w) = 0 THEN 0
+                            ELSE (greatest(len(w) - 64, 0) + 47) // 48 + 1
+                       END AS n_win
+                FROM toks
+            ), chunks AS (
+                SELECT doc_id, i - 1 AS chunk_idx,
+                       array_to_string(
+                           w[(i-1)*48 + 1 : least((i-1)*48 + 64, n)], ' ')
+                           AS chunk_text,
+                       least((i-1)*48 + 64, n) - (i-1)*48 AS n_tokens
+                FROM wins, unnest(generate_series(1, n_win)) AS u(i)
+            )
+            SELECT doc_id, chunk_idx, n_tokens FROM chunks
+            QUALIFY row_number() OVER (
+                PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) = 1
         """,
         "token_counts": f"""
             SELECT doc_id,

@@ -134,3 +134,50 @@ def test_runlength_roundtrip_fuzz(data):
     from pdf_inspector_ray.sources.pdfgen import _rl_encode
 
     assert _runlength_decode(_rl_encode(data)) == data
+
+
+@given(st.binary(min_size=0, max_size=400),
+       st.sampled_from(["image", "audio", "video"]))
+@settings(max_examples=200, deadline=None)
+def test_media_decoder_total_on_garbage(data, mtype):
+    """RealMediaDecoder must surface every malformed payload in the
+    error column — a bad byte string never raises out of the stage."""
+    import pyarrow as pa
+
+    from pdf_inspector_ray.functions.multimodal import RealMediaDecoder
+
+    batch = pa.table({
+        "media_id": pa.array([0], "int64"),
+        "media_type": pa.array([mtype]),
+        "payload": pa.array([data], pa.binary()),
+    })
+    out = RealMediaDecoder()(batch)
+    assert out.num_rows == 1
+    # either it decoded (valid-by-luck payload) or the error is set
+    assert (out["error"][0].as_py() is not None
+            or out["width"][0].as_py() is not None
+            or out["n_samples"][0].as_py() is not None)
+
+
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 120))
+@settings(max_examples=100, deadline=None)
+def test_bmp_truncation_contained(h, w, cut):
+    """Truncated valid BMPs either decode (cut hits padding only) or
+    surface as an error row — never an unhandled crash."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_inspector_ray.functions.multimodal import (
+        RealMediaDecoder, encode_bmp)
+
+    rng = np.random.default_rng(h * 21 + w)
+    payload = encode_bmp(
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+    batch = pa.table({
+        "media_id": pa.array([0], "int64"),
+        "media_type": pa.array(["image"]),
+        "payload": pa.array([payload[:max(0, len(payload) - cut)]],
+                            pa.binary()),
+    })
+    out = RealMediaDecoder()(batch)
+    assert out.num_rows == 1
