@@ -1000,6 +1000,27 @@ def _q_token_counts(sf_dir: str):
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
 
 
+def _q_embedding_quantize(sf_dir: str):
+    """Per-dim min-max int8-style quantization (similarity.
+    quantize_embeddings): dim-bounded range aggregate + vectorized
+    quantize map; floor((x−mn)/(mx−mn)·255) in float64 on both sides."""
+    import ray.data
+    from pdf_inspector_ray.functions.similarity import quantize_embeddings
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    return quantize_embeddings(ds, dim=64)
+
+
+def _q_docs_percent_rank(sf_dir: str):
+    """Global percent_rank without a global sort (text_stats.
+    percent_rank_column): value-count sketch → broadcast → searchsorted."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import percent_rank_column
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+    return percent_rank_column(ds, "n_chars")
+
+
 def _q_docs_above_p90(sf_dir: str):
     """Percentile-threshold filter: the p90 length comes from the
     distributed value-count quantile sketch (one tiny scalar on the
@@ -1391,6 +1412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup": _q_chunk_dedup,
         "token_counts": _q_token_counts,
         "docs_above_p90": _q_docs_above_p90,
+        "embedding_quantize": _q_embedding_quantize,
+        "docs_percent_rank": _q_docs_percent_rank,
         "events_value_histogram": _q_events_value_histogram,
         "top_events_per_user": _q_top_events_per_user,
         "events_pivot": _q_events_pivot,
@@ -1863,6 +1886,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, n_chars FROM documents
             WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.9)
                               FROM documents)
+        """,
+        "embedding_quantize": """
+            WITH flat AS (
+                SELECT vec_id, u.i - 1 AS dim,
+                       CAST(embedding[u.i] AS DOUBLE) AS x
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS u(i)
+            ), rng AS (
+                SELECT dim, MIN(x) AS mn, MAX(x) AS mx
+                FROM flat GROUP BY dim
+            )
+            SELECT vec_id, dim,
+                   CAST(CASE WHEN mx = mn THEN 0
+                        ELSE least(floor((x - mn) / (mx - mn) * 255), 255)
+                   END AS BIGINT) AS q
+            FROM flat JOIN rng USING (dim)
+        """,
+        "docs_percent_rank": """
+            SELECT doc_id, n_chars,
+                   percent_rank() OVER (ORDER BY n_chars) AS pct_rank
+            FROM documents
         """,
         "events_value_histogram": """
             SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,

@@ -221,3 +221,55 @@ def label_centroids(ds, label_column: str = "label",
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["label", "pos"])
               .map_groups(merge, batch_format="pyarrow"))
+
+
+def quantize_embeddings(ds, dim: int,
+                        embedding_column: str = "embedding",
+                        id_column: str = "vec_id"):
+    """Scalar (per-dimension min-max) int8-style quantization — the
+    standard vector-compression step before shipping embeddings to an
+    ANN index. Two stages: per-batch (dim, min, max) partials → one
+    TINY groupby (``dim`` rows total) → per-dim scale broadcast in the
+    closure → vectorized quantize map emitting long-form
+    (vec_id, dim, q) with q = floor((x − mn) / (mx − mn) · 255) in
+    float64 — the exact IEEE expression a SQL twin computes, so the
+    oracle is bit-identical. Degenerate dims (mx = mn) quantize to 0."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    def rng_partial(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch[embedding_column].to_pylist(),
+                       dtype=np.float64)
+        return pa.table({
+            "dim": pa.array(np.arange(dim), pa.int64()),
+            "mn": pa.array(m.min(axis=0), pa.float64()),
+            "mx": pa.array(m.max(axis=0), pa.float64()),
+        })
+
+    rows = (ds.map_batches(rng_partial, batch_format="pyarrow")
+              .groupby("dim")
+              .aggregate(Min("mn", alias_name="mn"),
+                         Max("mx", alias_name="mx"))
+              .take_all())  # exactly ``dim`` rows
+    mn = np.empty(dim, np.float64)
+    mx = np.empty(dim, np.float64)
+    for r in rows:
+        mn[r["dim"]], mx[r["dim"]] = r["mn"], r["mx"]
+    span = mx - mn
+    degenerate = span == 0
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch[embedding_column].to_pylist(),
+                       dtype=np.float64)
+        q = np.minimum(np.floor((m - mn) / span * 255.0), 255.0)
+        q[:, degenerate] = 0.0
+        n, d = m.shape
+        ids = pc.cast(batch[id_column], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            id_column: pa.array(np.repeat(ids, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(d), n), pa.int64()),
+            "q": pa.array(q.ravel().astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(quantize, batch_format="pyarrow")

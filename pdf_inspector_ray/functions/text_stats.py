@@ -621,3 +621,45 @@ def chunk_documents(ds, chunk_tokens: int = 64, stride: int = 48,
         })
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def percent_rank_column(ds, column: str, id_column: str = "doc_id"):
+    """Global ``percent_rank() OVER (ORDER BY column)`` without a global
+    sort: the distributed value-count sketch (one row per DISTINCT
+    value) folds to (value → count-below) on the driver, broadcasts via
+    ``ray.put``, and a stateless searchsorted map assigns
+    (rank − 1) / (n − 1) — ties share the min rank, exactly the SQL
+    window rule. Same pre-binning caveat as ``value_quantiles`` for
+    continuous columns."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (pa.table({"value": batch[column]})
+                .group_by(["value"]).aggregate([([], "count_all")])
+                .rename_columns(["value", "cnt"]))
+
+    from ray.data.aggregate import Sum
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("value").aggregate(Sum("cnt", alias_name="cnt"))
+              .take_all())  # one row per distinct value
+    rows.sort(key=lambda r: r["value"])
+    values = np.asarray([r["value"] for r in rows], dtype=np.int64)
+    counts = np.asarray([r["cnt"] for r in rows], dtype=np.int64)
+    below = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    n = int(counts.sum())
+    ref = ray.put((values, below))
+
+    def rank(batch: pa.Table) -> pa.Table:
+        vals, blw = ray.get(ref)
+        x = pc.cast(batch[column], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        r = blw[np.searchsorted(vals, x)]  # count strictly below = rank-1
+        pct = (r / (n - 1)) if n > 1 else np.zeros(len(x), np.float64)
+        return pa.table({
+            id_column: pc.cast(batch[id_column], pa.int64()),
+            column: batch[column],
+            "pct_rank": pa.array(np.asarray(pct, np.float64),
+                                 pa.float64()),
+        })
+
+    return ds.map_batches(rank, batch_format="pyarrow")

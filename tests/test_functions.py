@@ -1513,3 +1513,62 @@ def test_token_count_matches_duckdb(ray_session):
     assert out.n_bpe_tokens.sum() > out.n_ws_tokens.sum()
     pd.testing.assert_frame_equal(
         out, exp.astype({"n_ws_tokens": "int64", "n_bpe_tokens": "int64"}))
+
+
+def test_quantize_embeddings_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((200, 8)).astype(np.float32)
+    vecs[:, 3] = 7.5  # degenerate dim (mx == mn) → q = 0
+    t = pa.table({"vec_id": pa.array(range(200), pa.int64()),
+                  "embedding": pa.array(vecs.tolist(),
+                                        pa.list_(pa.float32()))})
+    out = (quantize_embeddings(ray.data.from_arrow(t).repartition(3),
+                               dim=8)
+           .to_pandas().sort_values(["vec_id", "dim"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH flat AS (
+            SELECT vec_id, u.i - 1 AS dim,
+                   CAST(embedding[u.i] AS DOUBLE) AS x
+            FROM t, unnest(generate_series(1, len(embedding))) AS u(i)
+        ), rng AS (
+            SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM flat GROUP BY dim
+        )
+        SELECT vec_id, dim,
+               CAST(CASE WHEN mx = mn THEN 0
+                    ELSE least(floor((x - mn) / (mx - mn) * 255), 255)
+               END AS BIGINT) AS q
+        FROM flat JOIN rng USING (dim)
+        ORDER BY vec_id, dim
+    """).df()
+    assert (out[out.dim == 3].q == 0).all()
+    assert out.q.max() == 255 and out.q.min() == 0
+    pd.testing.assert_frame_equal(out, exp.astype({"dim": "int64",
+                                                   "q": "int64"}))
+
+
+def test_percent_rank_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import percent_rank_column
+
+    rng = np.random.default_rng(13)
+    vals = np.concatenate([rng.integers(0, 50, 300),
+                           np.full(20, 7)])  # heavy ties
+    t = pa.table({"doc_id": pa.array(range(len(vals)), pa.int64()),
+                  "n_chars": pa.array(vals, pa.int64())})
+    out = (percent_rank_column(ray.data.from_arrow(t).repartition(4),
+                               "n_chars")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT doc_id, n_chars,
+               percent_rank() OVER (ORDER BY n_chars) AS pct_rank
+        FROM t ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(out, exp.astype({"n_chars": "int64"}))
