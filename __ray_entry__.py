@@ -1021,6 +1021,18 @@ def _q_docs_percent_rank(sf_dir: str):
     return percent_rank_column(ds, "n_chars")
 
 
+def _q_signup_conversion(sf_dir: str):
+    """Funnel step signup → purchase ≤ 7 days (relational.
+    funnel_conversion): groupby(user) co-location + two-searchsorted
+    window probe per group."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import funnel_conversion
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return funnel_conversion(ds, "signup", "purchase")
+
+
 def _q_docs_above_p90(sf_dir: str):
     """Percentile-threshold filter: the p90 length comes from the
     distributed value-count quantile sketch (one tiny scalar on the
@@ -1416,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_percent_rank": _q_docs_percent_rank,
         "events_value_histogram": _q_events_value_histogram,
         "top_events_per_user": _q_top_events_per_user,
+        "signup_conversion": _q_signup_conversion,
         "events_pivot": _q_events_pivot,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
@@ -1917,6 +1930,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, value FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+        """,
+        "signup_conversion": """
+            SELECT e.event_id, e.user_id,
+                   EXISTS (SELECT 1 FROM events p
+                           WHERE p.user_id = e.user_id
+                             AND p.event_type = 'purchase'
+                             AND p.ts > e.ts
+                             AND p.ts <= e.ts + INTERVAL 7 DAY)
+                       AS converted
+            FROM events e WHERE e.event_type = 'signup'
         """,
         "customers_without_orders": """
             SELECT c_custkey, c_name FROM customer c

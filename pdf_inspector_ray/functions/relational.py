@@ -893,3 +893,44 @@ def grouped_topk(ds, group_column: str, order_column: str, k: int,
 
     return (ds.map_batches(add_part, batch_format="pyarrow")
               .groupby("__part").map_groups(head, batch_format="pyarrow"))
+
+
+def funnel_conversion(ds, from_type: str, to_type: str,
+                      within_us: int = 7 * 86_400_000_000):
+    """Funnel step: for every ``from_type`` event, did the same user
+    fire a ``to_type`` event in ``(ts, ts + within_us]``? One row per
+    from-event with a ``converted`` flag — the per-event form that both
+    feeds a global rate and joins back to cohorts.
+
+    Same dataflow as the as-of join (groupby(user) co-location), with a
+    vectorized two-searchsorted window probe per group."""
+
+    def probe(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(order)
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g["event_id"].to_numpy(zero_copy_only=False)
+        types = g["event_type"]
+        src = np.nonzero(pc.equal(types, from_type).to_numpy(
+            zero_copy_only=False))[0]
+        dst = np.nonzero(pc.equal(types, to_type).to_numpy(
+            zero_copy_only=False))[0]
+        dst_ts = ts[dst]
+        lo = np.searchsorted(dst_ts, ts[src], side="right")
+        hi = np.searchsorted(dst_ts, ts[src] + within_us, side="right")
+        return pa.table({
+            "event_id": pa.array(ids[src], pa.int64()),
+            "user_id": pa.array(
+                np.full(len(src), g["user_id"][0].as_py()), pa.int64()),
+            "converted": pa.array(hi > lo, pa.bool_()),
+        })
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(
+            batch["event_type"],
+            value_set=pa.array([from_type, to_type])))
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(probe, batch_format="pyarrow"))

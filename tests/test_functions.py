@@ -1572,3 +1572,38 @@ def test_percent_rank_matches_duckdb(ray_session):
         FROM t ORDER BY doc_id
     """).df()
     pd.testing.assert_frame_equal(out, exp.astype({"n_chars": "int64"}))
+
+
+def test_funnel_conversion_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import funnel_conversion
+
+    rng = np.random.default_rng(41)
+    n = 800
+    base = np.datetime64("2024-01-01", "us")
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(base + rng.integers(0, 30 * 86_400_000_000, n)
+                       .astype("timedelta64[us]")),
+        "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["signup", "purchase", "click"], n).tolist()),
+    })
+    out = (funnel_conversion(ray.data.from_arrow(t).repartition(4),
+                             "signup", "purchase",
+                             within_us=3 * 86_400_000_000)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT e.event_id, e.user_id,
+               EXISTS (SELECT 1 FROM t p
+                       WHERE p.user_id = e.user_id
+                         AND p.event_type = 'purchase'
+                         AND p.ts > e.ts
+                         AND p.ts <= e.ts + INTERVAL 3 DAY)
+                   AS converted
+        FROM t e WHERE e.event_type = 'signup' ORDER BY e.event_id
+    """).df()
+    assert out.converted.any() and not out.converted.all()
+    pd.testing.assert_frame_equal(out, exp)
