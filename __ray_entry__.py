@@ -899,6 +899,17 @@ def _q_revenue_rollup(sf_dir: str):
                       "o_totalprice")
 
 
+def _q_revenue_cube(sf_dir: str):
+    """GROUP BY CUBE (relational.cube_agg) — rollup's full lattice."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import cube_agg
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return cube_agg(ds, ["o_orderstatus", "o_orderpriority"],
+                    "o_totalprice")
+
+
 def _q_events_pivot(sf_dir: str):
     """Long→wide pivot (relational.pivot_counts): per-batch 2-D bincount
     partials, one groupby-sum exchange carrying (batch, user) rows."""
@@ -1420,6 +1431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "docs_normalized": _q_docs_normalized,
         "revenue_rollup": _q_revenue_rollup,
+        "revenue_cube": _q_revenue_cube,
         "doc_chunks": _q_doc_chunks,
         "chunk_dedup": _q_chunk_dedup,
         "token_counts": _q_token_counts,
@@ -1837,6 +1849,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "revenue_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS sum_cents,
+                   COUNT(*) AS n_rows
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """,
         "events_pivot": f"""
             SELECT user_id,

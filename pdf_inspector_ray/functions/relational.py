@@ -934,3 +934,56 @@ def funnel_conversion(ds, from_type: str, to_type: str,
     return (ds.map_batches(prefilter, batch_format="pyarrow")
               .groupby("user_id")
               .map_groups(probe, batch_format="pyarrow"))
+
+
+def cube_agg(ds, group_cols: list[str], value_column: str):
+    """GROUP BY CUBE(``group_cols``): every SUBSET of the grouping
+    columns (rollup's prefix lattice → the full lattice). Same dataflow
+    as ``rollup_agg``: one distributed finest-level aggregate, the other
+    2^k − 1 levels folded from its group-cardinality-bounded result."""
+    import itertools
+
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch[value_column], pa.float64()), 100.0), 0.5)),
+            pa.int64())
+        t = batch.select(group_cols).append_column("cents", cents)
+        return (t.group_by(group_cols)
+                 .aggregate([("cents", "sum"), ([], "count_all")])
+                 .rename_columns(group_cols + ["sum_cents", "n_rows"]))
+
+    from ray.data.aggregate import Sum
+    finest = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(group_cols)
+                .aggregate(Sum("sum_cents", alias_name="sum_cents"),
+                           Sum("n_rows", alias_name="n_rows")))
+    rows = finest.take_all()  # bounded by finest group cardinality
+    base = pa.table({
+        **{c: pa.array([r[c] for r in rows], pa.string())
+           for c in group_cols},
+        "sum_cents": pa.array([r["sum_cents"] for r in rows], pa.int64()),
+        "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+    })
+    levels = [base]
+    subsets = itertools.chain.from_iterable(
+        itertools.combinations(group_cols, k)
+        for k in range(len(group_cols)))
+    for keep in subsets:
+        keep = list(keep)
+        agg = (base.group_by(keep)
+                   .aggregate([("sum_cents", "sum"), ("n_rows", "sum")])
+               if keep else pa.table({
+                   "sum_cents_sum": pa.array(
+                       [pc.sum(base["sum_cents"]).as_py()], pa.int64()),
+                   "n_rows_sum": pa.array(
+                       [pc.sum(base["n_rows"]).as_py()], pa.int64()),
+               }))
+        cols = {c: (agg[c] if c in keep
+                    else pa.nulls(agg.num_rows, pa.string()))
+                for c in group_cols}
+        cols["sum_cents"] = agg["sum_cents_sum"]
+        cols["n_rows"] = agg["n_rows_sum"]
+        levels.append(pa.table(cols))
+    return pa.concat_tables(levels)

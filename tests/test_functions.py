@@ -1607,3 +1607,33 @@ def test_funnel_conversion_matches_duckdb(ray_session):
     """).df()
     assert out.converted.any() and not out.converted.all()
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_cube_agg_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import cube_agg
+
+    rng = np.random.default_rng(8)
+    n = 300
+    t = pa.table({
+        "status": pa.array(rng.choice(["A", "B"], n).tolist()),
+        "prio": pa.array(rng.choice(["1", "2", "3"], n).tolist()),
+        "price": pa.array(np.round(rng.uniform(1, 500, n), 2)),
+    })
+    out = (cube_agg(ray.data.from_arrow(t).repartition(3),
+                    ["status", "prio"], "price")
+           .to_pandas()
+           .sort_values(["status", "prio"], na_position="first")
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT status, prio,
+               CAST(SUM(CAST(floor(price * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               COUNT(*) AS n_rows
+        FROM t GROUP BY CUBE(status, prio)
+        ORDER BY status NULLS FIRST, prio NULLS FIRST
+    """).df()
+    assert len(out) == 2 * 3 + 2 + 3 + 1
+    pd.testing.assert_frame_equal(out, exp.astype({"n_rows": "int64"}))
