@@ -1032,6 +1032,27 @@ def _q_docs_percent_rank(sf_dir: str):
     return percent_rank_column(ds, "n_chars")
 
 
+def _q_event_value_stats(sf_dir: str):
+    """Per-group streaming moments (relational.grouped_moments): exact
+    fixed-point (n, Σx, Σx²) partials → one tiny exchange → float64
+    finish identical to the SQL twin's expressions."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import grouped_moments
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "value"])
+    return grouped_moments(ds, "event_type", "value")
+
+
+def _q_inverted_index(sf_dir: str):
+    """Search-index build (text_stats.inverted_index): term-hash
+    co-partitioned posting lists, vocabulary-bounded exchange."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import inverted_index
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return inverted_index(ds, min_df=2)
+
+
 def _q_signup_conversion(sf_dir: str):
     """Funnel step signup → purchase ≤ 7 days (relational.
     funnel_conversion): groupby(user) co-location + two-searchsorted
@@ -1441,6 +1462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": _q_events_value_histogram,
         "top_events_per_user": _q_top_events_per_user,
         "signup_conversion": _q_signup_conversion,
+        "event_value_stats": _q_event_value_stats,
+        "inverted_index": _q_inverted_index,
         "events_pivot": _q_events_pivot,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
@@ -1950,6 +1973,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, value FROM events
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY value DESC, event_id) <= 3
+        """,
+        "event_value_stats": """
+            WITH q AS (
+                SELECT event_type,
+                       CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+                FROM events
+            ), a AS (
+                SELECT event_type,
+                       CAST(SUM(v) AS DOUBLE) AS sx,
+                       CAST(SUM(v * v) AS DOUBLE) AS sxx,
+                       CAST(COUNT(*) AS DOUBLE) AS nf,
+                       COUNT(*) AS n
+                FROM q GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   (sx / nf) / 1000 AS mean_value,
+                   (sxx / nf - (sx / nf) * (sx / nf)) / 1000000
+                       AS var_value
+            FROM a
+        """,
+        "inverted_index": r"""
+            WITH pairs AS (
+                SELECT DISTINCT doc_id, term FROM (
+                    SELECT doc_id,
+                           unnest(list_filter(
+                               regexp_split_to_array(text, '\s+'),
+                               x -> x <> '')) AS term
+                    FROM documents)
+            )
+            SELECT term,
+                   array_to_string(list(doc_id ORDER BY doc_id), ',')
+                       AS postings,
+                   COUNT(*) AS df
+            FROM pairs GROUP BY term HAVING COUNT(*) >= 2
         """,
         "signup_conversion": """
             SELECT e.event_id, e.user_id,

@@ -987,3 +987,50 @@ def cube_agg(ds, group_cols: list[str], value_column: str):
         cols["n_rows"] = agg["n_rows_sum"]
         levels.append(pa.table(cols))
     return pa.concat_tables(levels)
+
+
+def grouped_moments(ds, group_column: str, value_column: str,
+                    scale: int = 1000):
+    """Per-group mean and population variance via streaming (n, Σx, Σx²)
+    partials — the one-pass moments shape every aggregation engine
+    ships. Values are fixed-point scaled (``floor(v·scale + 0.5)``
+    int64) before accumulation, so the partial sums are EXACT integers
+    and the final float64 expressions ``mean = (Σx/n)/scale`` and
+    ``var = (Σx²/n − (Σx/n)²)/scale²`` are bit-identical to a SQL twin
+    computing the same expressions from the same integers — accumulation
+    order can never diverge."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.cast(batch[value_column], pa.float64()), float(scale)),
+            0.5)), pa.int64())
+        t = pa.table({group_column: batch[group_column], "x": v,
+                      "xx": pc.multiply(v, v)})
+        return (t.group_by([group_column])
+                 .aggregate([("x", "sum"), ("xx", "sum"),
+                             ([], "count_all")])
+                 .rename_columns([group_column, "sx", "sxx", "n"]))
+
+    from ray.data.aggregate import Sum
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sx = batch["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = batch["sxx"].to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean_s = sx / n
+        var_s = sxx / n - mean_s * mean_s
+        return pa.table({
+            group_column: batch[group_column],
+            "n": pc.cast(batch["n"], pa.int64()),
+            "mean_value": pa.array(mean_s / scale, pa.float64()),
+            "var_value": pa.array(var_s / (scale * scale), pa.float64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_column)
+              .aggregate(Sum("sx", alias_name="sx"),
+                         Sum("sxx", alias_name="sxx"),
+                         Sum("n", alias_name="n"))
+              .map_batches(finish, batch_format="pyarrow"))

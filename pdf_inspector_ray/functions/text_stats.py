@@ -663,3 +663,57 @@ def percent_rank_column(ds, column: str, id_column: str = "doc_id"):
         })
 
     return ds.map_batches(rank, batch_format="pyarrow")
+
+
+def inverted_index(ds, min_df: int = 2, text_column: str = "text",
+                   id_column: str = "doc_id"):
+    """Search-index build: term → sorted posting list (comma-joined
+    string, so the row is hashable by any engine) + df. Same dataflow
+    as ``term_doc_frequency`` with the postings carried through the
+    vocabulary-bounded exchange; the per-term sort is vectorized inside
+    the term-partition group."""
+    from pdf_inspector_ray.functions.decontam import _gram_rows
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx, terms = _gram_rows(batch[text_column], 1)
+        ids = pc.cast(batch[id_column], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = (pa.table({"term": terms,
+                       id_column: pa.array(ids[idx], pa.int64())})
+             .group_by(["term", id_column]).aggregate([]))
+        return t
+
+    def build(group: pa.Table) -> pa.Table:
+        # one coarse partition holds ALL rows of each of its terms
+        order = pc.sort_indices(group, sort_keys=[
+            ("term", "ascending"), (id_column, "ascending")])
+        g = group.take(order)
+        terms = g["term"]
+        ids = g[id_column].to_numpy(zero_copy_only=False)
+        t_np = np.asarray(terms.to_pylist(), dtype=object)
+        run_start = np.flatnonzero(np.concatenate(
+            [[True], t_np[1:] != t_np[:-1]]))
+        run_end = np.concatenate([run_start[1:], [len(t_np)]])
+        df = run_end - run_start
+        keep = df >= min_df
+        out_terms, postings = [], []
+        for s, e in zip(run_start[keep], run_end[keep]):
+            out_terms.append(t_np[s])
+            postings.append(",".join(map(str, ids[s:e])))
+        return pa.table({
+            "term": pa.array(out_terms, pa.string()),
+            "postings": pa.array(postings, pa.string()),
+            "df": pa.array(df[keep], pa.int64()),
+        })
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import polars as pl
+        h = pl.from_arrow(batch["term"].combine_chunks()).hash(
+            seed=0).to_numpy()
+        part = (h % np.uint64(64)).astype(np.int32)
+        return batch.append_column("__part", pa.array(part, pa.int32()))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .map_batches(add_part, batch_format="pyarrow")
+              .groupby("__part")
+              .map_groups(build, batch_format="pyarrow"))

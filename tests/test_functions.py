@@ -1637,3 +1637,71 @@ def test_cube_agg_matches_duckdb(ray_session):
     """).df()
     assert len(out) == 2 * 3 + 2 + 3 + 1
     pd.testing.assert_frame_equal(out, exp.astype({"n_rows": "int64"}))
+
+
+def test_grouped_moments_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import grouped_moments
+
+    rng = np.random.default_rng(77)
+    n = 900
+    t = pa.table({
+        "grp": pa.array(rng.choice(["a", "b", "c"], n).tolist()),
+        "value": pa.array(np.round(rng.uniform(-5, 500, n), 3)),
+    })
+    out = (grouped_moments(ray.data.from_arrow(t).repartition(5),
+                           "grp", "value")
+           .to_pandas().sort_values("grp").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH q AS (SELECT grp,
+                          CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+                   FROM t),
+        a AS (SELECT grp, CAST(SUM(v) AS DOUBLE) AS sx,
+                     CAST(SUM(v * v) AS DOUBLE) AS sxx,
+                     CAST(COUNT(*) AS DOUBLE) AS nf, COUNT(*) AS n
+              FROM q GROUP BY grp)
+        SELECT grp, n, (sx / nf) / 1000 AS mean_value,
+               (sxx / nf - (sx / nf) * (sx / nf)) / 1000000 AS var_value
+        FROM a ORDER BY grp
+    """).df()
+    pd.testing.assert_frame_equal(out, exp.astype({"n": "int64"}),
+                                  check_exact=True)
+    # sanity vs numpy (loose: fixed-point quantization)
+    ref = t.to_pandas().groupby("grp").value.var(ddof=0)
+    assert np.allclose(out.set_index("grp").var_value, ref, rtol=1e-4)
+
+
+def test_inverted_index_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import inverted_index
+
+    rng = np.random.default_rng(55)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(0, 25)))
+             for _ in range(250)] + ["", "solo"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = (inverted_index(ray.data.from_arrow(t).repartition(4), min_df=2)
+           .to_pandas().sort_values("term").reset_index(drop=True))
+    exp = duckdb.sql(r"""
+        WITH pairs AS (
+            SELECT DISTINCT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           x -> x <> '')) AS term
+                FROM t)
+        )
+        SELECT term,
+               array_to_string(list(doc_id ORDER BY doc_id), ',')
+                   AS postings,
+               COUNT(*) AS df
+        FROM pairs GROUP BY term HAVING COUNT(*) >= 2
+        ORDER BY term
+    """).df()
+    assert "solo" not in set(out.term)  # df=1 pruned
+    pd.testing.assert_frame_equal(out, exp.astype({"df": "int64"}))
