@@ -1043,6 +1043,15 @@ def _q_event_value_stats(sf_dir: str):
     return grouped_moments(ds, "event_type", "value")
 
 
+def _q_top_collocations(sf_dir: str):
+    """PMI-style bigram collocations (text_stats.top_collocations)."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import top_collocations
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return top_collocations(ds, k=20, min_count=5)
+
+
 def _q_inverted_index(sf_dir: str):
     """Search-index build (text_stats.inverted_index): term-hash
     co-partitioned posting lists, vocabulary-bounded exchange."""
@@ -1464,6 +1473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_conversion": _q_signup_conversion,
         "event_value_stats": _q_event_value_stats,
         "inverted_index": _q_inverted_index,
+        "top_collocations": _q_top_collocations,
         "events_pivot": _q_events_pivot,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
@@ -1992,6 +2002,34 @@ def oracle_sql() -> dict[str, str]:
                    (sxx / nf - (sx / nf) * (sx / nf)) / 1000000
                        AS var_value
             FROM a
+        """,
+        "top_collocations": r"""
+            WITH toks AS (
+                SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS w
+                FROM documents
+            ), bi AS (
+                SELECT w[i] AS a, w[i+1] AS b, COUNT(*) AS c
+                FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+                GROUP BY 1, 2
+            ), uni AS (
+                SELECT term, COUNT(*) AS c FROM (
+                    SELECT unnest(w) AS term FROM toks)
+                GROUP BY term
+            ), tot AS (
+                SELECT CAST((SELECT SUM(c) FROM bi) AS DOUBLE) AS n_bi,
+                       CAST((SELECT SUM(c) FROM uni) AS DOUBLE) AS n_uni
+            )
+            SELECT bi.a, bi.b, bi.c,
+                   (CAST(bi.c AS DOUBLE) / tot.n_bi)
+                       * (tot.n_uni / CAST(ua.c AS DOUBLE))
+                       * (tot.n_uni / CAST(ub.c AS DOUBLE)) AS score
+            FROM bi, tot
+            JOIN uni ua ON ua.term = bi.a
+            JOIN uni ub ON ub.term = bi.b
+            WHERE bi.c >= 5
+            ORDER BY score DESC, bi.a, bi.b
+            LIMIT 20
         """,
         "inverted_index": r"""
             WITH pairs AS (

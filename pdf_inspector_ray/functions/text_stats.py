@@ -717,3 +717,81 @@ def inverted_index(ds, min_df: int = 2, text_column: str = "text",
               .map_batches(add_part, batch_format="pyarrow")
               .groupby("__part")
               .map_groups(build, batch_format="pyarrow"))
+
+
+def top_collocations(ds, k: int = 20, min_count: int = 5,
+                     text_column: str = "text"):
+    """Top-k bigram collocations by a PMI-style lift score
+    ``(c_ab / N_bi) · (N_uni / c_a) · (N_uni / c_b)`` — the exact
+    float64 expression (in this order) a SQL twin computes, from exact
+    integer counts, so no log/rounding drift. Ties break by
+    (left, right) ascending.
+
+    Dataflow: per-batch (left, right) pair-count partials → ONE
+    vocabulary²-bounded groupby (materialized — it is the small
+    derived table, not the corpus); totals fold from the unigram/bigram
+    count tables; unigram counts broadcast in the closure
+    (vocabulary-bounded); scoring is one vectorized map; the final
+    top-k is a distributed sort + limit over bigram rows."""
+    from ray.data.aggregate import Sum
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern_regex(batch[text_column], r"\s+")
+        toks = pc.list_flatten(tok_lists).combine_chunks()
+        reps = pc.list_value_length(tok_lists).to_numpy(
+            zero_copy_only=False)
+        row = np.repeat(np.arange(len(batch)), reps)
+        mask = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        toks = toks.filter(pa.array(mask))
+        row = row[mask]
+        n = len(toks)
+        if n < 2:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        valid = row[:n - 1] == row[1:]
+        t = pa.table({"a": toks.slice(0, n - 1).filter(pa.array(valid)),
+                      "b": toks.slice(1, n - 1).filter(pa.array(valid))})
+        return (t.group_by(["a", "b"]).aggregate([([], "count_all")])
+                 .rename_columns(["a", "b", "c"]))
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        from pdf_inspector_ray.functions.decontam import _gram_rows
+        _, terms = _gram_rows(batch[text_column], 1)
+        return (pa.table({"term": terms})
+                .group_by(["term"]).aggregate([([], "count_all")])
+                .rename_columns(["term", "c"]))
+
+    uni_rows = (ds.map_batches(uni_partial, batch_format="pyarrow")
+                  .groupby("term").aggregate(Sum("c", alias_name="c"))
+                  .take_all())  # vocabulary-bounded
+    uni_terms = pa.array([r["term"] for r in uni_rows], pa.string())
+    uni_counts = np.asarray([r["c"] for r in uni_rows], np.float64)
+    n_uni = float(uni_counts.sum())
+
+    bi = (ds.map_batches(bi_partial, batch_format="pyarrow")
+            .groupby(["a", "b"]).aggregate(Sum("c", alias_name="c"))
+            .materialize())  # vocabulary²-bounded derived table
+    n_bi = float(sum(r["c"] for r in
+                     bi.select_columns(["c"]).take_all()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(
+            batch["c"], pa.scalar(min_count, pa.int64())))
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        ca = uni_counts[pc.index_in(
+            t["a"], value_set=uni_terms).to_numpy(zero_copy_only=False)]
+        cb = uni_counts[pc.index_in(
+            t["b"], value_set=uni_terms).to_numpy(zero_copy_only=False)]
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = (c / n_bi) * (n_uni / ca) * (n_uni / cb)
+        return t.append_column(
+            pa.field("score", pa.float64()), pa.array(s, pa.float64()))
+
+    return (bi.map_batches(score, batch_format="pyarrow")
+              .sort(["score", "a", "b"], descending=[True, False, False])
+              .limit(k))

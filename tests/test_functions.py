@@ -1705,3 +1705,49 @@ def test_inverted_index_matches_duckdb(ray_session):
     """).df()
     assert "solo" not in set(out.term)  # df=1 pruned
     pd.testing.assert_frame_equal(out, exp.astype({"df": "int64"}))
+
+
+def test_top_collocations_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import top_collocations
+
+    rng = np.random.default_rng(88)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(2, 60)))
+             for _ in range(200)]
+    texts += ["pair one pair one pair one pair one pair one",  # planted
+              "", "single"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    out = (top_collocations(ray.data.from_arrow(t).repartition(4),
+                            k=15, min_count=3)
+           .to_pandas().reset_index(drop=True))
+    exp = duckdb.sql(r"""
+        WITH toks AS (
+            SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                               x -> x <> '') AS w FROM t
+        ), bi AS (
+            SELECT w[i] AS a, w[i+1] AS b, COUNT(*) AS c
+            FROM toks, unnest(generate_series(1, len(w) - 1)) AS u(i)
+            GROUP BY 1, 2
+        ), uni AS (
+            SELECT term, COUNT(*) AS c FROM (
+                SELECT unnest(w) AS term FROM toks) GROUP BY term
+        ), tot AS (
+            SELECT CAST((SELECT SUM(c) FROM bi) AS DOUBLE) AS n_bi,
+                   CAST((SELECT SUM(c) FROM uni) AS DOUBLE) AS n_uni
+        )
+        SELECT bi.a, bi.b, bi.c,
+               (CAST(bi.c AS DOUBLE) / tot.n_bi)
+                   * (tot.n_uni / CAST(ua.c AS DOUBLE))
+                   * (tot.n_uni / CAST(ub.c AS DOUBLE)) AS score
+        FROM bi, tot
+        JOIN uni ua ON ua.term = bi.a
+        JOIN uni ub ON ub.term = bi.b
+        WHERE bi.c >= 3
+        ORDER BY score DESC, bi.a, bi.b LIMIT 15
+    """).df()
+    assert out.iloc[0].a == "pair" and out.iloc[0].b == "one"
+    pd.testing.assert_frame_equal(out, exp.astype({"c": "int64"}))
