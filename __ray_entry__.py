@@ -1043,6 +1043,18 @@ def _q_event_value_stats(sf_dir: str):
     return grouped_moments(ds, "event_type", "value")
 
 
+def _q_event_value_approx_quantiles(sf_dir: str):
+    """Continuous-column approximate quantiles (text_stats.
+    approx_quantiles): min/max pass + 4096-bin histogram; the SQL twin
+    replicates the BINNED rule with the same float64 expressions, and
+    pytest pins the ≤ 1-bin-width error vs the exact quantile."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import approx_quantiles
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["value"])
+    return approx_quantiles(ds, "value")
+
+
 def _q_top_collocations(sf_dir: str):
     """PMI-style bigram collocations (text_stats.top_collocations)."""
     import ray.data
@@ -1474,6 +1486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_stats": _q_event_value_stats,
         "inverted_index": _q_inverted_index,
         "top_collocations": _q_top_collocations,
+        "event_value_approx_quantiles": _q_event_value_approx_quantiles,
         "events_pivot": _q_events_pivot,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
@@ -2002,6 +2015,41 @@ def oracle_sql() -> dict[str, str]:
                    (sxx / nf - (sx / nf) * (sx / nf)) / 1000000
                        AS var_value
             FROM a
+        """,
+        "event_value_approx_quantiles": """
+            WITH r AS (
+                SELECT MIN(CAST(value AS DOUBLE)) AS mn,
+                       MAX(CAST(value AS DOUBLE)) AS mx,
+                       COUNT(*) AS n
+                FROM events
+            ), w AS (
+                SELECT mn, mx, n, (mx - mn) / 4096 AS width FROM r
+            ), c AS (
+                SELECT CAST(least(floor((CAST(e.value AS DOUBLE) - w.mn)
+                                        / w.width), 4095) AS BIGINT)
+                           AS bin,
+                       COUNT(*) AS cnt
+                FROM events e, w GROUP BY 1
+            ), s AS (
+                SELECT bin, SUM(cnt) OVER (ORDER BY bin) AS cum FROM c
+            )
+            SELECT
+                (SELECT ANY_VALUE(w.mn) + MIN(s.bin) * ANY_VALUE(w.width)
+                 FROM s, w
+                 WHERE s.cum >= greatest(CAST(ceil(0.25 * w.n) AS BIGINT),
+                                         1)) AS q25,
+                (SELECT ANY_VALUE(w.mn) + MIN(s.bin) * ANY_VALUE(w.width)
+                 FROM s, w
+                 WHERE s.cum >= greatest(CAST(ceil(0.5 * w.n) AS BIGINT),
+                                         1)) AS q50,
+                (SELECT ANY_VALUE(w.mn) + MIN(s.bin) * ANY_VALUE(w.width)
+                 FROM s, w
+                 WHERE s.cum >= greatest(CAST(ceil(0.75 * w.n) AS BIGINT),
+                                         1)) AS q75,
+                (SELECT ANY_VALUE(w.mn) + MIN(s.bin) * ANY_VALUE(w.width)
+                 FROM s, w
+                 WHERE s.cum >= greatest(CAST(ceil(0.95 * w.n) AS BIGINT),
+                                         1)) AS q95
         """,
         "top_collocations": r"""
             WITH toks AS (

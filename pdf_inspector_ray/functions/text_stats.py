@@ -795,3 +795,57 @@ def top_collocations(ds, k: int = 20, min_count: int = 5,
     return (bi.map_batches(score, batch_format="pyarrow")
               .sort(["score", "a", "b"], descending=[True, False, False])
               .limit(k))
+
+
+def approx_quantiles(ds, column: str,
+                     qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+                     num_bins: int = 4096):
+    """Quantiles of a CONTINUOUS column via two cheap passes — the
+    float-column companion to ``value_quantiles`` (whose distinct-value
+    sketch explodes on continuous data): (1) global (min, max) partial
+    aggregate; (2) fixed-width bin counts (``num_bins`` rows leave any
+    batch) → tiny driver cumsum → for each q (ceil(q·n) rank, the
+    quantile_disc convention) return the LOWER EDGE of the rank's bin.
+    Deterministic and SQL-twin-exact by construction (both sides bin
+    with the same float64 expression); worst-case error = one bin width
+    (max−min)/num_bins — pinned against the exact quantile in pytest."""
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    def rng_partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[column], pa.float64())
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "mn": pa.array([pc.min(v).as_py()], pa.float64()),
+                         "mx": pa.array([pc.max(v).as_py()], pa.float64())})
+
+    r = (ds.map_batches(rng_partial, batch_format="pyarrow")
+           .groupby("k").aggregate(Min("mn", alias_name="mn"),
+                                   Max("mx", alias_name="mx"))
+           .take_all())[0]
+    mn, mx = float(r["mn"]), float(r["mx"])
+    width = (mx - mn) / num_bins if mx > mn else 1.0
+
+    def bin_partial(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[column], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        b = np.minimum(np.floor((v - mn) / width),
+                       num_bins - 1).astype(np.int64)
+        return (pa.table({"bin": pa.array(b, pa.int64())})
+                .group_by(["bin"]).aggregate([([], "count_all")])
+                .rename_columns(["bin", "cnt"]))
+
+    rows = (ds.map_batches(bin_partial, batch_format="pyarrow")
+              .groupby("bin").aggregate(Sum("cnt", alias_name="cnt"))
+              .take_all())  # ≤ num_bins rows
+    rows.sort(key=lambda x: x["bin"])
+    bins = np.asarray([x["bin"] for x in rows], np.int64)
+    cum = np.cumsum([x["cnt"] for x in rows])
+    n = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for q in qs:
+        k = int(np.ceil(q * n)) if n else 0
+        idx = int(np.searchsorted(cum, max(k, 1)))
+        edge = mn + bins[idx] * width if n else None
+        out[f"q{int(q * 100)}"] = edge
+    return pa.table({k2: pa.array([v], pa.float64())
+                     for k2, v in out.items()})

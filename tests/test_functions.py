@@ -1751,3 +1751,21 @@ def test_top_collocations_matches_duckdb(ray_session):
     """).df()
     assert out.iloc[0].a == "pair" and out.iloc[0].b == "one"
     pd.testing.assert_frame_equal(out, exp.astype({"c": "int64"}))
+
+
+def test_approx_quantiles_within_bin_width(ray_session):
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import approx_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.lognormal(3.0, 1.2, size=20_000)
+    t = pa.table({"value": pa.array(vals, pa.float64())})
+    out = approx_quantiles(ray.data.from_arrow(t).repartition(6),
+                           "value", qs=(0.25, 0.5, 0.9),
+                           num_bins=4096).to_pandas()
+    width = (vals.max() - vals.min()) / 4096
+    for q, col in [(0.25, "q25"), (0.5, "q50"), (0.9, "q90")]:
+        exact = np.sort(vals)[int(np.ceil(q * len(vals))) - 1]
+        assert abs(out[col][0] - exact) <= width + 1e-9, (q, out[col][0],
+                                                          exact)
