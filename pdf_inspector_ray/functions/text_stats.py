@@ -772,8 +772,7 @@ def top_collocations(ds, k: int = 20, min_count: int = 5,
     bi = (ds.map_batches(bi_partial, batch_format="pyarrow")
             .groupby(["a", "b"]).aggregate(Sum("c", alias_name="c"))
             .materialize())  # vocabulary²-bounded derived table
-    n_bi = float(sum(r["c"] for r in
-                     bi.select_columns(["c"]).take_all()))
+    n_bi = float(bi.aggregate(Sum("c", alias_name="s"))["s"])  # one scalar
 
     def score(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.greater_equal(
