@@ -597,6 +597,13 @@ def chunk_documents(ds, chunk_tokens: int = 64, stride: int = 48,
         starts = doc_start[doc_idx] + chunk_idx * stride
         ends = np.minimum(starts + chunk_tokens,
                           doc_start[doc_idx] + n_tok[doc_idx])
+        if len(starts) == 0:  # batch of only empty docs
+            return pa.table({
+                id_column: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            })
         flat = pa.chunked_array([toks]).combine_chunks()
         # build list<string> windows from (start, end) index pairs: one
         # ListArray per window via take on a range expansion

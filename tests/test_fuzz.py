@@ -181,3 +181,41 @@ def test_bmp_truncation_contained(h, w, cut):
     })
     out = RealMediaDecoder()(batch)
     assert out.num_rows == 1
+
+
+@given(st.integers(2, 40), st.integers(1, 39), st.integers(0, 120),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=120, deadline=None)
+def test_chunk_documents_invariants(chunk, stride, n_tok, seed):
+    """For any (chunk, stride<chunk, doc length): windows start every
+    `stride`, cover every token, never exceed `chunk` tokens, and
+    re-concatenating [0:stride] of each chunk plus the tail of the last
+    reconstructs the token stream exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import chunk_documents
+
+    if stride >= chunk:
+        stride = chunk - 1 or 1
+    rng = np.random.default_rng(seed)
+    toks = [f"t{i}_{rng.integers(10)}" for i in range(n_tok)]
+    text = " ".join(toks)
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array([text])})
+    out = chunk_documents(ray.data.from_arrow(t), chunk_tokens=chunk,
+                          stride=stride).to_pandas()
+    if n_tok == 0:
+        assert len(out) == 0
+        return
+    out = out.sort_values("chunk_idx")
+    assert (out.n_tokens <= chunk).all() and (out.n_tokens >= 1).all()
+    rebuilt = []
+    rows = list(out.itertuples())
+    for i, r in enumerate(rows):
+        words = r.chunk_text.split(" ")
+        assert len(words) == r.n_tokens
+        rebuilt.extend(words if i == len(rows) - 1 else words[:stride])
+    # the non-last chunks each contribute exactly `stride` fresh tokens
+    assert rebuilt[:n_tok] == toks
