@@ -779,7 +779,14 @@ def top_collocations(ds, k: int = 20, min_count: int = 5,
     bi = (ds.map_batches(bi_partial, batch_format="pyarrow")
             .groupby(["a", "b"]).aggregate(Sum("c", alias_name="c"))
             .materialize())  # vocabulary²-bounded derived table
-    n_bi = float(bi.aggregate(Sum("c", alias_name="s"))["s"])  # one scalar
+    total = bi.aggregate(Sum("c", alias_name="s"))["s"]  # one scalar
+    if total is None:  # no bigrams anywhere (empty/whitespace corpus)
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+            "c": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())}))
+    n_bi = float(total)
 
     def score(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.greater_equal(
