@@ -788,9 +788,9 @@ def rollup_agg(ds, group_cols: list[str], value_column: str):
                    .aggregate([("sum_cents", "sum"), ("n_rows", "sum")])
                if keep else pa.table({
                    "sum_cents_sum": pa.array(
-                       [pc.sum(base["sum_cents"]).as_py()], pa.int64()),
+                       [pc.sum(base["sum_cents"]).as_py() or 0], pa.int64()),
                    "n_rows_sum": pa.array(
-                       [pc.sum(base["n_rows"]).as_py()], pa.int64()),
+                       [pc.sum(base["n_rows"]).as_py() or 0], pa.int64()),
                }))
         cols = {c: (agg[c] if c in keep
                     else pa.nulls(agg.num_rows, pa.string()))
@@ -976,9 +976,9 @@ def cube_agg(ds, group_cols: list[str], value_column: str):
                    .aggregate([("sum_cents", "sum"), ("n_rows", "sum")])
                if keep else pa.table({
                    "sum_cents_sum": pa.array(
-                       [pc.sum(base["sum_cents"]).as_py()], pa.int64()),
+                       [pc.sum(base["sum_cents"]).as_py() or 0], pa.int64()),
                    "n_rows_sum": pa.array(
-                       [pc.sum(base["n_rows"]).as_py()], pa.int64()),
+                       [pc.sum(base["n_rows"]).as_py() or 0], pa.int64()),
                }))
         cols = {c: (agg[c] if c in keep
                     else pa.nulls(agg.num_rows, pa.string()))
