@@ -1104,13 +1104,20 @@ def _prefix_pairs_block(group: pa.Table, threshold: float) -> pa.Table:
         o = np.lexsort((m_ids, m_szs))
         m_ids, m_szs = m_ids[o], m_szs[o]
         hi = np.searchsorted(m_szs, m_szs / threshold, side="right")
-        for i in range(len(m_ids) - 1):
-            h = hi[i]
-            if h <= i + 1:
-                continue
-            js = m_ids[i + 1:h]
-            a_out.append(np.minimum(m_ids[i], js))
-            b_out.append(np.maximum(m_ids[i], js))
+        # vectorized window expansion: member i pairs with [i+1, hi_i)
+        lo = np.arange(len(m_ids)) + 1
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if not total:
+            continue
+        left = np.repeat(m_ids, counts)
+        j_idx = (np.repeat(lo, counts)
+                 + np.arange(total)
+                 - np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]),
+                             counts))
+        right = m_ids[j_idx]
+        a_out.append(np.minimum(left, right))
+        b_out.append(np.maximum(left, right))
     if not a_out:
         return _EMPTY_PAIRS
     return pa.table({
