@@ -1043,6 +1043,48 @@ def _q_event_value_stats(sf_dir: str):
     return grouped_moments(ds, "event_type", "value")
 
 
+def _q_curated_corpus(sf_dir: str):
+    """END-TO-END curation composition, one streaming pipeline: quality
+    gate ∧ language gate (en) ∧ exact-dedup keeper — the shape a real
+    training-data curation job runs. Signals compute in a single
+    stateless map over each batch (both kernels are vectorized and
+    row-aligned); the dedup-keeper set arrives via a left SEMI hash
+    join, so nothing broadcasts and nothing materializes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import exact_dedup
+    from pdf_inspector_ray.functions.relational import hash_join
+    from pdf_inspector_ray.functions.text_stats import (
+        lang_id_batch, quality_batch)
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def signals(batch: pa.Table) -> pa.Table:
+        q = quality_batch(batch)
+        lang = lang_id_batch(batch)  # row-aligned with q by construction
+        keep = pc.and_(q["quality_keep"],
+                       pc.equal(lang["lang_pred"], "en"))
+        t = pa.table({
+            "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+            "n_chars_computed": pc.cast(
+                pc.utf8_length(batch["text"]), pa.int64()),
+        })
+        return t.filter(keep)
+
+    filtered = ds.map_batches(signals, batch_format="pyarrow")
+    keepers = exact_dedup(ds).map_batches(
+        lambda b: pa.table({"keep_id": pc.cast(b["doc_id"], pa.int64())}),
+        batch_format="pyarrow")
+    return hash_join(
+        filtered, keepers, on="doc_id", right_on="keep_id",
+        join_type="left semi",
+        left_schema=[("doc_id", pa.int64()),
+                     ("n_chars_computed", pa.int64())],
+        right_schema=[("keep_id", pa.int64())])
+
+
 def _q_event_value_approx_quantiles(sf_dir: str):
     """Continuous-column approximate quantiles (text_stats.
     approx_quantiles): min/max pass + 4096-bin histogram; the SQL twin
@@ -1487,6 +1529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "top_collocations": _q_top_collocations,
         "event_value_approx_quantiles": _q_event_value_approx_quantiles,
+        "curated_corpus": _q_curated_corpus,
         "events_pivot": _q_events_pivot,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
@@ -2015,6 +2058,28 @@ def oracle_sql() -> dict[str, str]:
                    (sxx / nf - (sx / nf) * (sx / nf)) / 1000000
                        AS var_value
             FROM a
+        """,
+        "curated_corpus": f"""
+            WITH s AS (
+                SELECT doc_id, text,
+                       {s_en} AS score_en, {s_de} AS score_de,
+                       {s_fr} AS score_fr, {s_es} AS score_es
+                FROM documents
+            ), keepers AS (
+                SELECT min(doc_id) AS doc_id
+                FROM documents GROUP BY md5(text)
+            )
+            SELECT s.doc_id,
+                   CAST(length(s.text) AS BIGINT) AS n_chars_computed
+            FROM s JOIN keepers USING (doc_id)
+            WHERE CAST(length(s.text) AS DOUBLE) >= 50.0
+              AND CAST(length(s.text)
+                       - length(regexp_replace(s.text, '[0-9]', '', 'g'))
+                       AS DOUBLE)
+                  / greatest(CAST(length(s.text) AS DOUBLE), 1.0) <= 0.3
+              AND score_en >= 1
+              AND score_en >= score_de AND score_en >= score_fr
+              AND score_en >= score_es
         """,
         "event_value_approx_quantiles": """
             WITH r AS (
