@@ -1043,6 +1043,17 @@ def _q_event_value_stats(sf_dir: str):
     return grouped_moments(ds, "event_type", "value")
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (relational.cohort_retention): one
+    groupby(user) sweep emits each user's (cohort, offset) rows — no
+    join — then one pre-combined count exchange."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import cohort_retention
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+    return cohort_retention(ds)
+
+
 def _q_curated_corpus(sf_dir: str):
     """END-TO-END curation composition, one streaming pipeline: quality
     gate ∧ language gate (en) ∧ exact-dedup keeper — the shape a real
@@ -1530,6 +1541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_collocations": _q_top_collocations,
         "event_value_approx_quantiles": _q_event_value_approx_quantiles,
         "curated_corpus": _q_curated_corpus,
+        "cohort_retention": _q_cohort_retention,
         "events_pivot": _q_events_pivot,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
@@ -2058,6 +2070,21 @@ def oracle_sql() -> dict[str, str]:
                    (sxx / nf - (sx / nf) * (sx / nf)) / 1000000
                        AS var_value
             FROM a
+        """,
+        "cohort_retention": """
+            WITH f AS (
+                SELECT user_id,
+                       date_trunc('week', min(ts)) AS cohort_week
+                FROM events GROUP BY user_id
+            ), r AS (
+                SELECT DISTINCT e.user_id, f.cohort_week,
+                       date_diff('week', f.cohort_week,
+                                 date_trunc('week', e.ts)) AS week_offset
+                FROM events e JOIN f USING (user_id)
+            )
+            SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+                   week_offset, COUNT(*) AS n_users
+            FROM r GROUP BY 1, 2
         """,
         "curated_corpus": f"""
             WITH s AS (

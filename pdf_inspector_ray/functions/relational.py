@@ -1034,3 +1034,52 @@ def grouped_moments(ds, group_column: str, value_column: str,
                          Sum("sxx", alias_name="sxx"),
                          Sum("n", alias_name="n"))
               .map_batches(finish, batch_format="pyarrow"))
+
+
+_WEEK_US = 7 * 86_400_000_000
+_DAY_US = 86_400_000_000
+
+
+def _week_start_us(ts_us: np.ndarray) -> np.ndarray:
+    """Truncate epoch-µs timestamps to ISO week starts (Monday 00:00) —
+    DuckDB's date_trunc('week', ts) for non-negative timestamps.
+    1970-01-01 was a Thursday, so Monday-index = (days + 3) % 7."""
+    days = ts_us // _DAY_US
+    return (days - (days + 3) % 7) * _DAY_US
+
+
+def cohort_retention(ds):
+    """Cohort retention matrix: users grouped by the ISO week of their
+    FIRST event; for each (cohort_week, week_offset) count the distinct
+    users active that week. Two shuffles: one groupby(user) computing
+    first-ts AND emitting each user's distinct (cohort, offset) rows in
+    the same co-located sweep (no join needed), then one
+    count-aggregate whose exchange carries one row per
+    (batch, cohort, offset)."""
+    import pyarrow.compute as pc
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        weeks = _week_start_us(ts)
+        cohort = weeks.min()
+        offsets = np.unique((weeks - cohort) // _WEEK_US)
+        return pa.table({
+            "cohort_week": pa.array(
+                np.full(len(offsets), cohort), pa.int64()
+            ).cast(pa.timestamp("us")),
+            "week_offset": pa.array(offsets, pa.int64()),
+        })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (batch.group_by(["cohort_week", "week_offset"])
+                     .aggregate([([], "count_all")])
+                     .rename_columns(["cohort_week", "week_offset",
+                                      "n_users"]))
+
+    from ray.data.aggregate import Sum
+    return (ds.groupby("user_id")
+              .map_groups(per_user, batch_format="pyarrow")
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["cohort_week", "week_offset"])
+              .aggregate(Sum("n_users", alias_name="n_users")))

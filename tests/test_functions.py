@@ -1769,3 +1769,42 @@ def test_approx_quantiles_within_bin_width(ray_session):
         exact = np.sort(vals)[int(np.ceil(q * len(vals))) - 1]
         assert abs(out[col][0] - exact) <= width + 1e-9, (q, out[col][0],
                                                           exact)
+
+
+def test_cohort_retention_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import cohort_retention
+
+    rng = np.random.default_rng(66)
+    n = 1500
+    base = np.datetime64("2023-11-29", "us")  # a Wednesday
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 80, n), pa.int64()),
+        # 180-day span → many cohorts, many offsets, year boundary
+        "ts": pa.array(base + rng.integers(0, 180 * 86_400_000_000, n)
+                       .astype("timedelta64[us]")),
+    })
+    out = (cohort_retention(ray.data.from_arrow(t).repartition(5))
+           .to_pandas().sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH f AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM t GROUP BY user_id
+        ), r AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   date_diff('week', f.cohort_week,
+                             date_trunc('week', e.ts)) AS week_offset
+            FROM t e JOIN f USING (user_id)
+        )
+        SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+               week_offset, COUNT(*) AS n_users
+        FROM r GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert len(out) > 30 and out.cohort_week.nunique() > 3
+    out["cohort_week"] = out.cohort_week.astype("datetime64[us]")
+    exp["cohort_week"] = exp.cohort_week.astype("datetime64[us]")
+    pd.testing.assert_frame_equal(
+        out, exp.astype({"week_offset": "int64", "n_users": "int64"}))
