@@ -1043,6 +1043,17 @@ def _q_event_value_stats(sf_dir: str):
     return grouped_moments(ds, "event_type", "value")
 
 
+def _q_event_transitions(sf_dir: str):
+    """Per-user event-type transition matrix (relational.
+    event_transitions): groupby(user) vectorized shift + count."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import event_transitions
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return event_transitions(ds)
+
+
 def _q_cohort_retention(sf_dir: str):
     """Cohort retention matrix (relational.cohort_retention): one
     groupby(user) sweep emits each user's (cohort, offset) rows — no
@@ -1542,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_approx_quantiles": _q_event_value_approx_quantiles,
         "curated_corpus": _q_curated_corpus,
         "cohort_retention": _q_cohort_retention,
+        "event_transitions": _q_event_transitions,
         "events_pivot": _q_events_pivot,
         "customers_without_orders": _q_customers_without_orders,
         "customers_with_orders": _q_customers_with_orders,
@@ -2070,6 +2082,19 @@ def oracle_sql() -> dict[str, str]:
                    (sxx / nf - (sx / nf) * (sx / nf)) / 1000000
                        AS var_value
             FROM a
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS next_type
+                FROM events
+            )
+            SELECT event_type AS from_type, next_type AS to_type,
+                   COUNT(*) AS n
+            FROM s WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
         """,
         "cohort_retention": """
             WITH f AS (

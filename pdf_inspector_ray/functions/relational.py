@@ -1083,3 +1083,36 @@ def cohort_retention(ds):
               .map_batches(partial, batch_format="pyarrow")
               .groupby(["cohort_week", "week_offset"])
               .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+def event_transitions(ds):
+    """First-order transition counts over each user's time-ordered
+    event stream: (from_type, to_type) → count — the Markov-matrix /
+    path-analysis primitive. One groupby(user) co-location with a
+    vectorized shift inside the group, then a pre-combined count
+    exchange (one row per (batch, from, to))."""
+    import pyarrow.compute as pc
+
+    def per_user(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("ts", "ascending"), ("event_id", "ascending")])
+        g = group.take(order)
+        types = g["event_type"].combine_chunks()
+        n = len(types)
+        if n < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string())})
+        return pa.table({"from_type": types.slice(0, n - 1),
+                         "to_type": types.slice(1, n)})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (batch.group_by(["from_type", "to_type"])
+                     .aggregate([([], "count_all")])
+                     .rename_columns(["from_type", "to_type", "n"]))
+
+    from ray.data.aggregate import Sum
+    return (ds.groupby("user_id")
+              .map_groups(per_user, batch_format="pyarrow")
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["from_type", "to_type"])
+              .aggregate(Sum("n", alias_name="n")))

@@ -1808,3 +1808,40 @@ def test_cohort_retention_matches_duckdb(ray_session):
     exp["cohort_week"] = exp.cohort_week.astype("datetime64[us]")
     pd.testing.assert_frame_equal(
         out, exp.astype({"week_offset": "int64", "n_users": "int64"}))
+
+
+def test_event_transitions_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import event_transitions
+
+    rng = np.random.default_rng(99)
+    n = 1200
+    base = np.datetime64("2024-03-01", "us")
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(base + rng.integers(0, 10 * 86_400_000_000, n)
+                       .astype("timedelta64[us]")),
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "event_type": pa.array(rng.choice(["a", "b", "c", "d"],
+                                          n).tolist()),
+    })
+    out = (event_transitions(ray.data.from_arrow(t).repartition(4))
+           .to_pandas().sort_values(["from_type", "to_type"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH s AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS next_type
+            FROM t
+        )
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).df()
+    assert out.n.sum() == n - 40  # n_events − one tail per user
+    pd.testing.assert_frame_equal(out, exp.astype({"n": "int64"}))
