@@ -593,6 +593,52 @@ def _q_neardup_dedup_docs(sf_dir: str):
     return neardup_kept_docs(docs_ids, comp)
 
 
+def _q_neardup_cluster_sizes(sf_dir: str):
+    """Near-dup CLUSTER-SIZE histogram — the curation diagnostic that
+    tells you whether duplication is pairwise noise or template
+    explosions. Same verified-pair → connected-components dataflow as
+    `neardup_dedup_docs`, then two tiny count aggregates (per-label,
+    then per-size)."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+    from pdf_inspector_ray.functions.dedup import (
+        connected_components, minhash_lsh_candidates,
+        verify_pairs_jaccard)
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    cands = minhash_lsh_candidates(docs)
+    if (_parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+            > PAIR_VERIFY_BROADCAST_LIMIT):
+        from pdf_inspector_ray.functions.dedup import (
+            verify_pairs_jaccard_distributed)
+        verified = verify_pairs_jaccard_distributed(
+            cands, docs, threshold=NEARDUP_JACCARD_T)
+    else:
+        verified = verify_pairs_jaccard(cands, _docs_lookup(sf_dir),
+                                        threshold=NEARDUP_JACCARD_T)
+    comp = connected_components(verified.select_columns(["doc_a", "doc_b"]))
+
+    def size_partial(batch: pa.Table) -> pa.Table:
+        return (batch.select(["label"]).group_by(["label"])
+                     .aggregate([([], "count_all")])
+                     .rename_columns(["label", "sz"]))
+
+    sizes = (comp.map_batches(size_partial, batch_format="pyarrow")
+                 .groupby("label").aggregate(Sum("sz", alias_name="sz")))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        return (batch.select(["sz"]).group_by(["sz"])
+                     .aggregate([([], "count_all")])
+                     .rename_columns(["sz", "n"]))
+
+    return (sizes.map_batches(hist_partial, batch_format="pyarrow")
+                 .groupby("sz").aggregate(Sum("n", alias_name="n_clusters"))
+                 .map_batches(lambda b: b.rename_columns(
+                     ["cluster_size", "n_clusters"]),
+                     batch_format="pyarrow"))
+
+
 def _q_embedding_neardup_pairs(sf_dir: str):
     """Axis-aligned multi-table hyperplane LSH candidates verified by exact
     cosine. Axis-aligned planes make the bucketing reproducible in SQL, so
@@ -1515,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
         "neardup_dedup_docs": _q_neardup_dedup_docs,
+        "neardup_cluster_sizes": _q_neardup_cluster_sizes,
         # similarity search
         "topk_similar": _q_topk_similar,
         "topk_similar_ivf": _q_topk_similar_ivf,
@@ -2239,6 +2286,26 @@ def oracle_sql() -> dict[str, str]:
                    length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
                        AS n_chars_norm
             FROM documents
+        """,
+        "neardup_cluster_sizes": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM jpairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM jpairs
+            ),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            roots AS (
+                SELECT src AS node, least(src, min(dst)) AS root
+                FROM reach GROUP BY src
+            )
+            SELECT sz AS cluster_size, COUNT(*) AS n_clusters
+            FROM (SELECT root, COUNT(*) AS sz FROM roots GROUP BY root)
+            GROUP BY sz
         """,
         "jaccard_pairs_exact": f"""
             WITH {_jaccard_ctes(EXACT_JACCARD_T)}

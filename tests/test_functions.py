@@ -1845,3 +1845,21 @@ def test_event_transitions_matches_duckdb(ray_session):
     """).df()
     assert out.n.sum() == n - 40  # n_events − one tail per user
     pd.testing.assert_frame_equal(out, exp.astype({"n": "int64"}))
+
+
+def test_neardup_cluster_sizes_shapes(ray_session):
+    """Cluster-size histogram over a designed component structure:
+    a 4-chain, a triangle, and two isolated pairs → sizes {4:1, 3:1,
+    2:2}."""
+    import ray.data
+
+    from pdf_inspector_ray.functions.dedup import connected_components
+
+    pairs = pa.table({
+        "doc_a": pa.array([1, 2, 3, 10, 11, 20, 30], pa.int64()),
+        "doc_b": pa.array([2, 3, 4, 11, 12, 21, 31], pa.int64()),
+    })  # chain 1-2-3-4; triangle-ish 10-11-12; pairs 20-21, 30-31
+    comp = connected_components(ray.data.from_arrow(pairs))
+    sizes = (comp.to_pandas().groupby("label").size()
+             .value_counts().sort_index())
+    assert sizes.to_dict() == {2: 2, 3: 1, 4: 1}
