@@ -1657,6 +1657,37 @@ def _jaccard_ctes(tau: float) -> str:
 _JACCARD_CTES = _jaccard_ctes(NEARDUP_JACCARD_T)
 
 
+from pdf_inspector_ray.functions.sketch import CMS_CD as _CMS_CD
+from pdf_inspector_ray.functions.sketch import M61 as _M61
+
+_CMS_CD_VALUES = ", ".join(f"({d}, {cd}, {dd})"
+                           for d, (cd, dd) in enumerate(_CMS_CD))
+
+
+def _hash61_ctes(src: str, carry: str = "") -> str:
+    """CTE chain computing ``sketch.hash61`` over column ``x`` of CTE
+    ``src`` (BIGINT in [0, 2^61-1)): two multiply-add rounds mod the
+    Mersenne prime 2^61-1 with xorshift mixing — HUGEINT intermediates
+    keep the 61-bit modular multiply exact, so every register/counter
+    the engine emits is recomputable bit-for-bit. ``carry`` is extra
+    columns to thread through (e.g. ", event_type" or ", c")."""
+    from pdf_inspector_ray.functions.sketch import (HASH61_A1, HASH61_A2,
+                                                    HASH61_B1, HASH61_B2,
+                                                    M61)
+    return f"""
+    h1 AS (
+        SELECT CAST((CAST(x AS HUGEINT) * {HASH61_A1} + {HASH61_B1})
+                    % {M61} AS BIGINT) AS h{carry} FROM {src}
+    ), h1x AS (
+        SELECT xor(h, h >> 29) AS h{carry} FROM h1
+    ), h2 AS (
+        SELECT CAST((CAST(h AS HUGEINT) * {HASH61_A2} + {HASH61_B2})
+                    % {M61} AS BIGINT) AS h{carry} FROM h1x
+    ), hf AS (
+        SELECT xor(h, h >> 37) AS h{carry} FROM h2
+    )"""
+
+
 def _bpe_sql_pattern() -> str:
     from pdf_inspector_ray.functions.text_stats import BPE_TOKEN_PATTERN
     return BPE_TOKEN_PATTERN.replace("'", "''")
@@ -1952,8 +1983,8 @@ def oracle_sql() -> dict[str, str]:
         "running_totals": """
             SELECT event_id, user_id,
                    ROW_NUMBER() OVER w AS rn,
-                   SUM(CAST(floor(coalesce(value, 0) * 100) AS BIGINT))
-                       OVER w AS cum_cents,
+                   CAST(SUM(CAST(floor(coalesce(value, 0) * 100)
+                                 AS BIGINT)) OVER w AS BIGINT) AS cum_cents,
                    epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -2358,8 +2389,8 @@ def oracle_sql() -> dict[str, str]:
                        generate_subscripts(embedding, 1) AS pos
                 FROM embeddings
             )
-            SELECT CAST(label AS INTEGER) AS label,
-                   CAST(pos AS INTEGER) AS pos,
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(pos AS BIGINT) AS pos,
                    round(avg(v), 6) AS mean_v
             FROM x GROUP BY label, pos
         """,
@@ -2426,59 +2457,56 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM documents
         """,
-        "hll_user_registers": """
-            WITH h AS (
-                SELECT DISTINCT
-                       CAST(concat('0x',
-                            substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
-                            AS UBIGINT) AS hv
-                FROM events
-            ), parts AS (
-                SELECT hv >> 54 AS bucket,
-                       hv & ((1::UBIGINT << 54) - 1) AS w
-                FROM h
+        # sketch twins recompute sketch.hash61 registers bit-for-bit
+        # (multiply-add mod 2^61-1 with xorshift; HUGEINT intermediates)
+        "hll_user_registers": f"""
+            WITH x AS (
+                SELECT DISTINCT ((user_id % {_M61}) + {_M61}) % {_M61} AS x
+                FROM events WHERE user_id IS NOT NULL
+            ), {_hash61_ctes('x')}, parts AS (
+                SELECT h >> 51 AS bucket,
+                       h & ((1::BIGINT << 51) - 1) AS w
+                FROM hf
             )
             SELECT CAST(bucket AS BIGINT) AS bucket,
-                   CAST(MAX(CASE WHEN w = 0 THEN 55
-                                 ELSE 54 - length(bin(w)) + 1 END)
+                   CAST(MAX(CASE WHEN w = 0 THEN 52
+                                 ELSE 51 - length(bin(w)) + 1 END)
                         AS BIGINT) AS rho
             FROM parts GROUP BY bucket
         """,
-        "hll_users_by_type": """
-            WITH h AS (
+        "hll_users_by_type": f"""
+            WITH x AS (
                 SELECT DISTINCT event_type,
-                       CAST(concat('0x',
-                            substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
-                            AS UBIGINT) AS hv
+                       ((user_id % {_M61}) + {_M61}) % {_M61} AS x
                 FROM events
                 WHERE user_id IS NOT NULL AND event_type IS NOT NULL
-            ), parts AS (
-                SELECT event_type, hv >> 54 AS bucket,
-                       hv & ((1::UBIGINT << 54) - 1) AS w
-                FROM h
+            ), {_hash61_ctes('x', ', event_type')}, parts AS (
+                SELECT event_type, h >> 51 AS bucket,
+                       h & ((1::BIGINT << 51) - 1) AS w
+                FROM hf
             )
             SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
-                   CAST(MAX(CASE WHEN w = 0 THEN 55
-                                 ELSE 54 - length(bin(w)) + 1 END)
+                   CAST(MAX(CASE WHEN w = 0 THEN 52
+                                 ELSE 51 - length(bin(w)) + 1 END)
                         AS BIGINT) AS rho
             FROM parts GROUP BY event_type, bucket
         """,
-        "cms_user_counters": """
-            WITH vc AS (
-                SELECT user_id, COUNT(*) AS c FROM events
-                WHERE user_id IS NOT NULL GROUP BY user_id
-            ), hashed AS (
+        "cms_user_counters": f"""
+            WITH x AS (
+                SELECT ((user_id % {_M61}) + {_M61}) % {_M61} AS x,
+                       COUNT(*) AS c
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            ), {_hash61_ctes('x', ', c')}, g AS (
                 SELECT d.d AS depth,
-                       CAST(CAST(concat('0x', substr(md5(concat(
-                                 CAST(d.d AS VARCHAR), ':',
-                                 CAST(user_id AS VARCHAR))), 1, 16))
-                            AS UBIGINT) % 1024 AS BIGINT) AS bucket,
+                       CAST(((CAST(h AS HUGEINT) * d.cd + d.dd) % {_M61})
+                            % 1024 AS BIGINT) AS bucket,
                        c
-                FROM vc CROSS JOIN
-                     (SELECT unnest([0, 1, 2, 3]) AS d) d
+                FROM hf CROSS JOIN
+                     (VALUES {_CMS_CD_VALUES}) d(d, cd, dd)
             )
-            SELECT depth, bucket, SUM(c) AS cnt
-            FROM hashed GROUP BY depth, bucket
+            SELECT CAST(depth AS BIGINT) AS depth, bucket,
+                   CAST(SUM(c) AS BIGINT) AS cnt
+            FROM g GROUP BY depth, bucket
         """,
         "event_props": r"""
             SELECT event_id,
@@ -2488,8 +2516,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "event_props_sum_by_type": r"""
             SELECT event_type,
-                   SUM(TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)',
-                                               1) AS BIGINT)) AS sum_v,
+                   CAST(SUM(TRY_CAST(regexp_extract(props,
+                                                    '"k"\s*:\s*(-?\d+)',
+                                                    1) AS BIGINT))
+                        AS BIGINT) AS sum_v,
                    COUNT(TRY_CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)',
                                                  1) AS BIGINT)) AS n_v
             FROM events GROUP BY event_type
@@ -2570,8 +2600,9 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY doc_id
             )
             SELECT t.doc_id,
-                   COALESCE(ws.n_words, 0) AS n_words,
-                   COALESCE(ws.top_word_count, 0) AS top_word_count,
+                   CAST(COALESCE(ws.n_words, 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(ws.top_word_count, 0) AS BIGINT)
+                       AS top_word_count,
                    COALESCE(g2.n, 0) AS n_2grams,
                    COALESCE((g2.n - g2.d) / CAST(g2.n AS DOUBLE), 0.0)
                        AS dup_2gram_frac,

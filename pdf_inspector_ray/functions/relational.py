@@ -250,6 +250,11 @@ def hopping_window_counts(ds, window_us: int = 3_600_000_000,
 # -- generic large-large equi-join -------------------------------------------
 
 JOIN_PARTITIONS = 256
+# Fibonacci-hash multiplier for the key and a coprime stride for the salt
+# index — shared with tests so the partition-spread probe measures the
+# exact exchange the join performs.
+PART_MULT = 2654435761
+SALT_MULT = 40503
 
 
 def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
@@ -352,8 +357,8 @@ def hash_join(left_ds, right_ds, on: str, right_on: str | None = None,
                            else pa.nulls(len(batch), typ))
                     for name, typ in union_schema}
             with np.errstate(over="ignore"):
-                part = ((key * np.uint64(2654435761)
-                         + salt_idx * np.uint64(40503))
+                part = ((key * np.uint64(PART_MULT)
+                         + salt_idx * np.uint64(SALT_MULT))
                         % np.uint64(num_partitions)).astype(np.int32)
             cols["__part"] = pa.array(part, pa.int32())
             cols["__left"] = pa.array(
@@ -1077,12 +1082,20 @@ def cohort_retention(ds):
                      .rename_columns(["cohort_week", "week_offset",
                                       "n_users"]))
 
+    def fix_unit(batch: pa.Table) -> pa.Table:
+        # Ray's aggregate round-trips the key through pandas and can
+        # re-infer timestamp[s]; pin the µs unit the oracle emits.
+        return batch.set_column(
+            batch.schema.get_field_index("cohort_week"), "cohort_week",
+            pc.cast(batch["cohort_week"], pa.timestamp("us")))
+
     from ray.data.aggregate import Sum
     return (ds.groupby("user_id")
               .map_groups(per_user, batch_format="pyarrow")
               .map_batches(partial, batch_format="pyarrow")
               .groupby(["cohort_week", "week_offset"])
-              .aggregate(Sum("n_users", alias_name="n_users")))
+              .aggregate(Sum("n_users", alias_name="n_users"))
+              .map_batches(fix_unit, batch_format="pyarrow"))
 
 
 def event_transitions(ds):

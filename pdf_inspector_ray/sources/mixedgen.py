@@ -16,7 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-MIXED_GENERATOR_VERSION = 2  # v2: pool gained the f28-f31 filter fixtures
+MIXED_GENERATOR_VERSION = 3  # v3: pool gained f32 (bogus image-codec filter)
 
 
 def build_mixed_table(n_rows: int, seed: int = 42) -> pa.Table:

@@ -1065,6 +1065,28 @@ def f31_filter_chain() -> bytes:
     return w.build(_catalog(w, pages))
 
 
+def f32_bogus_image_filter() -> bytes:
+    """Content stream that DECLARES an image codec (/DCTDecode) the
+    engine does not implement, while the raw bytes are plain content
+    operators. Mirrors the reference's decompress-fail → raw-bytes
+    fallback (src/detector.rs:249-259): ``Stream.decoded`` raises
+    PdfError for the unknown filter and every caller falls back to the
+    raw bytes, so classification AND extraction still see the text."""
+    w = PdfWriter()
+    pages = w.reserve()
+    font = _font_simple(w, b"Helvetica")
+    body = [
+        (72, 720, 18, "Bogus Image Filter Title"),
+        (72, 690, 12, "raw fallback text survives the unknown codec"),
+        (72, 676, 12, "second fallback line stays extractable"),
+    ]
+    content = w.add(_filtered_stream(b"/DCTDecode", _tj_lines(body)))
+    page = _page(w, pages, content,
+                 resources=b"/Resources << /Font << /F1 %d 0 R >> >> " % font)
+    _pages_tree(w, pages, [page])
+    return w.build(_catalog(w, pages))
+
+
 FIXTURES = {
     "f01_tj_simple": f01_tj_simple,
     "f02_tj_arraykern": f02_tj_arraykern,
@@ -1097,6 +1119,7 @@ FIXTURES = {
     "f29_ascii85": f29_ascii85,
     "f30_runlength": f30_runlength,
     "f31_filter_chain": f31_filter_chain,
+    "f32_bogus_image_filter": f32_bogus_image_filter,
 }
 
 

@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 from .pdfgen import fixture_pool
 
 EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
-GENERATOR_VERSION = 4  # bump when build_transcript_table output changes
+GENERATOR_VERSION = 5  # v5: pool gained f32 (bogus image-codec filter)
 
 # Golden columns: per-payload expected outputs of the per-document library,
 # frozen into the corpus at synthesis time. They are the driver-checkable

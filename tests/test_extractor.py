@@ -159,6 +159,24 @@ class TestStreamFilters:
         assert "Chained Filters Title" in process_pdf_mem(
             f31_filter_chain()).markdown
 
+    def test_unknown_image_codec_falls_back_to_raw(self):
+        """A content stream declaring /DCTDecode (not implemented) must
+        raise PdfError from Stream.decoded, and every caller must fall
+        back to the raw bytes (reference src/detector.rs:249-259) — the
+        fixture's raw bytes ARE valid operators, so text still extracts."""
+        import pytest
+
+        from pdf_inspector_ray.pdfi.objects import PdfError, Stream
+        from pdf_inspector_ray.pdfi.process import process_pdf_mem
+        from pdf_inspector_ray.sources.pdfgen import f32_bogus_image_filter
+
+        with pytest.raises(PdfError):
+            Stream({"Filter": "DCTDecode"}, b"BT ET").decoded(None)
+        r = process_pdf_mem(f32_bogus_image_filter())
+        assert r.pdf_type == "TextBased"
+        assert "Bogus Image Filter Title" in r.markdown
+        assert "raw fallback text survives" in r.markdown
+
 
 class TestLexerFastPaths:
     """Pin the inline numeric/comment fast paths in Lexer._parse_array and

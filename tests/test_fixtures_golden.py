@@ -56,6 +56,7 @@ EXPECTED_TYPES = {
     "f29_ascii85": "TextBased",
     "f30_runlength": "TextBased",
     "f31_filter_chain": "TextBased",
+    "f32_bogus_image_filter": "TextBased",
 }
 
 

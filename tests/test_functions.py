@@ -712,6 +712,64 @@ def test_hash_join_salted_matches_unsalted(ray_session):
                   hot_keys=[42])
 
 
+def test_hash_join_salting_balances_zipf_skew(ray_session):
+    """VERDICT r3 #6: at real Zipf skew (hottest key ≈30% of rows) the
+    salted exchange must (a) produce the identical result and (b) cut
+    the hottest partition's row share by ≈ the salt factor. The spread
+    is computed with the join's own partitioner constants
+    (relational.PART_MULT/SALT_MULT), so it measures the real exchange."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (PART_MULT,
+                                                        SALT_MULT,
+                                                        hash_join)
+
+    rng = np.random.default_rng(97)
+    n = 60_000
+    zipf = rng.zipf(1.25, size=n)
+    key = np.where(zipf == 1, 1, 1 + (zipf % 997)).astype(np.int64)
+    hot_share = (key == 1).mean()
+    assert 0.2 < hot_share < 0.45, hot_share  # genuinely skewed input
+    left = pa.table({"k": pa.array(key, pa.int64()),
+                     "lv": pa.array(np.arange(n), pa.int64())})
+    rkey = np.arange(1, 998, dtype=np.int64)
+    right = pa.table({"rk": pa.array(rkey, pa.int64()),
+                      "rv": pa.array(rkey * 10, pa.int64())})
+
+    num_partitions, salt = 64, 8
+    plain = (hash_join(ray.data.from_arrow(left).repartition(8),
+                       ray.data.from_arrow(right), on="k", right_on="rk",
+                       num_partitions=num_partitions)
+             .to_pandas())
+    salted = (hash_join(ray.data.from_arrow(left).repartition(8),
+                        ray.data.from_arrow(right), on="k", right_on="rk",
+                        num_partitions=num_partitions,
+                        hot_keys=[1], salt=salt)
+              .to_pandas())
+    cols = list(plain.columns)
+    pd.testing.assert_frame_equal(
+        plain.sort_values(cols).reset_index(drop=True),
+        salted.sort_values(cols).reset_index(drop=True))
+
+    # exchange balance: left-row partition histogram under both plans
+    k64 = key.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        part_plain = (k64 * np.uint64(PART_MULT)) % np.uint64(num_partitions)
+        salt_idx = np.zeros(n, dtype=np.uint64)
+        is_hot = key == 1
+        salt_idx[is_hot] = (np.arange(n, dtype=np.uint64)[is_hot]
+                            % np.uint64(salt))
+        part_salted = ((k64 * np.uint64(PART_MULT)
+                        + salt_idx * np.uint64(SALT_MULT))
+                       % np.uint64(num_partitions))
+    max_plain = np.bincount(part_plain.astype(int),
+                            minlength=num_partitions).max() / n
+    max_salted = np.bincount(part_salted.astype(int),
+                             minlength=num_partitions).max() / n
+    assert max_plain >= hot_share          # hot key pins one partition
+    assert max_salted < hot_share / 2      # salting spreads it ≥2× (≈salt×)
+    assert max_salted < max_plain / 2
+
+
 def test_hash_join_column_collision_raises(ray_session):
     import ray.data
     from pdf_inspector_ray.functions.relational import hash_join

@@ -1,16 +1,51 @@
-"""HyperLogLog sketch tests: exact register parity vs the DuckDB twin,
-estimate accuracy vs true cardinality, and the max-monoid merge law
-that makes cross-cluster sketch union trivial."""
+"""HyperLogLog / count-min sketch tests: exact register parity vs the
+DuckDB twin (hash61: multiply-add mod 2^61-1 with xorshift, HUGEINT
+intermediates in SQL), estimate accuracy vs true cardinality, the
+max-monoid merge law that makes cross-cluster sketch union trivial,
+and scalar-vs-vectorized parity of the modular-arithmetic fold."""
 import duckdb
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from pdf_inspector_ray.functions.sketch import hll_estimate, hll_registers
+from pdf_inspector_ray.functions.sketch import (CMS_CD, HASH61_A1, HASH61_A2,
+                                                HASH61_B1, HASH61_B2, M61,
+                                                hash61, hash61_scalar,
+                                                hll_estimate, hll_registers,
+                                                mulmod61)
+
+
+def _hash61_sql(src: str, carry: str = "") -> str:
+    return f"""
+    h1 AS (SELECT CAST((CAST(x AS HUGEINT) * {HASH61_A1} + {HASH61_B1})
+                       % {M61} AS BIGINT) AS h{carry} FROM {src}),
+    h1x AS (SELECT xor(h, h >> 29) AS h{carry} FROM h1),
+    h2 AS (SELECT CAST((CAST(h AS HUGEINT) * {HASH61_A2} + {HASH61_B2})
+                       % {M61} AS BIGINT) AS h{carry} FROM h1x),
+    hf AS (SELECT xor(h, h >> 37) AS h{carry} FROM h2)"""
 
 
 def _regs_pd(ds) -> pd.DataFrame:
     return ds.to_pandas().sort_values("bucket").reset_index(drop=True)
+
+
+def test_hash61_vectorized_matches_scalar():
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.integers(-2**62, 2**62, size=20_000),
+        np.array([0, 1, -1, M61, M61 - 1, M61 + 1, 2**62, -(2**62), 7919],
+                 dtype=np.int64),
+    ]).astype(np.int64)
+    vec = hash61(vals)
+    sc = np.array([hash61_scalar(int(v)) for v in vals], dtype=np.uint64)
+    assert np.array_equal(vec, sc)
+    # mulmod61 against arbitrary-precision ints on edge values
+    xs = np.array([0, 1, M61 - 1, M61, (1 << 31) - 1, 1 << 31, 1 << 60],
+                  dtype=np.uint64)
+    for a in (1, 2, HASH61_A1, HASH61_A2, M61 - 1):
+        got = mulmod61(xs, a)
+        exp = np.array([(int(x) * a) % M61 for x in xs], dtype=np.uint64)
+        assert np.array_equal(got, exp), a
 
 
 def test_hll_registers_match_duckdb(ray_session):
@@ -20,19 +55,16 @@ def test_hll_registers_match_duckdb(ray_session):
     t = pa.table({"user_id": pa.array(vals, pa.int64())})
     out = _regs_pd(hll_registers(ray.data.from_arrow(t).repartition(6),
                                  "user_id"))
-    exp = duckdb.sql("""
-        WITH h AS (
-            SELECT DISTINCT CAST(concat('0x',
-                   substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
-                   AS UBIGINT) AS hv
-            FROM t
-        ), parts AS (
-            SELECT hv >> 54 AS bucket, hv & ((1::UBIGINT << 54) - 1) AS w
-            FROM h
+    exp = duckdb.sql(f"""
+        WITH x AS (
+            SELECT DISTINCT ((user_id % {M61}) + {M61}) % {M61} AS x FROM t
+        ), {_hash61_sql('x')}, parts AS (
+            SELECT h >> 51 AS bucket, h & ((1::BIGINT << 51) - 1) AS w
+            FROM hf
         )
         SELECT CAST(bucket AS BIGINT) AS bucket,
-               CAST(MAX(CASE WHEN w = 0 THEN 55
-                             ELSE 54 - length(bin(w)) + 1 END)
+               CAST(MAX(CASE WHEN w = 0 THEN 52
+                             ELSE 51 - length(bin(w)) + 1 END)
                     AS BIGINT) AS rho
         FROM parts GROUP BY bucket ORDER BY bucket
     """).df()
@@ -76,27 +108,27 @@ def test_cms_counters_match_duckdb(ray_session):
     import ray.data
     from pdf_inspector_ray.functions.sketch import cms_counters
 
+    cd_values = ", ".join(f"({d}, {cd}, {dd})"
+                          for d, (cd, dd) in enumerate(CMS_CD))
     rng = np.random.default_rng(43)
     vals = rng.zipf(1.5, size=30_000) % 5000  # skewed, with hot keys
     t = pa.table({"user_id": pa.array(vals, pa.int64())})
     out = (cms_counters(ray.data.from_arrow(t).repartition(5), "user_id")
            .to_pandas().sort_values(["depth", "bucket"])
            .reset_index(drop=True))
-    exp = duckdb.sql("""
-        WITH vc AS (
-            SELECT user_id, COUNT(*) AS c FROM t
-            WHERE user_id IS NOT NULL GROUP BY user_id
-        ), hashed AS (
+    exp = duckdb.sql(f"""
+        WITH x AS (
+            SELECT ((user_id % {M61}) + {M61}) % {M61} AS x, COUNT(*) AS c
+            FROM t WHERE user_id IS NOT NULL GROUP BY 1
+        ), {_hash61_sql('x', ', c')}, g AS (
             SELECT d.d AS depth,
-                   CAST(CAST(concat('0x', substr(md5(concat(
-                             CAST(d.d AS VARCHAR), ':',
-                             CAST(user_id AS VARCHAR))), 1, 16))
-                        AS UBIGINT) % 1024 AS BIGINT) AS bucket,
-                   c
-            FROM vc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS d) d
+                   CAST(((CAST(h AS HUGEINT) * d.cd + d.dd) % {M61})
+                        % 1024 AS BIGINT) AS bucket, c
+            FROM hf CROSS JOIN (VALUES {cd_values}) d(d, cd, dd)
         )
-        SELECT depth, bucket, SUM(c) AS cnt
-        FROM hashed GROUP BY depth, bucket ORDER BY depth, bucket
+        SELECT CAST(depth AS BIGINT) AS depth, bucket,
+               CAST(SUM(c) AS BIGINT) AS cnt
+        FROM g GROUP BY depth, bucket ORDER BY depth, bucket
     """).df()
     pd.testing.assert_frame_equal(
         out.astype({"depth": "int64", "bucket": "int64", "cnt": "int64"}),
@@ -124,6 +156,22 @@ def test_cms_point_query_bounds(ray_session):
         assert est >= true[v]                       # never underestimates
         # classic bound: overestimate ≤ 2e/width · n w.h.p.
         assert est - true[v] <= (2 * np.e / 1024) * n
+
+
+def test_sketches_on_string_column_md5_fallback(ray_session):
+    """Non-integer columns take the documented md5 slow path; registers
+    must still merge and estimate sanely."""
+    import ray.data
+    from pdf_inspector_ray.functions.sketch import cms_counters, cms_query
+
+    vals = [f"u{i % 800}" for i in range(6_000)]
+    t = pa.table({"k": pa.array(vals)})
+    regs = hll_registers(ray.data.from_arrow(t).repartition(3), "k")
+    est = hll_estimate(pa.Table.from_pandas(regs.to_pandas()))
+    assert abs(est - 800) / 800 < 0.15
+    counters = pa.Table.from_pandas(
+        cms_counters(ray.data.from_arrow(t).repartition(3), "k").to_pandas())
+    assert cms_query(counters, "u5") >= 6_000 // 800
 
 
 def test_hll_registers_by_group_consistent_with_global(ray_session):

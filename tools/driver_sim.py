@@ -22,6 +22,47 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
+def _to_arrow(res):
+    """Engine result -> pyarrow.Table preserving the engine's dtypes."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        refs = res.to_arrow_refs()
+        tables = [t for t in ray.get(refs) if t.num_rows or len(refs) == 1]
+        if not tables:
+            tables = ray.get(refs)[:1]
+        return pa.concat_tables(tables, promote_options="default")
+    if isinstance(res, pa.Table):
+        return res
+    return pa.Table.from_pandas(res, preserve_index=False)
+
+
+def _norm_type(t):
+    """Normalize Arrow large/small width variants only; everything else is
+    compared strictly (the real driver's typed hash catches int32 vs int64
+    and decimal128 vs int64 — exactly what this gate must catch too)."""
+    import pyarrow as pa
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(_norm_type(t.value_type))
+    return t
+
+
+def _dtype_report(eng, ora):
+    """Compare column-name-sorted Arrow types. Returns (ok, detail)."""
+    et = {f.name: _norm_type(f.type) for f in eng.schema}
+    ot = {f.name: _norm_type(f.type) for f in ora.schema}
+    if sorted(et) != sorted(ot):
+        return False, f"columns {sorted(et)} vs {sorted(ot)}"
+    bad = [f"{n}: engine={et[n]} oracle={ot[n]}"
+           for n in sorted(et) if et[n] != ot[n]]
+    return (not bad), ("; ".join(bad) if bad else None)
+
+
 def _to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data
@@ -86,9 +127,11 @@ def main() -> None:
         if only and name not in only:
             continue
         row = {"rows_match": None, "schema_match": None, "hash_match": None,
-               "spark_rows": None, "oracle_rows": None, "err": None}
+               "dtype_match": None, "spark_rows": None, "oracle_rows": None,
+               "err": None}
         try:
-            rdf = _to_pandas(fn(sf_dir))
+            rtab = _to_arrow(fn(sf_dir))
+            rdf = rtab.to_pandas()
             row["spark_rows"] = len(rdf)
         except Exception as e:
             row["err"] = f"query_error: {e!r}"
@@ -102,7 +145,8 @@ def main() -> None:
             print(name, json.dumps(row))
             continue
         try:
-            odf = con.execute(sql).df()
+            otab = con.execute(sql).arrow()
+            odf = otab.to_pandas()
             row["oracle_rows"] = len(odf)
         except Exception as e:
             row["err"] = f"oracle_error: {e!r}"
@@ -111,8 +155,12 @@ def main() -> None:
             continue
         row["rows_match"] = len(rdf) == len(odf)
         row["schema_match"] = sorted(rdf.columns) == sorted(odf.columns)
+        row["dtype_match"], dtype_detail = _dtype_report(rtab, otab)
+        if dtype_detail:
+            row["err"] = f"dtype: {dtype_detail}"
         if row["rows_match"] and row["schema_match"]:
-            row["hash_match"] = _values_match(_canon(rdf), _canon(odf))
+            row["hash_match"] = (_values_match(_canon(rdf), _canon(odf))
+                                 and row["dtype_match"])
         else:
             row["hash_match"] = False
         results[name] = row
