@@ -801,6 +801,20 @@ def _q_dataset_split(sf_dir: str):
     return ds.map_batches(assign_split_batch, batch_format="pyarrow")
 
 
+def _q_heavy_users(sf_dir: str):
+    """Exact two-pass heavy hitters (sketch.heavy_hitters): per-batch
+    Misra-Gries candidate filter (≤ m rows leave any batch — never a
+    full-cardinality shuffle) + exact recount of the candidate set.
+    Pigeonhole guarantees no true hitter is missed; the SQL twin is the
+    plain GROUP BY … HAVING the operator replaces at scale."""
+    import ray.data
+    from pdf_inspector_ray.functions.sketch import heavy_hitters
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["user_id"])
+    return heavy_hitters(ds, "user_id", min_count=75,
+                         n_rows_hint=_footer_rows(path))
+
+
 def _q_hll_user_registers(sf_dir: str):
     """HyperLogLog distinct-user sketch (sketch.hll_registers): per-batch
     register fold (≤ 1024 rows leave any batch) + one tiny max-merge
@@ -1339,6 +1353,55 @@ def _q_revenue_by_nation(sf_dir: str):
         num_partitions=_exchange_parts(_footer_rows(li_path)))
 
 
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H-Q3-flavored top-10 unshipped-revenue orders
+    (relational.shipping_priority): segment/date predicates pushed down
+    to the parquet scans, lineitem cents pre-agg, semi join + hash join,
+    bounded top-k. Integer-cents accumulation keeps the SQL twin exact."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data
+    from pdf_inspector_ray.functions.relational import shipping_priority
+    cutoff = _pa.scalar(867_715_200_000_000,
+                        _pa.timestamp("us"))  # 1997-07-01
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+        filter=_pc.field("c_mktsegment") == "BUILDING")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=_pc.field("o_orderdate") < cutoff)
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    lineitem = ray.data.read_parquet(
+        li_path, columns=["l_orderkey", "l_extendedprice", "l_discount",
+                          "l_shipdate"],
+        filter=_pc.field("l_shipdate") > cutoff)
+    return shipping_priority(
+        customer, orders, lineitem,
+        num_partitions=_exchange_parts(_footer_rows(li_path)))
+
+
+def _q_kmeans_assign(sf_dir: str):
+    """K-means assignment step (similarity.kmeans_assign): the first 8
+    vectors are the centroids (deterministic, SQL-reproducible),
+    broadcast once; per-batch matmul, 6-dp-rounded argmax with
+    smallest-centroid tie-break. No shuffle."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from pdf_inspector_ray.functions.similarity import kmeans_assign
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    head = pq.read_table(path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 8)])
+    import numpy as _np
+    order = _np.argsort(head["vec_id"].to_numpy(zero_copy_only=False))
+    centroids = _np.asarray(head["embedding"].to_pylist(),
+                            dtype=_np.float64)[order]
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, centroids)
+
+
 def _q_doc_length_quantiles_by_lang(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.text_stats import grouped_quantiles
@@ -1571,7 +1634,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "order_priority_revenue": _q_order_priority_revenue,
         "revenue_by_nation": _q_revenue_by_nation,
+        "shipping_priority": _q_shipping_priority,
+        "kmeans_assign": _q_kmeans_assign,
         "dataset_split": _q_dataset_split,
+        "heavy_users": _q_heavy_users,
         "hll_user_registers": _q_hll_user_registers,
         "cms_user_counters": _q_cms_user_counters,
         "hll_users_by_type": _q_hll_users_by_type,
@@ -2457,6 +2523,11 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM documents
         """,
+        "heavy_users": """
+            SELECT user_id AS value, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY user_id HAVING COUNT(*) >= 75
+        """,
         # sketch twins recompute sketch.hash61 registers bit-for-bit
         # (multiply-add mod 2^61-1 with xorshift; HUGEINT intermediates)
         "hll_user_registers": f"""
@@ -2533,6 +2604,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT l_orderkey, CAST(cents AS DOUBLE) / 100 AS revenue
             FROM rev ORDER BY revenue DESC, l_orderkey LIMIT 100
+        """,
+        "shipping_priority": """
+            SELECT l.l_orderkey AS o_orderkey,
+                   CAST(SUM(CAST(FLOOR((l.l_extendedprice
+                                        * (1 - l.l_discount)) * 100 + 0.5)
+                                 AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+                   o.o_orderdate, o.o_orderpriority
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1997-07-01'
+              AND l.l_shipdate > TIMESTAMP '1997-07-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "kmeans_assign": """
+            WITH c AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < 8
+            ), s AS (
+                SELECT e.vec_id, c.cid,
+                       round(list_cosine_similarity(
+                                 CAST(e.embedding AS DOUBLE[]), c.cv), 6)
+                           AS sim
+                FROM embeddings e CROSS JOIN c
+            )
+            SELECT vec_id, cid AS centroid_id FROM s
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1
         """,
         "term_doc_freq": r"""
             WITH toks AS (

@@ -160,15 +160,18 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
         assert list(probe_schema) == list(INPUT_COLUMNS), probe_schema
         conditions["read_columns"] = list(probe_schema)
 
-        # Warmup (untimed): a short run of the same pipeline absorbs the
+        # Warmup (untimed): a run of the same pipeline absorbs the
         # fresh-process penalty (actor-pool startup, bytecode/import warm,
         # CPU governor ramp) that made first runs ~20% slower than
         # steady-state regardless of pool size — the very effect behind
         # the unexplained r2 driver-vs-builder extract discrepancy.
+        # r3 evidence (BENCH_r03 extract_runs[0] 108.9 vs median 96.0)
+        # showed the ramp can outlast a 150k-turn warmup, so it is 400k
+        # now (~25 s) — VERDICT r3 #7 wants runs[0] within ~5% of median.
         warm_dir = f"/tmp/pdf_inspector_ray_bench_out/warmup{num_cpus}"
         shutil.rmtree(warm_dir, ignore_errors=True)
         run_to_partitioned_output(
-            read_transcripts(corpus, num_blocks=4 * num_cpus).limit(150_000),
+            read_transcripts(corpus, num_blocks=4 * num_cpus).limit(400_000),
             warm_dir, num_buckets=max(16, num_cpus * 2), resume=False,
             use_payload_cache=False, concurrency=pool)
         shutil.rmtree(warm_dir, ignore_errors=True)

@@ -547,6 +547,69 @@ def order_priority_revenue(orders_ds, lineitem_ds,
                   .map_groups(merge, batch_format="pyarrow"))
 
 
+def shipping_priority(customer_ds, orders_ds, lineitem_ds,
+                      limit: int = 10,
+                      num_partitions: int = JOIN_PARTITIONS
+                      ) -> pa.Table:
+    """TPC-H Q3-flavored shipping priority: unshipped revenue per order
+    for one market segment — top ``limit`` orders by revenue. The
+    segment / o_orderdate < cutoff / l_shipdate > cutoff predicates are
+    the CALLER's read-time filters (pushed down to the parquet scan so
+    filtered rows never leave storage — see ``_q_shipping_priority``).
+    Pipeline: lineitem pre-aggregates integer CENTS per orderkey inside
+    map_batches (exchange shrinks to unique orderkeys per batch; cents
+    make the sum order-free so it can't diverge from a SQL twin),
+    orders LEFT-SEMI joins the filtered customer keys, then one
+    large×large hash join + a per-orderkey cents merge. Result is
+    ``limit`` rows — driver-side take is bounded."""
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"])),
+            100.0), 0.5)), pa.int64())
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "cents": cents})
+        return (t.group_by(["l_orderkey"]).aggregate([("cents", "sum")])
+                 .rename_columns(["l_orderkey", "cents"]))
+
+    li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+    cust = customer_ds.map_batches(
+        lambda b: pa.table({"c_custkey": b["c_custkey"]}),
+        batch_format="pyarrow")
+    seg_orders = hash_join(
+        orders_ds, cust, on="o_custkey", right_on="c_custkey",
+        join_type="left semi", num_partitions=num_partitions,
+        left_schema=[("o_orderkey", pa.int64()),
+                     ("o_custkey", pa.int64()),
+                     ("o_orderdate", pa.timestamp("us")),
+                     ("o_orderpriority", pa.string())],
+        right_schema=[("c_custkey", pa.int64())])
+    joined = hash_join(
+        seg_orders, li, on="o_orderkey", right_on="l_orderkey",
+        num_partitions=num_partitions,
+        left_schema=[("o_orderkey", pa.int64()),
+                     ("o_custkey", pa.int64()),
+                     ("o_orderdate", pa.timestamp("us")),
+                     ("o_orderpriority", pa.string())],
+        right_schema=[("l_orderkey", pa.int64()),
+                      ("cents", pa.int64())])
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": group["o_orderkey"][:1],
+            "revenue": pa.array(
+                [pc.sum(group["cents"]).as_py() / 100.0], pa.float64()),
+            "o_orderdate": group["o_orderdate"][:1],
+            "o_orderpriority": group["o_orderpriority"][:1],
+        })
+
+    per_order = (joined.groupby("o_orderkey")
+                       .map_groups(merge, batch_format="pyarrow"))
+    top = per_order.sort(["revenue", "o_orderkey"],
+                         descending=[True, False]).limit(limit)
+    return pa.concat_tables(list(top.iter_batches(batch_format="pyarrow")))
+
+
 def revenue_by_nation(customer_ds, orders_ds, lineitem_ds,
                       nation: pa.Table, region: pa.Table,
                       region_name: str = "ASIA",

@@ -223,6 +223,37 @@ def label_centroids(ds, label_column: str = "label",
               .map_groups(merge, batch_format="pyarrow"))
 
 
+def kmeans_assign(ds, centroids: np.ndarray,
+                  id_column: str = "vec_id",
+                  embedding_column: str = "embedding"):
+    """Assign every vector to its nearest centroid by cosine — the
+    k-means assignment step / coarse-quantizer routing primitive. One
+    broadcast (``ray.put`` of the normalized centroid matrix, read once
+    per task) + one vectorized matmul per batch; no shuffle. Similarity
+    is rounded to 6 dp BEFORE the argmax with ties broken by smallest
+    centroid id (``np.argmax`` keeps the first maximum), so the choice
+    is reproducible across float backends — same discipline as
+    ``brute_force_topk``. Returns (vec_id, centroid_id)."""
+    import ray
+
+    c = _normalize(np.asarray(centroids, dtype=np.float64))
+    c_ref = ray.put(c)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(c_ref)
+        vecs = _to_matrix(batch[embedding_column])
+        if vecs.size == 0:
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "centroid_id": pa.array([], pa.int64())})
+        sims = np.round(_normalize(vecs) @ cm.T, 6)
+        best = np.argmax(sims, axis=1).astype(np.int64)
+        ids = np.asarray(batch[id_column].to_pylist(), dtype=np.int64)
+        return pa.table({id_column: pa.array(ids, pa.int64()),
+                         "centroid_id": pa.array(best, pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def quantize_embeddings(ds, dim: int,
                         embedding_column: str = "embedding",
                         id_column: str = "vec_id"):

@@ -280,6 +280,87 @@ def cms_query(counters: pa.Table, value, depth: int = CMS_DEPTH,
          % width), 0) for d in range(depth))
 
 
+def heavy_hitters(ds, column: str, min_count: int,
+                  n_rows_hint: int | None = None,
+                  m: int | None = None) -> pa.Table:
+    """EXACT heavy hitters (all values with frequency ≥ ``min_count``)
+    in two passes, never shuffling the full key cardinality — the
+    100-TB alternative to ``GROUP BY … HAVING COUNT(*) ≥ t`` when the
+    column has billions of distinct values:
+
+    Pass 1 (candidates): per batch, exact value counts (arrow
+    ``value_counts``), keep only values with batch count >
+    ``n_b/(m+1)`` — at most m rows leave any batch. Pigeonhole gives
+    the Misra-Gries completeness guarantee: if a value's GLOBAL count
+    exceeds ``n/(m+1)``, its count must exceed ``n_b/(m+1)`` in at
+    least one batch, so every true heavy hitter is a candidate as long
+    as ``m + 1 ≥ n / min_count`` (sized from ``n_rows_hint``, e.g. the
+    parquet footer row count, with 4× slack). False candidates are
+    harmless — pass 2 counts them exactly and the threshold kills them.
+
+    Pass 2 (exact counts): broadcast the candidate set (tiny), emit per
+    batch the exact counts of candidate values only plus one total-row
+    per batch (``is_total=1`` carrying the batch's non-null count), one
+    tiny groupby-sum, then a driver-side threshold filter over
+    |candidates|+1 rows. Returns (value, cnt) sorted by cnt desc, value
+    asc. Candidate-union size is bounded by the number of per-batch
+    survivors (≤ m per batch; in practice ≈ the true hitter count on
+    skewed data — the only regime where this operator is the right
+    tool)."""
+    import ray
+
+    if m is None:
+        n_hint = n_rows_hint or 0
+        m = max(64, min(1_000_000, -(-4 * n_hint // max(min_count, 1))))
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        vc = batch[column].value_counts()
+        vals = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        n_b = int(cnts[valid].sum()) if valid.any() else 0
+        keep = valid & (cnts > n_b / (m + 1))
+        return pa.table({"value": vals.filter(pa.array(keep)),
+                         "cnt": pa.array(cnts[keep], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    cand_rows = (ds.map_batches(pass1, batch_format="pyarrow")
+                   .groupby("value").aggregate(Sum("cnt", alias_name="cnt"))
+                   .take_all())  # bounded: per-batch survivors only
+    candidates = np.array(sorted(r["value"] for r in cand_rows))
+    if len(candidates) == 0:
+        return pa.table({"value": pa.array([], pa.int64()),
+                         "cnt": pa.array([], pa.int64())})
+    cand_ref = ray.put(candidates)
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        vc = batch[column].value_counts()
+        vals = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        valid = pc.is_valid(vals).to_numpy(zero_copy_only=False)
+        v = vals.to_numpy(zero_copy_only=False)
+        keep = valid & np.isin(v, cand)
+        out_v = np.concatenate([v[keep].astype(np.int64), [0]])
+        out_c = np.concatenate([cnts[keep].astype(np.int64),
+                                [int(cnts[valid].sum())]])
+        is_total = np.zeros(len(out_v), dtype=np.int8)
+        is_total[-1] = 1
+        return pa.table({"value": pa.array(out_v, pa.int64()),
+                         "cnt": pa.array(out_c, pa.int64()),
+                         "is_total": pa.array(is_total, pa.int8())})
+
+    rows = (ds.map_batches(pass2, batch_format="pyarrow")
+              .groupby(["is_total", "value"])
+              .aggregate(Sum("cnt", alias_name="cnt"))
+              .take_all())  # tiny: |candidates| + 1 rows
+    out = [(r["value"], r["cnt"]) for r in rows
+           if r["is_total"] == 0 and r["cnt"] >= min_count]
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return pa.table({"value": pa.array([v for v, _ in out], pa.int64()),
+                     "cnt": pa.array([c for _, c in out], pa.int64())})
+
+
 def hll_registers_by_group(ds, group_column: str, column: str,
                            b: int = HLL_B):
     """Per-group HyperLogLog registers — COUNT(DISTINCT …) GROUP BY at

@@ -1921,3 +1921,73 @@ def test_neardup_cluster_sizes_shapes(ray_session):
     sizes = (comp.to_pandas().groupby("label").size()
              .value_counts().sort_index())
     assert sizes.to_dict() == {2: 2, 3: 1, 4: 1}
+
+
+def test_kmeans_assign_matches_bruteforce(ray_session):
+    """Assignment must equal the numpy argmax over ROUNDED cosine sims
+    with smallest-centroid tie-break — including an exact duplicate of a
+    centroid (sim 1.0 tie with itself only) and a vector equidistant
+    from two centroids (rounded tie → smaller centroid id wins)."""
+    import ray.data
+
+    from pdf_inspector_ray.functions.similarity import (_normalize,
+                                                        kmeans_assign)
+
+    rng = np.random.default_rng(5)
+    cents = rng.normal(size=(4, 8))
+    vecs = np.vstack([rng.normal(size=(50, 8)), cents[2],
+                      # equidistant from centroids 0 and 1: their mean
+                      (cents[0] / np.linalg.norm(cents[0])
+                       + cents[1] / np.linalg.norm(cents[1]))])
+    t = pa.table({"vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+                  "embedding": pa.array(vecs.tolist())})
+    out = (kmeans_assign(ray.data.from_arrow(t).repartition(3), cents)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    sims = np.round(_normalize(vecs) @ _normalize(cents).T, 6)
+    expected = np.argmax(sims, axis=1)
+    assert out["centroid_id"].to_numpy().tolist() == expected.tolist()
+    assert out["centroid_id"].iloc[50] == 2  # duplicate → its centroid
+
+
+def test_shipping_priority_matches_duckdb(ray_session):
+    """Q3-flavored top-k on synthetic rows with revenue ties across the
+    limit boundary (tie-break by orderkey must agree with the twin)."""
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import shipping_priority
+
+    rng = np.random.default_rng(13)
+    n_orders = 400
+    cust = pa.table({"c_custkey": pa.array(np.arange(40), pa.int64())})
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, 80, n_orders), pa.int64()),
+        "o_orderdate": pa.array(
+            np.full(n_orders, 800_000_000_000_000), pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            [f"{i % 3}-P" for i in range(n_orders)]),
+    })
+    li_key = rng.integers(0, n_orders, 3000)
+    price = rng.integers(100, 200, 3000) * 1.0  # integer prices → exact
+    li = pa.table({
+        "l_orderkey": pa.array(li_key, pa.int64()),
+        "l_extendedprice": pa.array(price, pa.float64()),
+        "l_discount": pa.array(np.zeros(3000), pa.float64()),
+    })
+    out = shipping_priority(
+        ray.data.from_arrow(cust), ray.data.from_arrow(orders),
+        ray.data.from_arrow(li), limit=10, num_partitions=16).to_pandas()
+    exp = duckdb.sql("""
+        SELECT l.l_orderkey AS o_orderkey,
+               CAST(SUM(CAST(FLOOR((l.l_extendedprice * (1 - l.l_discount))
+                                   * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100
+                   AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM cust c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN li l ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """).df()
+    pd.testing.assert_frame_equal(out, exp)

@@ -174,6 +174,49 @@ def test_sketches_on_string_column_md5_fallback(ray_session):
     assert cms_query(counters, "u5") >= 6_000 // 800
 
 
+def test_heavy_hitters_exact_vs_bruteforce(ray_session):
+    """Two-pass heavy hitters must return EXACTLY the GROUP BY/HAVING
+    set — including a planted hitter spread thin across many batches
+    (the completeness risk the pigeonhole bound covers) and a value
+    just below threshold."""
+    import ray.data
+    from collections import Counter
+
+    from pdf_inspector_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    # background: ~6k distinct values with small counts
+    bg = rng.integers(10_000, 16_000, size=40_000)
+    # planted: value 7 appears exactly 120× (≥ threshold) spread evenly;
+    # value 8 appears 99× (just below threshold 100)
+    vals = np.concatenate([bg, np.full(120, 7), np.full(99, 8)])
+    vals = vals[rng.permutation(len(vals))]  # thin spread across batches
+    true = Counter(vals.tolist())
+    min_count = 100
+    expected = sorted(((v, c) for v, c in true.items() if c >= min_count),
+                      key=lambda t: (-t[1], t[0]))
+    t = pa.table({"k": pa.array(vals, pa.int64())})
+    out = heavy_hitters(ray.data.from_arrow(t).repartition(64), "k",
+                        min_count=min_count, n_rows_hint=len(vals))
+    got = list(zip(out["value"].to_pylist(), out["cnt"].to_pylist()))
+    assert got == expected
+    assert (7, 120) in got and all(v != 8 for v, _ in got)
+
+
+def test_heavy_hitters_empty_and_nulls(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.sketch import heavy_hitters
+
+    t = pa.table({"k": pa.array([None, None, 1, 1, 2], pa.int64())})
+    out = heavy_hitters(ray.data.from_arrow(t), "k", min_count=2,
+                        n_rows_hint=5)
+    assert (list(zip(out["value"].to_pylist(), out["cnt"].to_pylist()))
+            == [(1, 2)])
+    none_hit = heavy_hitters(ray.data.from_arrow(t), "k", min_count=10,
+                             n_rows_hint=5)
+    assert none_hit.num_rows == 0
+
+
 def test_hll_registers_by_group_consistent_with_global(ray_session):
     import ray.data
     from pdf_inspector_ray.functions.sketch import (hll_estimate,
