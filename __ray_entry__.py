@@ -1402,6 +1402,74 @@ def _q_kmeans_assign(sf_dir: str):
     return kmeans_assign(ds, centroids)
 
 
+def _q_latest_event_per_user(sf_dir: str):
+    """Argmax-per-group / DISTINCT ON (relational.latest_event_per_user):
+    per-batch partial argmax before the shuffle (one row per
+    (batch, user) leaves any batch), one groupby(user) merge."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import latest_event_per_user
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"])
+    return latest_event_per_user(ds)
+
+
+def _q_melt_lineitem(sf_dir: str):
+    """Unpivot wide → long (relational.melt): stateless vectorized
+    column concat per batch, no shuffle; SQL twin is the UNION ALL the
+    operator replaces."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import melt
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"])
+    return melt(ds, id_cols=["l_orderkey", "l_linenumber"],
+                value_cols=["l_quantity", "l_extendedprice",
+                            "l_discount", "l_tax"])
+
+
+def _docs_quality_en_sides(sf_dir: str):
+    import pyarrow.compute as _pc
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import quality_batch
+    docs = os.path.join(sf_dir, "documents.parquet")
+    left = (ray.data.read_parquet(docs, columns=["doc_id", "text"])
+            .map_batches(quality_batch, batch_format="pyarrow")
+            .map_batches(lambda b: b.filter(b["quality_keep"])
+                         .select(["doc_id"]), batch_format="pyarrow"))
+    right = ray.data.read_parquet(docs, columns=["doc_id", "lang"],
+                                  filter=_pc.field("lang") == "en")
+    return left, right
+
+
+def _q_docs_quality_en_intersect(sf_dir: str):
+    """Distributed INTERSECT (relational.set_op_ids): per-batch key
+    dedupe + one presence-flag groupby — unique keys per batch are the
+    exchange, never raw rows."""
+    from pdf_inspector_ray.functions.relational import set_op_ids
+    left, right = _docs_quality_en_sides(sf_dir)
+    return set_op_ids(left, right, "doc_id", op="intersect")
+
+
+def _q_docs_quality_not_en(sf_dir: str):
+    """Distributed EXCEPT — same exchange shape as the intersect."""
+    from pdf_inspector_ray.functions.relational import set_op_ids
+    left, right = _docs_quality_en_sides(sf_dir)
+    return set_op_ids(left, right, "doc_id", op="except")
+
+
+def _q_docs_dense_rank(sf_dir: str):
+    """Global dense_rank() without a global sort
+    (text_stats.dense_rank_column): distinct-value broadcast +
+    stateless searchsorted map — integers end to end."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import dense_rank_column
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+    return dense_rank_column(ds, "n_chars")
+
+
 def _q_doc_length_quantiles_by_lang(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.text_stats import grouped_quantiles
@@ -1636,6 +1704,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "shipping_priority": _q_shipping_priority,
         "kmeans_assign": _q_kmeans_assign,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "melt_lineitem": _q_melt_lineitem,
+        "docs_quality_en_intersect": _q_docs_quality_en_intersect,
+        "docs_quality_not_en": _q_docs_quality_not_en,
+        "docs_dense_rank": _q_docs_dense_rank,
         "dataset_split": _q_dataset_split,
         "heavy_users": _q_heavy_users,
         "hll_user_registers": _q_hll_user_registers,
@@ -2005,6 +2078,68 @@ def oracle_sql() -> dict[str, str]:
                     AND n_digits / greatest(n_chars, 1.0) <= 0.3
                     AND stopword_count >= 1) AS quality_keep
             FROM base
+        """,
+        "docs_quality_en_intersect": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(length(text)
+                            - length(regexp_replace(text, '[0-9]', '', 'g'))
+                            AS DOUBLE) AS n_digits,
+                       {s_en} AS stopword_count
+                FROM documents
+            ), q AS (
+                SELECT doc_id FROM base
+                WHERE n_chars >= 50.0
+                  AND n_digits / greatest(n_chars, 1.0) <= 0.3
+                  AND stopword_count >= 1
+            )
+            SELECT doc_id FROM q
+            INTERSECT
+            SELECT doc_id FROM documents WHERE lang = 'en'
+        """,
+        "docs_quality_not_en": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(length(text)
+                            - length(regexp_replace(text, '[0-9]', '', 'g'))
+                            AS DOUBLE) AS n_digits,
+                       {s_en} AS stopword_count
+                FROM documents
+            ), q AS (
+                SELECT doc_id FROM base
+                WHERE n_chars >= 50.0
+                  AND n_digits / greatest(n_chars, 1.0) <= 0.3
+                  AND stopword_count >= 1
+            )
+            SELECT doc_id FROM q
+            EXCEPT
+            SELECT doc_id FROM documents WHERE lang = 'en'
+        """,
+        "docs_dense_rank": """
+            SELECT doc_id, n_chars,
+                   dense_rank() OVER (ORDER BY n_chars) AS drank
+            FROM documents
+        """,
+        "latest_event_per_user": """
+            SELECT event_id, ts, user_id, event_type
+            FROM events WHERE user_id IS NOT NULL
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "melt_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+                   CAST(l_extendedprice AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   CAST(l_discount AS DOUBLE) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   CAST(l_tax AS DOUBLE) FROM lineitem
         """,
         "fingerprint": """
             SELECT doc_id, md5(text) AS text_md5 FROM documents

@@ -816,6 +816,90 @@ def distinct_count(ds, group_column: str, value_column: str,
               .map_groups(count_group, batch_format="pyarrow"))
 
 
+def latest_event_per_user(ds) -> "ray.data.Dataset":
+    """Latest event per user (argmax-per-group / DISTINCT ON): one
+    groupby(user) co-location, vectorized in-group argmax on
+    (ts, event_id) — the dedup-to-canonical-row primitive (keep newest
+    version of a document, last state of a session). Per-batch partial
+    argmax BEFORE the shuffle ships one row per (batch, user), so a
+    user's row count never exceeds the batch count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # in-batch argmax per user: sort desc once, keep first per user
+        batch = batch.filter(pc.is_valid(batch["user_id"]))
+        idx = pc.sort_indices(batch, sort_keys=[
+            ("user_id", "ascending"), ("ts", "descending"),
+            ("event_id", "descending")])
+        t = batch.take(idx)
+        users = t["user_id"].to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], users[1:] != users[:-1]])
+        return t.filter(pa.array(first))
+
+    def merge(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[
+            ("ts", "descending"), ("event_id", "descending")])
+        return group.take(idx[:1])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(merge, batch_format="pyarrow"))
+
+
+def melt(ds, id_cols: list[str], value_cols: list[str],
+         var_name: str = "metric", value_name: str = "value"
+         ) -> "ray.data.Dataset":
+    """Unpivot wide → long (pandas ``melt`` / SQL UNION ALL): each input
+    row becomes ``len(value_cols)`` rows (id_cols…, metric, value).
+    Stateless vectorized map — one column concat + tiled name column per
+    batch, no shuffle, streams at any scale."""
+
+    def unpivot(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {c: pa.concat_arrays(
+                    [batch[c].combine_chunks()] * len(value_cols))
+                for c in id_cols}
+        cols[var_name] = pa.array(
+            np.repeat(np.asarray(value_cols, dtype=object), n), pa.string())
+        cols[value_name] = pa.concat_arrays(
+            [pc.cast(batch[c], pa.float64()).combine_chunks()
+             for c in value_cols])
+        return pa.table(cols)
+
+    return ds.map_batches(unpivot, batch_format="pyarrow")
+
+
+def set_op_ids(left_ds, right_ds, column: str, op: str = "intersect"
+               ) -> "ray.data.Dataset":
+    """Distributed INTERSECT / EXCEPT over one key column (set
+    semantics, null keys dropped like SQL). Per-batch dedupe shrinks
+    each side to unique keys per batch, then ONE groupby(key) merges
+    side-presence flags — the exchange carries unique (batch, key)
+    rows, never the raw row count."""
+    if op not in ("intersect", "except"):
+        raise ValueError(op)
+
+    def tag(is_left: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            vals = pc.unique(batch[column]).drop_null()
+            flag = 1 if is_left else 2
+            return pa.table({
+                column: vals,
+                "side": pa.array(np.full(len(vals), flag), pa.int64()),
+            })
+        return fn
+
+    def merge(group: pa.Table) -> pa.Table:
+        sides = set(group["side"].to_pylist())
+        keep = (1 in sides and 2 in sides) if op == "intersect" \
+            else (sides == {1})
+        return group.select([column]).slice(0, 1 if keep else 0)
+
+    tagged = (left_ds.map_batches(tag(True), batch_format="pyarrow")
+              .union(right_ds.map_batches(tag(False),
+                                          batch_format="pyarrow")))
+    return tagged.groupby(column).map_groups(merge, batch_format="pyarrow")
+
+
 def rollup_agg(ds, group_cols: list[str], value_column: str):
     """GROUP BY ROLLUP(``group_cols``): every prefix level of the
     hierarchy plus the grand total, as one table with NULLs marking

@@ -630,6 +630,38 @@ def chunk_documents(ds, chunk_tokens: int = 64, stride: int = 48,
     return ds.map_batches(chunk, batch_format="pyarrow")
 
 
+def dense_rank_column(ds, column: str, id_column: str = "doc_id"):
+    """Global ``dense_rank() OVER (ORDER BY column)`` without a global
+    sort: dense rank depends only on the DISTINCT value order, so the
+    value-count sketch (one row per distinct value) broadcasts a sorted
+    distinct-value array and a stateless searchsorted map assigns
+    1 + position — integers end to end, no float boundary anywhere."""
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"value": pc.unique(batch[column]).drop_null()})
+
+    distinct = (ds.map_batches(partial, batch_format="pyarrow")
+                  .groupby("value").map_groups(
+                      lambda g: g.slice(0, 1), batch_format="pyarrow")
+                  .take_all())  # one row per distinct value
+    values = np.sort(np.asarray([r["value"] for r in distinct],
+                                dtype=np.int64))
+    ref = ray.put(values)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        vals = ray.get(ref)
+        x = pc.cast(batch[column], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            id_column: pc.cast(batch[id_column], pa.int64()),
+            column: batch[column],
+            "drank": pa.array(np.searchsorted(vals, x) + 1, pa.int64()),
+        })
+
+    return ds.map_batches(rank, batch_format="pyarrow")
+
+
 def percent_rank_column(ds, column: str, id_column: str = "doc_id"):
     """Global ``percent_rank() OVER (ORDER BY column)`` without a global
     sort: the distributed value-count sketch (one row per DISTINCT

@@ -1991,3 +1991,94 @@ def test_shipping_priority_matches_duckdb(ray_session):
         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
     """).df()
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_latest_event_per_user_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import latest_event_per_user
+
+    rng = np.random.default_rng(21)
+    n = 5000
+    ev = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 500, n) * 1_000_000,
+                       pa.timestamp("us")),  # many exact-ts ties per user
+        "user_id": pa.array(
+            np.where(rng.random(n) < 0.02, None,
+                     rng.integers(0, 80, n)).astype(object)),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n).tolist()),
+    })
+    out = (latest_event_per_user(ray.data.from_arrow(ev).repartition(6))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT event_id, ts, user_id, event_type
+        FROM ev WHERE user_id IS NOT NULL
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id
+    """).df()
+    pd.testing.assert_frame_equal(
+        out.astype({"user_id": "int64"}), exp.astype({"user_id": "int64"}))
+
+
+def test_melt_roundtrip_and_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import melt
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "a": pa.array([1.5, 2.5, 3.5], pa.float64()),
+        "b": pa.array([10, 20, 30], pa.int64()),
+    })
+    out = (melt(ray.data.from_arrow(t), id_cols=["id"],
+                value_cols=["a", "b"])
+           .to_pandas().sort_values(["id", "metric"])
+           .reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT id, 'a' AS metric, CAST(a AS DOUBLE) AS value FROM t
+        UNION ALL
+        SELECT id, 'b', CAST(b AS DOUBLE) FROM t
+        ORDER BY id, metric
+    """).df()
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_set_op_ids_intersect_except(ray_session):
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import set_op_ids
+
+    left = pa.table({"k": pa.array([1, 2, 2, 3, None, 7], pa.int64())})
+    right = pa.table({"k": pa.array([2, 3, 3, 4, None], pa.int64())})
+    inter = set_op_ids(ray.data.from_arrow(left).repartition(3),
+                       ray.data.from_arrow(right), "k", "intersect")
+    assert sorted(r["k"] for r in inter.take_all()) == [2, 3]
+    exc = set_op_ids(ray.data.from_arrow(left).repartition(3),
+                     ray.data.from_arrow(right), "k", "except")
+    assert sorted(r["k"] for r in exc.take_all()) == [1, 7]
+
+
+def test_dense_rank_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import dense_rank_column
+
+    rng = np.random.default_rng(8)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(2000), pa.int64()),
+        "n_chars": pa.array(rng.integers(0, 120, 2000), pa.int64()),
+    })
+    out = (dense_rank_column(ray.data.from_arrow(t).repartition(5),
+                             "n_chars")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    exp = duckdb.sql("""
+        SELECT doc_id, n_chars,
+               dense_rank() OVER (ORDER BY n_chars) AS drank
+        FROM t ORDER BY doc_id
+    """).df()
+    pd.testing.assert_frame_equal(out, exp.astype({"drank": "int64"}))
