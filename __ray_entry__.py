@@ -1634,6 +1634,30 @@ def _q_media_decode(sf_dir: str):
                           concurrency=(1, 4), batch_format="pyarrow")
 
 
+def _q_media_thumbs(sf_dir: str):
+    """Integer-exact 8×8 NN thumbnail export (multimodal.MediaThumbs):
+    per-pixel channel sums (no IEEE division) in 64 long-form rows per
+    image; oracle unnests the golden_thumb list frozen at synthesis."""
+    import ray.data
+    from pdf_inspector_ray.functions.multimodal import MediaThumbs
+    ds = ray.data.read_parquet(_real_media_dir(sf_dir),
+                               columns=["media_id", "media_type",
+                                        "payload"])
+    return ds.map_batches(MediaThumbs, batch_size=32,
+                          concurrency=(1, 4), batch_format="pyarrow")
+
+
+def _q_event_value_mode(sf_dir: str):
+    """Mode per group (relational.mode_per_group): unique-pair partials
+    → one pair groupby → tiny per-group argmax; ties break to the
+    smallest value like the QUALIFY twin."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import mode_per_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+    return mode_per_group(ds, "event_type", "user_id")
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.multimodal import MediaFeatureExtractor
@@ -1754,10 +1778,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": _q_running_totals,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "doc_length_quantiles_by_lang": _q_doc_length_quantiles_by_lang,
+        "event_value_mode": _q_event_value_mode,
         # multimodal plumbing
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
+        "media_thumbs": _q_media_thumbs,
     }
 
 
@@ -1990,6 +2016,29 @@ def oracle_sql() -> dict[str, str]:
                    sha256(decode(payload)) AS payload_sha256,
                    octet_length(payload) AS n_bytes
             FROM read_parquet('{os.path.join(_media_dir('/root/testdata/sf0.01'), '*.parquet')}')
+        """,
+        "media_thumbs": f"""
+            SELECT media_id,
+                   CAST((u.i - 1) // 8 AS BIGINT) AS py,
+                   CAST((u.i - 1) % 8 AS BIGINT) AS px,
+                   CAST(golden_thumb[u.i] AS BIGINT) AS gray_sum
+            FROM read_parquet('{os.path.join(_real_media_dir('/root/testdata/sf0.01'), '*.parquet')}'),
+                 unnest(generate_series(1, len(golden_thumb))) AS u(i)
+            WHERE golden_thumb IS NOT NULL
+        """,
+        "event_value_mode": """
+            WITH pc_ AS (
+                SELECT event_type AS grp, user_id AS val,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT grp AS event_type, val AS mode_value,
+                   cnt AS mode_count
+            FROM pc_
+            QUALIFY row_number() OVER (
+                PARTITION BY grp ORDER BY cnt DESC, val ASC) = 1
         """,
         "media_decode": f"""
             SELECT media_id, media_type,

@@ -353,7 +353,62 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
             ).count()
             top_revenue_orders(ray.data.read_parquet(
                 li_path, columns=li_cols)).count()
+            import pyarrow.compute as _pc
+
+            from pdf_inspector_ray.functions.relational import (
+                shipping_priority)
+            cutoff = _pa.scalar(867_715_200_000_000, _pa.timestamp("us"))
+            shipping_priority(
+                ray.data.read_parquet(
+                    os.path.join(sf_dir, "customer.parquet"),
+                    columns=["c_custkey", "c_mktsegment"],
+                    filter=_pc.field("c_mktsegment") == "BUILDING"),
+                ray.data.read_parquet(
+                    orders_path,
+                    columns=["o_orderkey", "o_custkey", "o_orderdate",
+                             "o_orderpriority"],
+                    filter=_pc.field("o_orderdate") < cutoff),
+                ray.data.read_parquet(
+                    li_path,
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"],
+                    filter=_pc.field("l_shipdate") > cutoff),
+                num_partitions=join_parts)
             queries["joins_suite"] = round(time.perf_counter() - t0, 3)
+
+        if os.path.exists(events_path) and os.path.exists(docs_path):
+            from pdf_inspector_ray.functions.relational import (
+                latest_event_per_user, melt, mode_per_group, set_op_ids)
+            from pdf_inspector_ray.functions.sketch import heavy_hitters
+            from pdf_inspector_ray.functions.text_stats import (
+                dense_rank_column)
+
+            t0 = time.perf_counter()
+            heavy_hitters(
+                ray.data.read_parquet(events_path, columns=["user_id"]),
+                "user_id", min_count=75,
+                n_rows_hint=_footer_rows(events_path))
+            latest_event_per_user(ray.data.read_parquet(
+                events_path,
+                columns=["event_id", "ts", "user_id", "event_type"])).count()
+            mode_per_group(ray.data.read_parquet(
+                events_path, columns=["event_type", "user_id"]),
+                "event_type", "user_id").count()
+            melt(ray.data.read_parquet(
+                os.path.join(sf_dir, "lineitem.parquet"),
+                columns=["l_orderkey", "l_linenumber", "l_quantity",
+                         "l_extendedprice", "l_discount", "l_tax"]),
+                id_cols=["l_orderkey", "l_linenumber"],
+                value_cols=["l_quantity", "l_extendedprice",
+                            "l_discount", "l_tax"]).count()
+            set_op_ids(
+                ray.data.read_parquet(docs_path, columns=["doc_id"]),
+                ray.data.read_parquet(docs_path, columns=["doc_id"]),
+                "doc_id", "intersect").count()
+            dense_rank_column(ray.data.read_parquet(
+                docs_path, columns=["doc_id", "n_chars"]),
+                "n_chars").count()
+            queries["analytics_suite"] = round(time.perf_counter() - t0, 3)
 
         emb_path = os.path.join(sf_dir, "embeddings.parquet")
         if os.path.exists(emb_path):
@@ -372,6 +427,20 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
             embedding_neardup_candidates(
                 ray.data.read_parquet(emb_path), axis_aligned=True).count()
             queries["embedding_neardup"] = round(time.perf_counter() - t0, 3)
+
+            import numpy as _np
+
+            from pdf_inspector_ray.functions.similarity import kmeans_assign
+            head = pq.read_table(emb_path, columns=["vec_id", "embedding"],
+                                 filters=[("vec_id", "<", 8)])
+            order = _np.argsort(
+                head["vec_id"].to_numpy(zero_copy_only=False))
+            cents = _np.asarray(head["embedding"].to_pylist(),
+                                dtype=_np.float64)[order]
+            t0 = time.perf_counter()
+            kmeans_assign(ray.data.read_parquet(
+                emb_path, columns=["vec_id", "embedding"]), cents).count()
+            queries["kmeans_assign"] = round(time.perf_counter() - t0, 3)
 
         total = round(sum(queries.values()), 3)
         return {

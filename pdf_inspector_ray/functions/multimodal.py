@@ -155,7 +155,7 @@ def frame_sample_stub(batch: pa.Table, every_ms: int = 1000) -> pa.Table:
 # so the decode seam stops being a stub for images and audio; only video
 # containers remain gated.
 
-REAL_MEDIA_GENERATOR_VERSION = 1
+REAL_MEDIA_GENERATOR_VERSION = 2  # v2: golden_thumb integer thumbnails
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:
@@ -239,6 +239,17 @@ def _image_stats(arr: np.ndarray) -> dict:
     }
 
 
+def _image_thumb_sums(arr: np.ndarray) -> np.ndarray:
+    """8×8 nearest-neighbor thumbnail of the CHANNEL-SUM plane
+    (r+g+b per sampled pixel, 0..765) — integer end to end, so the
+    thumbnail export is exact across engines (no IEEE division
+    anywhere). Shared verbatim with corpus synthesis."""
+    h, w, _ = arr.shape
+    ys = (np.arange(8) * h) // 8
+    xs = (np.arange(8) * w) // 8
+    return arr.astype(np.int32).sum(axis=2)[np.ix_(ys, xs)]
+
+
 def _audio_stats(samples: np.ndarray, rate: int) -> dict:
     f = samples.astype(np.float64)
     return {
@@ -263,17 +274,19 @@ def synthesize_real_media_table(n: int, seed: int = 42) -> pa.Table:
     and must reproduce them exactly (both formats are lossless)."""
     rng = np.random.default_rng(seed)
     rows: dict[str, list] = {"media_id": [], "media_type": [],
-                             "payload": []}
+                             "payload": [], "golden_thumb": []}
     for name, _ in _REAL_STAT_COLS:
         rows[f"golden_{name}"] = []
     for i in range(n):
         stats: dict = {name: None for name, _ in _REAL_STAT_COLS}
+        thumb = None
         if i % 2 == 0:
             h = int(rng.integers(8, 48))
             w = int(rng.integers(8, 48))
             arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             payload = encode_bmp(arr)
             stats.update(_image_stats(arr))
+            thumb = _image_thumb_sums(arr).ravel().tolist()  # row-major
             mtype = "image"
         else:
             rate = int(rng.choice([8000, 16000, 44100]))
@@ -286,6 +299,7 @@ def synthesize_real_media_table(n: int, seed: int = 42) -> pa.Table:
         rows["media_id"].append(i)
         rows["media_type"].append(mtype)
         rows["payload"].append(payload)
+        rows["golden_thumb"].append(thumb)
         for name, _ in _REAL_STAT_COLS:
             rows[f"golden_{name}"].append(stats[name])
     cols = {"media_id": pa.array(rows["media_id"], pa.int64()),
@@ -293,7 +307,42 @@ def synthesize_real_media_table(n: int, seed: int = 42) -> pa.Table:
             "payload": pa.array(rows["payload"], pa.binary())}
     for name, typ in _REAL_STAT_COLS:
         cols[f"golden_{name}"] = pa.array(rows[f"golden_{name}"], typ)
+    cols["golden_thumb"] = pa.array(rows["golden_thumb"],
+                                    pa.list_(pa.int32()))
     return pa.table(cols)
+
+
+class MediaThumbs:
+    """Actor-pool thumbnail export: BMP payload → 64 long-form rows
+    (media_id, py, px, gray_sum) from the 8×8 nearest-neighbor
+    channel-sum thumbnail — integer-exact (no IEEE division), so the
+    oracle can compare every pixel. Non-image and corrupt payloads emit
+    no rows (the stats/error surface is ``RealMediaDecoder``)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        sums: list[np.ndarray] = []
+        for mid, mtype, payload in zip(batch["media_id"].to_pylist(),
+                                       batch["media_type"].to_pylist(),
+                                       batch["payload"].to_pylist()):
+            if mtype != "image" or payload is None:
+                continue
+            try:
+                thumb = _image_thumb_sums(decode_bmp(payload))
+            except Exception:  # noqa: BLE001 — skip undecodable
+                continue
+            ids.append(mid)
+            sums.append(thumb.ravel())
+        n = len(ids)
+        grid = np.arange(64)
+        return pa.table({
+            "media_id": pa.array(np.repeat(np.asarray(ids, np.int64), 64)
+                                 if n else [], pa.int64()),
+            "py": pa.array(np.tile(grid // 8, n), pa.int64()),
+            "px": pa.array(np.tile(grid % 8, n), pa.int64()),
+            "gray_sum": pa.array(
+                np.concatenate(sums) if n else [], pa.int64()),
+        })
 
 
 class RealMediaDecoder:

@@ -900,6 +900,41 @@ def set_op_ids(left_ds, right_ds, column: str, op: str = "intersect"
     return tagged.groupby(column).map_groups(merge, batch_format="pyarrow")
 
 
+def mode_per_group(ds, group_column: str, value_column: str
+                   ) -> "ray.data.Dataset":
+    """Most frequent value per group (mode), ties → smallest value —
+    deterministic, SQL-twin-exact. Per-batch (group, value) counts
+    shrink the exchange to unique pairs per batch; one groupby(group,
+    value) sums partials; a second TINY groupby(group) takes the argmax
+    (its input is one row per distinct (group, value), never raw
+    rows)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"grp": batch[group_column],
+                      "val": batch[value_column]})
+        t = t.filter(pc.and_(pc.is_valid(t["grp"]), pc.is_valid(t["val"])))
+        return (t.group_by(["grp", "val"]).aggregate([([], "count_all")])
+                 .rename_columns(["grp", "val", "cnt"]))
+
+    from ray.data.aggregate import Sum
+    pair_counts = (ds.map_batches(partial, batch_format="pyarrow")
+                     .groupby(["grp", "val"])
+                     .aggregate(Sum("cnt", alias_name="cnt")))
+
+    def argmax(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("cnt", "descending"),
+                                                ("val", "ascending")])
+        top = group.take(idx[:1])
+        return pa.table({
+            group_column: top["grp"],
+            "mode_value": top["val"],
+            "mode_count": top["cnt"],
+        })
+
+    return pair_counts.groupby("grp").map_groups(argmax,
+                                                 batch_format="pyarrow")
+
+
 def rollup_agg(ds, group_cols: list[str], value_column: str):
     """GROUP BY ROLLUP(``group_cols``): every prefix level of the
     hierarchy plus the grand total, as one table with NULLs marking

@@ -2082,3 +2082,62 @@ def test_dense_rank_matches_duckdb(ray_session):
         FROM t ORDER BY doc_id
     """).df()
     pd.testing.assert_frame_equal(out, exp.astype({"drank": "int64"}))
+
+
+def test_media_thumbs_exact_and_skips(ray_session):
+    """Thumbnail export is integer-exact vs direct computation on the
+    raw array; audio / corrupt / null payloads emit no rows."""
+    import ray.data
+
+    from pdf_inspector_ray.functions.multimodal import (MediaThumbs,
+                                                        _image_thumb_sums,
+                                                        encode_bmp,
+                                                        encode_wav)
+
+    rng = np.random.default_rng(9)
+    arr = rng.integers(0, 256, size=(21, 13, 3), dtype=np.uint8)
+    t = pa.table({
+        "media_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "media_type": pa.array(["image", "audio", "image", "image"]),
+        "payload": pa.array([encode_bmp(arr),
+                             encode_wav(np.zeros(100, np.int16), 8000),
+                             b"not a bmp", None], pa.binary()),
+    })
+    out = (ray.data.from_arrow(t)
+           .map_batches(MediaThumbs, batch_format="pyarrow", concurrency=2)
+           .to_pandas().sort_values(["py", "px"]).reset_index(drop=True))
+    assert set(out["media_id"]) == {0}
+    assert len(out) == 64
+    expected = _image_thumb_sums(arr)
+    got = out["gray_sum"].to_numpy().reshape(8, 8)
+    assert np.array_equal(got, expected)
+
+
+def test_mode_per_group_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import mode_per_group
+
+    rng = np.random.default_rng(33)
+    n = 20_000
+    ev = pa.table({
+        "event_type": pa.array(
+            rng.choice(["a", "b", "c", "d"], n).tolist()),
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+    })
+    out = (mode_per_group(ray.data.from_arrow(ev).repartition(7),
+                          "event_type", "user_id")
+           .to_pandas().sort_values("event_type").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH pc_ AS (
+            SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ev GROUP BY 1, 2
+        )
+        SELECT event_type, user_id AS mode_value, cnt AS mode_count
+        FROM pc_
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type ORDER BY cnt DESC, user_id ASC) = 1
+        ORDER BY event_type
+    """).df()
+    pd.testing.assert_frame_equal(out, exp)
