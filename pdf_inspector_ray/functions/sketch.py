@@ -282,7 +282,8 @@ def cms_query(counters: pa.Table, value, depth: int = CMS_DEPTH,
 
 def heavy_hitters(ds, column: str, min_count: int,
                   n_rows_hint: int | None = None,
-                  m: int | None = None) -> pa.Table:
+                  m: int | None = None,
+                  stats: dict | None = None) -> pa.Table:
     """EXACT heavy hitters (all values with frequency ≥ ``min_count``)
     in two passes, never shuffling the full key cardinality — the
     100-TB alternative to ``GROUP BY … HAVING COUNT(*) ≥ t`` when the
@@ -328,6 +329,9 @@ def heavy_hitters(ds, column: str, min_count: int,
                    .groupby("value").aggregate(Sum("cnt", alias_name="cnt"))
                    .take_all())  # bounded: per-batch survivors only
     candidates = np.array(sorted(r["value"] for r in cand_rows))
+    if stats is not None:  # scale-shape evidence: exchange is candidates,
+        stats["m"] = m     # never the full key cardinality
+        stats["n_candidates"] = len(candidates)
     if len(candidates) == 0:
         return pa.table({"value": pa.array([], pa.int64()),
                          "cnt": pa.array([], pa.int64())})
