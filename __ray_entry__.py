@@ -1470,6 +1470,40 @@ def _q_docs_dense_rank(sf_dir: str):
     return dense_rank_column(ds, "n_chars")
 
 
+def _q_forecast_revenue_q6(sf_dir: str):
+    """TPC-H-Q6-flavored filtered aggregate
+    (relational.forecast_revenue_q6): every predicate pushed down to
+    the parquet scan, one cents partial per batch, one-row global sum."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data
+    from pdf_inspector_ray.functions.relational import forecast_revenue_q6
+    lo = _pa.scalar(852_076_800_000_000, _pa.timestamp("us"))   # 1997-01-01
+    hi = _pa.scalar(883_612_800_000_000, _pa.timestamp("us"))   # 1998-01-01
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount", "l_quantity",
+                 "l_shipdate"],
+        filter=((_pc.field("l_shipdate") >= lo)
+                & (_pc.field("l_shipdate") < hi)
+                & (_pc.field("l_discount") >= 0.05)
+                & (_pc.field("l_discount") <= 0.07)
+                & (_pc.field("l_quantity") < 24)))
+    return forecast_revenue_q6(ds)
+
+
+def _q_docs_sample_global(sf_dir: str):
+    """Seeded deterministic global sample (sketch.seeded_sample_n):
+    hash61 rank per row, per-batch top-n prune (≤ n rows leave any
+    batch), tiny global order — reproducible across engines, reruns
+    and cluster sizes, unlike random_sample."""
+    import ray.data
+    from pdf_inspector_ray.functions.sketch import seeded_sample_n
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+    return seeded_sample_n(ds, "doc_id", 50)
+
+
 def _q_doc_length_quantiles_by_lang(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.text_stats import grouped_quantiles
@@ -1733,6 +1767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_en_intersect": _q_docs_quality_en_intersect,
         "docs_quality_not_en": _q_docs_quality_not_en,
         "docs_dense_rank": _q_docs_dense_rank,
+        "forecast_revenue_q6": _q_forecast_revenue_q6,
+        "docs_sample_global": _q_docs_sample_global,
         "dataset_split": _q_dataset_split,
         "heavy_users": _q_heavy_users,
         "hll_user_registers": _q_hll_user_registers,
@@ -2706,6 +2742,24 @@ def oracle_sql() -> dict[str, str]:
                              AS BIGINT) % 10000 < 9000 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "forecast_revenue_q6": """
+            SELECT CAST(COALESCE(SUM(CAST(FLOOR(
+                           l_extendedprice * l_discount * 100 + 0.5)
+                           AS BIGINT)), 0) AS DOUBLE) / 100 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "docs_sample_global": f"""
+            WITH x AS (
+                SELECT doc_id, ((doc_id % {_M61}) + {_M61}) % {_M61} AS x
+                FROM documents
+            ), {_hash61_ctes('x', ', doc_id')}
+            SELECT doc_id, h AS rank FROM hf
+            ORDER BY rank ASC, doc_id ASC LIMIT 50
         """,
         "heavy_users": """
             SELECT user_id AS value, CAST(COUNT(*) AS BIGINT) AS cnt

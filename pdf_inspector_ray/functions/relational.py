@@ -900,6 +900,29 @@ def set_op_ids(left_ds, right_ds, column: str, op: str = "intersect"
     return tagged.groupby(column).map_groups(merge, batch_format="pyarrow")
 
 
+def forecast_revenue_q6(lineitem_ds) -> pa.Table:
+    """TPC-H Q6-flavored filtered global aggregate: revenue =
+    Σ extendedprice·discount over the predicate window. The date /
+    discount / quantity predicates are the CALLER's read-time filters
+    (pushed down to the parquet scan); this stage is one vectorized
+    per-batch integer-CENTS partial plus a one-row global sum — the
+    cheapest possible shape: no shuffle, a scalar leaves each batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(pc.multiply(
+            batch["l_extendedprice"], batch["l_discount"]),
+            100.0), 0.5)), pa.int64())
+        return pa.table({
+            "cents": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    rows = (lineitem_ds.map_batches(partial, batch_format="pyarrow")
+            .aggregate(Sum("cents", alias_name="cents")))
+    total = rows["cents"] if rows and rows["cents"] is not None else 0
+    return pa.table({"revenue": pa.array([total / 100.0], pa.float64())})
+
+
 def mode_per_group(ds, group_column: str, value_column: str
                    ) -> "ray.data.Dataset":
     """Most frequent value per group (mode), ties → smallest value —

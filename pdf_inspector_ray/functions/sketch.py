@@ -365,6 +365,33 @@ def heavy_hitters(ds, column: str, min_count: int,
                      "cnt": pa.array([c for _, c in out], pa.int64())})
 
 
+def seeded_sample_n(ds, id_column: str, n: int) -> pa.Table:
+    """Deterministic global n-row sample: rank every row by
+    ``hash61(id)`` and keep the n smallest — a seeded uniform sample
+    that is reproducible across engines (the SQL twin recomputes the
+    same ranks) and across reruns/cluster sizes, unlike
+    ``random_sample``. Per batch: vectorized hash + local top-n prune
+    (≤ n rows leave any batch), then one tiny global sort over
+    ≤ n × num_batches rows."""
+
+    def rank(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch[id_column], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = hash61(np.asarray(ids, dtype=np.int64))
+        if len(h) > n:
+            kth = np.partition(h, n - 1)[n - 1]
+            keep = h <= kth
+            ids, h = ids[keep], h[keep]
+        return pa.table({id_column: pa.array(ids, pa.int64()),
+                         "rank": pa.array(h.astype(np.int64), pa.int64())})
+
+    cand = ds.map_batches(rank, batch_format="pyarrow")
+    tbl = pa.concat_tables(list(cand.iter_batches(batch_format="pyarrow")))
+    order = pc.sort_indices(tbl, sort_keys=[("rank", "ascending"),
+                                            (id_column, "ascending")])
+    return tbl.take(order).slice(0, n)
+
+
 def hll_registers_by_group(ds, group_column: str, column: str,
                            b: int = HLL_B):
     """Per-group HyperLogLog registers — COUNT(DISTINCT …) GROUP BY at

@@ -246,3 +246,18 @@ def test_hll_registers_by_group_consistent_with_global(ray_session):
     sub_a = (regs[regs["event_type"] == "a"][["bucket", "rho"]]
              .sort_values("bucket").reset_index(drop=True))
     pd.testing.assert_frame_equal(sub_a, ga)
+
+
+def test_seeded_sample_n_deterministic_and_uniformish(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.sketch import (hash61_scalar,
+                                                    seeded_sample_n)
+
+    ids = np.arange(10_000, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    a = seeded_sample_n(ray.data.from_arrow(t).repartition(7), "doc_id", 40)
+    b = seeded_sample_n(ray.data.from_arrow(t).repartition(3), "doc_id", 40)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()  # rerun-stable
+    # matches the scalar-hash brute force exactly
+    exp = sorted(ids.tolist(), key=lambda i: (hash61_scalar(i), i))[:40]
+    assert sorted(a["doc_id"].to_pylist()) == sorted(exp)
