@@ -827,6 +827,8 @@ def latest_event_per_user(ds) -> "ray.data.Dataset":
     def partial(batch: pa.Table) -> pa.Table:
         # in-batch argmax per user: sort desc once, keep first per user
         batch = batch.filter(pc.is_valid(batch["user_id"]))
+        if batch.num_rows == 0:  # all-null batch: [[True]] would be len 1
+            return batch
         idx = pc.sort_indices(batch, sort_keys=[
             ("user_id", "ascending"), ("ts", "descending"),
             ("event_id", "descending")])

@@ -66,8 +66,11 @@ def brute_force_topk(ds, query_vec: "np.ndarray | list[float]", k: int = 10,
 
     candidates = ds.map_batches(score, batch_format="pyarrow")
     # tiny global reduce: candidates ≈ k × num_batches rows
-    tbl = pa.concat_tables(
-        list(candidates.iter_batches(batch_format="pyarrow")))
+    batches = list(candidates.iter_batches(batch_format="pyarrow"))
+    if not batches:  # empty input produces zero batches
+        return pa.table({id_column: pa.array([], pa.int64()),
+                         "cos_sim": pa.array([], pa.float64())})
+    tbl = pa.concat_tables(batches)
     import pyarrow.compute as pc
     order = pc.sort_indices(tbl, sort_keys=[("cos_sim", "descending"),
                                             (id_column, "ascending")])
@@ -153,8 +156,11 @@ def ivf_topk(ds, query_vec, k: int = 10, n_clusters: int = 16,
         })
 
     candidates = ds.map_batches(score, batch_format="pyarrow")
-    tbl = pa.concat_tables(
-        list(candidates.iter_batches(batch_format="pyarrow")))
+    batches = list(candidates.iter_batches(batch_format="pyarrow"))
+    if not batches:  # empty input produces zero batches
+        return pa.table({id_column: pa.array([], pa.int64()),
+                         "cos_sim": pa.array([], pa.float64())})
+    tbl = pa.concat_tables(batches)
     import pyarrow.compute as pc
     order = pc.sort_indices(tbl, sort_keys=[("cos_sim", "descending"),
                                             (id_column, "ascending")])

@@ -386,7 +386,11 @@ def seeded_sample_n(ds, id_column: str, n: int) -> pa.Table:
                          "rank": pa.array(h.astype(np.int64), pa.int64())})
 
     cand = ds.map_batches(rank, batch_format="pyarrow")
-    tbl = pa.concat_tables(list(cand.iter_batches(batch_format="pyarrow")))
+    batches = list(cand.iter_batches(batch_format="pyarrow"))
+    if not batches:  # empty input produces zero batches
+        return pa.table({id_column: pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(batches)
     order = pc.sort_indices(tbl, sort_keys=[("rank", "ascending"),
                                             (id_column, "ascending")])
     return tbl.take(order).slice(0, n)

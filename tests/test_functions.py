@@ -2141,3 +2141,41 @@ def test_mode_per_group_matches_duckdb(ray_session):
         ORDER BY event_type
     """).df()
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_new_ops_survive_all_empty_batches(ray_session):
+    """r3 lesson: every operator must survive batches that are entirely
+    empty or all-null (hypothesis found a real crash in the chunker;
+    this pins the r4 ops)."""
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import (
+        latest_event_per_user, melt, mode_per_group, set_op_ids)
+    from pdf_inspector_ray.functions.sketch import seeded_sample_n
+    from pdf_inspector_ray.functions.text_stats import dense_rank_column
+
+    nulls = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([0, 1], pa.timestamp("us")),
+        "user_id": pa.array([None, None], pa.int64()),
+        "event_type": pa.array(["a", "b"]),
+    })
+    assert latest_event_per_user(
+        ray.data.from_arrow(nulls).repartition(2)).count() == 0
+
+    empty_docs = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_chars": pa.array([], pa.int64()),
+    })
+    assert dense_rank_column(ray.data.from_arrow(empty_docs),
+                             "n_chars").count() == 0
+    assert seeded_sample_n(ray.data.from_arrow(empty_docs),
+                           "doc_id", 5).num_rows == 0
+    assert melt(ray.data.from_arrow(empty_docs), id_cols=["doc_id"],
+                value_cols=["n_chars"]).count() == 0
+    one = pa.table({"doc_id": pa.array([7], pa.int64())})
+    assert set_op_ids(ray.data.from_arrow(empty_docs.select(["doc_id"])),
+                      ray.data.from_arrow(one), "doc_id",
+                      "intersect").count() == 0
+    assert (mode_per_group(ray.data.from_arrow(nulls), "event_type",
+                           "user_id").count() == 0)
