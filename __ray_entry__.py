@@ -1492,6 +1492,21 @@ def _q_forecast_revenue_q6(sf_dir: str):
     return forecast_revenue_q6(ds)
 
 
+def _q_quantity_price_corr(sf_dir: str):
+    """Per-group covariance/correlation (relational.grouped_covariance):
+    exact int64 partials (six integers per (batch, group) on the
+    exchange), big-int algebra at the merge, float only in the last
+    four IEEE ops — mirrored 1:1 by the twin, so even corr is
+    bit-identical."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import grouped_covariance
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return grouped_covariance(ds, "l_returnflag", "l_quantity",
+                              "l_extendedprice")
+
+
 def _q_docs_sample_global(sf_dir: str):
     """Seeded deterministic global sample (sketch.seeded_sample_n):
     hash61 rank per row, per-batch top-n prune (≤ n rows leave any
@@ -1769,6 +1784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dense_rank": _q_docs_dense_rank,
         "forecast_revenue_q6": _q_forecast_revenue_q6,
         "docs_sample_global": _q_docs_sample_global,
+        "quantity_price_corr": _q_quantity_price_corr,
         "dataset_split": _q_dataset_split,
         "heavy_users": _q_heavy_users,
         "hll_user_registers": _q_hll_user_registers,
@@ -2760,6 +2776,37 @@ def oracle_sql() -> dict[str, str]:
             ), {_hash61_ctes('x', ', doc_id')}
             SELECT doc_id, h AS rank FROM hf
             ORDER BY rank ASC, doc_id ASC LIMIT 50
+        """,
+        "quantity_price_corr": """
+            WITH p AS (
+                SELECT l_returnflag AS grp,
+                       CAST(COUNT(*) AS HUGEINT) AS n,
+                       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT))
+                            AS HUGEINT) AS sx,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT))
+                            AS HUGEINT) AS sy,
+                       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                                * CAST(FLOOR(l_extendedprice) AS BIGINT))
+                            AS HUGEINT) AS sxy,
+                       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)
+                                * CAST(FLOOR(l_quantity) AS BIGINT))
+                            AS HUGEINT) AS sxx,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                                * CAST(FLOOR(l_extendedprice) AS BIGINT))
+                            AS HUGEINT) AS syy
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                GROUP BY 1
+            )
+            SELECT grp AS l_returnflag,
+                   CAST(n AS BIGINT) AS n_rows,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * n AS DOUBLE) AS cov,
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+            FROM p
         """,
         "heavy_users": """
             SELECT user_id AS value, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -9,6 +9,8 @@ one per input row.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -923,6 +925,68 @@ def forecast_revenue_q6(lineitem_ds) -> pa.Table:
             .aggregate(Sum("cents", alias_name="cents")))
     total = rows["cents"] if rows and rows["cents"] is not None else 0
     return pa.table({"revenue": pa.array([total / 100.0], pa.float64())})
+
+
+def grouped_covariance(ds, group_column: str, x_column: str,
+                       y_column: str) -> "ray.data.Dataset":
+    """Population covariance and Pearson correlation per group with an
+    EXACT distributed core: x and y are floored to integers per row, so
+    the per-batch partials (n, Σx, Σy, Σxy, Σx², Σy²) are exact int64
+    sums (a sum-monoid — one tiny groupby merges them) and the only
+    float operations are the final conversions, one multiply, one sqrt
+    and one divide — each IEEE-correctly-rounded and expression-mirrored
+    by the SQL twin, so the result is bit-identical. The exchange
+    carries six integers per (batch, group). Caller must keep
+    n·max(x)·max(y) within int64 per BATCH (the group merge uses
+    arbitrary-precision Python ints, so only batch partials are
+    bounded)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"grp": batch[group_column],
+                      "x": pc.cast(pc.floor(pc.cast(batch[x_column],
+                                                    pa.float64())),
+                                   pa.int64()),
+                      "y": pc.cast(pc.floor(pc.cast(batch[y_column],
+                                                    pa.float64())),
+                                   pa.int64())})
+        t = t.filter(pc.and_(pc.is_valid(t["x"]), pc.is_valid(t["y"])))
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        t = t.append_column("xy", pa.array(x * y, pa.int64()))
+        t = t.append_column("xx", pa.array(x * x, pa.int64()))
+        t = t.append_column("yy", pa.array(y * y, pa.int64()))
+        t = t.append_column("n", pa.array(np.ones(len(x), np.int64)))
+        return (t.group_by(["grp"])
+                 .aggregate([("n", "sum"), ("x", "sum"), ("y", "sum"),
+                             ("xy", "sum"), ("xx", "sum"), ("yy", "sum")])
+                 .rename_columns(["grp", "n", "sx", "sy", "sxy", "sxx",
+                                  "syy"]))
+
+    def finish(group: pa.Table) -> pa.Table:
+        # exact big-int algebra (Python ints), float only at the end —
+        # mirrored 1:1 by the twin's HUGEINT → DOUBLE expressions
+        n = int(pc.sum(group["n"]).as_py())
+        sx = int(pc.sum(group["sx"]).as_py())
+        sy = int(pc.sum(group["sy"]).as_py())
+        sxy = int(pc.sum(group["sxy"]).as_py())
+        sxx = int(pc.sum(group["sxx"]).as_py())
+        syy = int(pc.sum(group["syy"]).as_py())
+        num = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        cov = float(num) / float(n * n)
+        denom = math.sqrt(float(vx) * float(vy))
+        corr = float(num) / denom if denom else None
+        return pa.table({
+            group_column: group["grp"][:1],
+            "n_rows": pa.array([n], pa.int64()),
+            "cov": pa.array([cov], pa.float64()),
+            "corr": pa.array([corr], pa.float64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("grp")
+              .map_groups(finish, batch_format="pyarrow"))
 
 
 def mode_per_group(ds, group_column: str, value_column: str

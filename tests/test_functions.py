@@ -2179,3 +2179,50 @@ def test_new_ops_survive_all_empty_batches(ray_session):
                       "intersect").count() == 0
     assert (mode_per_group(ray.data.from_arrow(nulls), "event_type",
                            "user_id").count() == 0)
+
+
+def test_grouped_covariance_exact_vs_duckdb(ray_session):
+    """Covariance/correlation must be BIT-identical to the twin: exact
+    integer partials, float only in the mirrored final ops. Negative
+    values and a constant-x group (corr undefined → null) included."""
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import grouped_covariance
+
+    rng = np.random.default_rng(41)
+    n = 30_000
+    g = rng.choice(["A", "B", "C"], n)
+    x = rng.integers(-50, 50, n).astype(np.float64) + 0.75  # floor matters
+    y = (x * 3 + rng.normal(0, 20, n)).round(2)
+    x[g == "C"] = 7.2  # constant after floor → zero variance → corr null
+    t = pa.table({"grp": pa.array(g.tolist()),
+                  "x": pa.array(x, pa.float64()),
+                  "y": pa.array(y, pa.float64())})
+    out = (grouped_covariance(ray.data.from_arrow(t).repartition(6),
+                              "grp", "x", "y")
+           .to_pandas().sort_values("grp").reset_index(drop=True))
+    exp = duckdb.sql("""
+        WITH p AS (
+            SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(CAST(FLOOR(x) AS BIGINT)) AS HUGEINT) AS sx,
+                   CAST(SUM(CAST(FLOOR(y) AS BIGINT)) AS HUGEINT) AS sy,
+                   CAST(SUM(CAST(FLOOR(x) AS BIGINT)
+                            * CAST(FLOOR(y) AS BIGINT)) AS HUGEINT) AS sxy,
+                   CAST(SUM(CAST(FLOOR(x) AS BIGINT)
+                            * CAST(FLOOR(x) AS BIGINT)) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(FLOOR(y) AS BIGINT)
+                            * CAST(FLOOR(y) AS BIGINT)) AS HUGEINT) AS syy
+            FROM t GROUP BY grp
+        )
+        SELECT grp, CAST(n AS BIGINT) AS n_rows,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * n AS DOUBLE) AS cov,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
+        FROM p ORDER BY grp
+    """).df()
+    # engine emits None for zero variance; DuckDB x/0.0 emits inf/nan
+    exp.loc[~np.isfinite(exp["corr"]), "corr"] = None
+    pd.testing.assert_frame_equal(out, exp)
