@@ -1507,6 +1507,17 @@ def _q_quantity_price_corr(sf_dir: str):
                               "l_extendedprice")
 
 
+def _q_doc_length_mad_by_lang(sf_dir: str):
+    """Per-group median absolute deviation (text_stats.grouped_mad):
+    two value-count-sketch passes with a broadcast of the medians
+    between them; exact under the quantile_disc rule."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import grouped_mad
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "n_chars"])
+    return grouped_mad(ds, "lang", "n_chars")
+
+
 def _q_docs_sample_global(sf_dir: str):
     """Seeded deterministic global sample (sketch.seeded_sample_n):
     hash61 rank per row, per-batch top-n prune (≤ n rows leave any
@@ -1785,6 +1796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_revenue_q6": _q_forecast_revenue_q6,
         "docs_sample_global": _q_docs_sample_global,
         "quantity_price_corr": _q_quantity_price_corr,
+        "doc_length_mad_by_lang": _q_doc_length_mad_by_lang,
         "dataset_split": _q_dataset_split,
         "heavy_users": _q_heavy_users,
         "hll_user_registers": _q_hll_user_registers,
@@ -2807,6 +2819,16 @@ def oracle_sql() -> dict[str, str]:
                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                               * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
             FROM p
+        """,
+        "doc_length_mad_by_lang": """
+            WITH m AS (
+                SELECT lang, quantile_disc(n_chars, 0.5) AS med
+                FROM documents GROUP BY lang
+            )
+            SELECT d.lang, m.med AS median,
+                   quantile_disc(abs(d.n_chars - m.med), 0.5) AS mad
+            FROM documents d JOIN m USING (lang)
+            GROUP BY d.lang, m.med
         """,
         "heavy_users": """
             SELECT user_id AS value, CAST(COUNT(*) AS BIGINT) AS cnt

@@ -307,6 +307,41 @@ def grouped_quantiles(ds, group_column: str, value_column: str,
     return pa.table(cols)
 
 
+def grouped_mad(ds, group_column: str, value_column: str) -> pa.Table:
+    """Median absolute deviation per group — the robust spread measure
+    for integer columns, exact under the ``quantile_disc`` rule. Two
+    value-count-sketch passes over the data (the unavoidable data
+    dependency: deviations need the medians), each shipping one row per
+    (batch, group, distinct value); medians broadcast via ``ray.put``
+    between them. Returns (group, median, mad)."""
+    import ray
+
+    med_tbl = grouped_quantiles(ds, group_column, value_column, qs=(0.5,))
+    med = dict(zip(med_tbl[group_column].to_pylist(),
+                   med_tbl["q50"].to_pylist()))
+    med_ref = ray.put(med)
+
+    def dev(batch: pa.Table) -> pa.Table:
+        m = ray.get(med_ref)
+        grp = batch[group_column]
+        x = pc.cast(batch[value_column], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        meds = np.asarray([m[g] for g in grp.to_pylist()], dtype=np.int64)
+        return pa.table({group_column: grp,
+                         "dev": pa.array(np.abs(x - meds), pa.int64())})
+
+    mad_tbl = grouped_quantiles(ds.map_batches(dev, batch_format="pyarrow"),
+                                group_column, "dev", qs=(0.5,))
+    mad = dict(zip(mad_tbl[group_column].to_pylist(),
+                   mad_tbl["q50"].to_pylist()))
+    groups = sorted(med)
+    return pa.table({
+        group_column: pa.array(groups),
+        "median": pa.array([med[g] for g in groups], pa.int64()),
+        "mad": pa.array([mad[g] for g in groups], pa.int64()),
+    })
+
+
 def top_terms(ds, k: int = 20, text_column: str = "text"):
     """Corpus-level term frequency top-k: per-batch vectorized token counts
     (arrow split + group_by partial combine), a (term → count) sum groupby

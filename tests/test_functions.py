@@ -2226,3 +2226,29 @@ def test_grouped_covariance_exact_vs_duckdb(ray_session):
     # engine emits None for zero variance; DuckDB x/0.0 emits inf/nan
     exp.loc[~np.isfinite(exp["corr"]), "corr"] = None
     pd.testing.assert_frame_equal(out, exp)
+
+
+def test_grouped_mad_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import grouped_mad
+
+    rng = np.random.default_rng(77)
+    n = 8000
+    t = pa.table({
+        "lang": pa.array(rng.choice(["en", "de", "fr"], n).tolist()),
+        "n_chars": pa.array(rng.integers(0, 300, n), pa.int64()),
+    })
+    out = grouped_mad(ray.data.from_arrow(t).repartition(5),
+                      "lang", "n_chars").to_pandas()
+    exp = duckdb.sql("""
+        WITH m AS (SELECT lang, quantile_disc(n_chars, 0.5) AS med
+                   FROM t GROUP BY lang)
+        SELECT d.lang, m.med AS median,
+               quantile_disc(abs(d.n_chars - m.med), 0.5) AS mad
+        FROM t d JOIN m USING (lang)
+        GROUP BY d.lang, m.med ORDER BY d.lang
+    """).df()
+    pd.testing.assert_frame_equal(
+        out, exp.astype({"median": "int64", "mad": "int64"}))
