@@ -1518,6 +1518,27 @@ def _q_doc_length_mad_by_lang(sf_dir: str):
     return grouped_mad(ds, "lang", "n_chars")
 
 
+def _q_doc_tokens_positional(sf_dir: str):
+    """Positional token explode (text_stats.explode_tokens): unnest
+    with ordinality, fully vectorized (list_parent_indices + one
+    arange pass for in-doc positions)."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import explode_tokens
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return explode_tokens(ds)
+
+
+def _q_events_daily_dense(sf_dir: str):
+    """Daily resample with gap fill (relational.resample_daily_counts):
+    pre-combined count exchange + bounded driver-side dense grid."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import resample_daily_counts
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type"])
+    return resample_daily_counts(ds)
+
+
 def _q_docs_sample_global(sf_dir: str):
     """Seeded deterministic global sample (sketch.seeded_sample_n):
     hash61 rank per row, per-batch top-n prune (≤ n rows leave any
@@ -1797,6 +1818,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_global": _q_docs_sample_global,
         "quantity_price_corr": _q_quantity_price_corr,
         "doc_length_mad_by_lang": _q_doc_length_mad_by_lang,
+        "doc_tokens_positional": _q_doc_tokens_positional,
+        "events_daily_dense": _q_events_daily_dense,
         "dataset_split": _q_dataset_split,
         "heavy_users": _q_heavy_users,
         "hll_user_registers": _q_hll_user_registers,
@@ -2819,6 +2842,36 @@ def oracle_sql() -> dict[str, str]:
                        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                               * CAST(n * syy - sy * sy AS DOUBLE)) AS corr
             FROM p
+        """,
+        "doc_tokens_positional": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(text, '\s+'),
+                                   w -> w <> '') AS w
+                FROM documents
+            )
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos, w[u.i] AS token
+            FROM toks, unnest(generate_series(1, len(w))) AS u(i)
+        """,
+        "events_daily_dense": """
+            WITH c AS (
+                SELECT date_trunc('day', ts) AS day, event_type,
+                       COUNT(*) AS n
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY 1, 2
+            ), days AS (
+                SELECT unnest(generate_series(
+                    (SELECT CAST(min(day) AS TIMESTAMP) FROM c),
+                    (SELECT CAST(max(day) AS TIMESTAMP) FROM c),
+                    INTERVAL 1 DAY)) AS day
+            ), types AS (
+                SELECT DISTINCT event_type FROM events
+                WHERE event_type IS NOT NULL
+            )
+            SELECT CAST(d.day AS TIMESTAMP) AS day, t.event_type,
+                   CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+            FROM days d CROSS JOIN types t
+            LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
         """,
         "doc_length_mad_by_lang": """
             WITH m AS (

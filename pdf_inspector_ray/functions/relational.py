@@ -989,6 +989,49 @@ def grouped_covariance(ds, group_column: str, x_column: str,
               .map_groups(finish, batch_format="pyarrow"))
 
 
+def resample_daily_counts(ds) -> pa.Table:
+    """Daily event counts per type with GAP FILL: a dense
+    (day × event_type) grid zero-filled where no events landed — the
+    resample primitive time-series consumers expect. One pre-combined
+    count exchange (one row per (batch, day, type)); the dense grid is
+    built driver-side from the aggregated counts (bounded by
+    days × types, never row-scaled)."""
+    _DAY = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "day": pa.array((ts // _DAY) * _DAY, pa.int64()),
+            "event_type": batch["event_type"],
+        }).filter(pc.is_valid(batch["event_type"]))
+        return (t.group_by(["day", "event_type"])
+                 .aggregate([([], "count_all")])
+                 .rename_columns(["day", "event_type", "n"]))
+
+    from ray.data.aggregate import Sum
+    rows = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["day", "event_type"])
+              .aggregate(Sum("n", alias_name="n"))
+              .take_all())  # bounded: days × types
+    if not rows:
+        return pa.table({"day": pa.array([], pa.timestamp("us")),
+                         "event_type": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64())})
+    counts = {(r["day"], r["event_type"]): r["n"] for r in rows}
+    days = np.arange(min(d for d, _ in counts),
+                     max(d for d, _ in counts) + _DAY, _DAY)
+    types = sorted({t for _, t in counts})
+    grid_days = np.repeat(days, len(types))
+    grid_types = types * len(days)
+    n = [counts.get((int(d), t), 0)
+         for d, t in zip(grid_days, grid_types)]
+    return pa.table({
+        "day": pa.array(grid_days, pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(grid_types, pa.string()),
+        "n_events": pa.array(n, pa.int64()),
+    })
+
+
 def mode_per_group(ds, group_column: str, value_column: str
                    ) -> "ray.data.Dataset":
     """Most frequent value per group (mode), ties → smallest value —

@@ -342,6 +342,45 @@ def grouped_mad(ds, group_column: str, value_column: str) -> pa.Table:
     })
 
 
+def explode_tokens(ds, id_column: str = "doc_id",
+                   text_column: str = "text"):
+    """Positional token explode (unnest with ordinality): one row per
+    (doc, position, token) — the flat_map primitive behind positional
+    inverted indexes and span labeling. Fully vectorized: arrow regex
+    split, ``list_parent_indices`` to map tokens back to rows, empties
+    dropped, and 1-based positions recomputed on the kept subset with
+    one arange-minus-run-start pass (no Python loop)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.cast(batch[text_column], pa.string()), r"\s+")
+        toks = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        toks = toks.filter(pa.array(keep))
+        parent = parent[keep]
+        if len(parent) == 0:
+            return pa.table({id_column: pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string())})
+        # 1-based position within each kept run (parents nondecreasing)
+        idx = np.arange(len(parent), dtype=np.int64)
+        run_start = np.zeros(len(parent), dtype=np.int64)
+        new_run = np.flatnonzero(
+            np.concatenate([[True], parent[1:] != parent[:-1]]))
+        run_start[new_run] = idx[new_run]
+        run_start = np.maximum.accumulate(run_start)
+        pos = idx - run_start + 1
+        ids = pc.cast(batch[id_column], pa.int64()).to_numpy(
+            zero_copy_only=False)[parent]
+        return pa.table({id_column: pa.array(ids, pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "token": toks})
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def top_terms(ds, k: int = 20, text_column: str = "text"):
     """Corpus-level term frequency top-k: per-batch vectorized token counts
     (arrow split + group_by partial combine), a (term → count) sum groupby

@@ -2252,3 +2252,39 @@ def test_grouped_mad_matches_duckdb(ray_session):
     """).df()
     pd.testing.assert_frame_equal(
         out, exp.astype({"median": "int64", "mad": "int64"}))
+
+
+def test_explode_tokens_positions_and_empties(ray_session):
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import explode_tokens
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a  b c", "", "   ", "x"]),
+    })
+    out = (explode_tokens(ray.data.from_arrow(t).repartition(2))
+           .to_pandas().sort_values(["doc_id", "pos"])
+           .reset_index(drop=True))
+    assert list(zip(out["doc_id"], out["pos"], out["token"])) == [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (4, 1, "x")]
+
+
+def test_resample_daily_counts_gap_fill(ray_session):
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import resample_daily_counts
+
+    day = 86_400_000_000
+    ev = pa.table({
+        "ts": pa.array([0, 10, 3 * day, 3 * day + 5, 3 * day],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "a", "a", None]),
+    })
+    out = (resample_daily_counts(ray.data.from_arrow(ev).repartition(2))
+           .to_pandas())
+    assert len(out) == 8  # 4 days x 2 types, gap days zero-filled
+    assert out["n_events"].sum() == 4  # null-type row dropped
+    a_counts = out[out.event_type == "a"].sort_values("day")[
+        "n_events"].tolist()
+    assert a_counts == [1, 0, 0, 2]
