@@ -1766,8 +1766,67 @@ def _q_html_extract(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Insertion order IS the driver-gate rotation policy (PARITY.md):
+    the driver's CORRECTNESS gate checks only the first 50 entries, so
+    each round the least-recently-driver-verified queries are moved to
+    the front.  Round 5: the 47 queries the r4 driver did not reach
+    (``cms_user_counters`` .. ``media_thumbs``, judge-verified green in
+    r4) lead, followed by the 50 that were driver-green in r4 — every
+    query is driver-verified at least once every two rounds."""
     return {
-        # PDF pipelines (SURVEY.md §2.2-2.6) — non-SQL-expressible, rows-only
+        # --- r4-driver-UNCHECKED (judge-verified only) — rotate into the
+        # --- driver's 50-query window first.  Lead with the three r3 reds
+        # --- the driver has never re-verified.
+        "cms_user_counters": _q_cms_user_counters,
+        "event_props_sum_by_type": _q_event_props_sum_by_type,
+        "repetition_stats": _q_repetition_stats,
+        "hll_users_by_type": _q_hll_users_by_type,
+        "event_props": _q_event_props,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "term_doc_freq": _q_term_doc_freq,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "pii_redact": _q_pii_redact,
+        "docs_normalized": _q_docs_normalized,
+        "revenue_rollup": _q_revenue_rollup,
+        "revenue_cube": _q_revenue_cube,
+        "doc_chunks": _q_doc_chunks,
+        "chunk_dedup": _q_chunk_dedup,
+        "token_counts": _q_token_counts,
+        "docs_above_p90": _q_docs_above_p90,
+        "embedding_quantize": _q_embedding_quantize,
+        "docs_percent_rank": _q_docs_percent_rank,
+        "events_value_histogram": _q_events_value_histogram,
+        "top_events_per_user": _q_top_events_per_user,
+        "signup_conversion": _q_signup_conversion,
+        "event_value_stats": _q_event_value_stats,
+        "inverted_index": _q_inverted_index,
+        "top_collocations": _q_top_collocations,
+        "event_value_approx_quantiles": _q_event_value_approx_quantiles,
+        "curated_corpus": _q_curated_corpus,
+        "cohort_retention": _q_cohort_retention,
+        "event_transitions": _q_event_transitions,
+        "events_pivot": _q_events_pivot,
+        "customers_without_orders": _q_customers_without_orders,
+        "customers_with_orders": _q_customers_with_orders,
+        "contaminated_train_docs": _q_contaminated_train_docs,
+        "contaminated_train_docs_bloom": _q_contaminated_train_docs_bloom,
+        "top_terms_by_lang": _q_top_terms_by_lang,
+        "events_in_sessions": _q_events_in_sessions,
+        "windowed_events": _q_windowed_events,
+        "hopping_windows": _q_hopping_windows,
+        "asof_join": _q_asof_join,
+        "session_windows": _q_session_windows,
+        "running_totals": _q_running_totals,
+        "distinct_users_by_type": _q_distinct_users_by_type,
+        "doc_length_quantiles_by_lang": _q_doc_length_quantiles_by_lang,
+        "event_value_mode": _q_event_value_mode,
+        # multimodal plumbing
+        "media_features": _q_media_features,
+        "media_decode": _q_media_decode,
+        "media_frames": _q_media_frames,
+        "media_thumbs": _q_media_thumbs,
+        # --- r4-driver-green queries (window slots 48-50 then the tail) ---
+        # PDF pipelines (SURVEY.md §2.2-2.6)
         "pdf_classify": _q_pdf_classify,
         "pdf_extract": _q_pdf_extract,
         "pdf_extract_salted": _q_pdf_extract_salted,
@@ -1823,54 +1882,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _q_dataset_split,
         "heavy_users": _q_heavy_users,
         "hll_user_registers": _q_hll_user_registers,
-        "cms_user_counters": _q_cms_user_counters,
-        "hll_users_by_type": _q_hll_users_by_type,
-        "event_props": _q_event_props,
-        "event_props_sum_by_type": _q_event_props_sum_by_type,
-        "top_revenue_orders": _q_top_revenue_orders,
-        "term_doc_freq": _q_term_doc_freq,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "repetition_stats": _q_repetition_stats,
-        "pii_redact": _q_pii_redact,
-        "docs_normalized": _q_docs_normalized,
-        "revenue_rollup": _q_revenue_rollup,
-        "revenue_cube": _q_revenue_cube,
-        "doc_chunks": _q_doc_chunks,
-        "chunk_dedup": _q_chunk_dedup,
-        "token_counts": _q_token_counts,
-        "docs_above_p90": _q_docs_above_p90,
-        "embedding_quantize": _q_embedding_quantize,
-        "docs_percent_rank": _q_docs_percent_rank,
-        "events_value_histogram": _q_events_value_histogram,
-        "top_events_per_user": _q_top_events_per_user,
-        "signup_conversion": _q_signup_conversion,
-        "event_value_stats": _q_event_value_stats,
-        "inverted_index": _q_inverted_index,
-        "top_collocations": _q_top_collocations,
-        "event_value_approx_quantiles": _q_event_value_approx_quantiles,
-        "curated_corpus": _q_curated_corpus,
-        "cohort_retention": _q_cohort_retention,
-        "event_transitions": _q_event_transitions,
-        "events_pivot": _q_events_pivot,
-        "customers_without_orders": _q_customers_without_orders,
-        "customers_with_orders": _q_customers_with_orders,
-        "contaminated_train_docs": _q_contaminated_train_docs,
-        "contaminated_train_docs_bloom": _q_contaminated_train_docs_bloom,
-        "top_terms_by_lang": _q_top_terms_by_lang,
-        "events_in_sessions": _q_events_in_sessions,
-        "windowed_events": _q_windowed_events,
-        "hopping_windows": _q_hopping_windows,
-        "asof_join": _q_asof_join,
-        "session_windows": _q_session_windows,
-        "running_totals": _q_running_totals,
-        "distinct_users_by_type": _q_distinct_users_by_type,
-        "doc_length_quantiles_by_lang": _q_doc_length_quantiles_by_lang,
-        "event_value_mode": _q_event_value_mode,
-        # multimodal plumbing
-        "media_features": _q_media_features,
-        "media_decode": _q_media_decode,
-        "media_frames": _q_media_frames,
-        "media_thumbs": _q_media_thumbs,
     }
 
 
