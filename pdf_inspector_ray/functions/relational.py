@@ -875,7 +875,11 @@ def melt(ds, id_cols: list[str], value_cols: list[str],
 def set_op_ids(left_ds, right_ds, column: str, op: str = "intersect"
                ) -> "ray.data.Dataset":
     """Distributed INTERSECT / EXCEPT over one key column (set
-    semantics, null keys dropped like SQL). Per-batch dedupe shrinks
+    semantics).  Null keys are DROPPED — note this diverges from SQL
+    set ops, where INTERSECT/EXCEPT compare NULLs as equal (IS NOT
+    DISTINCT FROM) and may emit one NULL row; callers whose key column
+    can be null and who need SQL semantics must pre-map null to a
+    sentinel.  Per-batch dedupe shrinks
     each side to unique keys per batch, then ONE groupby(key) merges
     side-presence flags — the exchange carries unique (batch, key)
     rows, never the raw row count."""
@@ -999,11 +1003,15 @@ def resample_daily_counts(ds) -> pa.Table:
     _DAY = 86_400_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
+        # filter null ts BEFORE the numpy conversion: a null slot would
+        # turn the int64 array float64-with-NaN and crash the re-cast
+        batch = batch.filter(pc.and_(pc.is_valid(batch["ts"]),
+                                     pc.is_valid(batch["event_type"])))
         ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         t = pa.table({
             "day": pa.array((ts // _DAY) * _DAY, pa.int64()),
             "event_type": batch["event_type"],
-        }).filter(pc.is_valid(batch["event_type"]))
+        })
         return (t.group_by(["day", "event_type"])
                  .aggregate([([], "count_all")])
                  .rename_columns(["day", "event_type", "n"]))

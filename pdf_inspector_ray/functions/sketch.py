@@ -280,6 +280,13 @@ def cms_query(counters: pa.Table, value, depth: int = CMS_DEPTH,
          % width), 0) for d in range(depth))
 
 
+#: heavy_hitters refuses to size m above this without an explicit
+#: ``m=``: a 1M-candidate broadcast is ~8 MB (fine), but the pass-1
+#: per-batch survivor bound (≤ m rows/batch) stops being a meaningful
+#: shrink once m rivals the batch size.
+HH_M_CAP = 1_000_000
+
+
 def heavy_hitters(ds, column: str, min_count: int,
                   n_rows_hint: int | None = None,
                   m: int | None = None,
@@ -307,12 +314,45 @@ def heavy_hitters(ds, column: str, min_count: int,
     asc. Candidate-union size is bounded by the number of per-batch
     survivors (≤ m per batch; in practice ≈ the true hitter count on
     skewed data — the only regime where this operator is the right
-    tool)."""
+    tool).
+
+    The EXACT guarantee needs ``m + 1 ≥ n / min_count``.  To keep that
+    contract honest (no silent caps): sizing requires ``n_rows_hint``
+    or an explicit ``m`` (ValueError otherwise), and if the hint-derived
+    m would exceed ``HH_M_CAP`` the call raises instead of silently
+    capping — pass ``m=`` explicitly to accept a bigger candidate bound
+    (or use the CMS sketch if approximate is acceptable).  The value
+    column must be integer (int64 exchange schema); other types raise
+    TypeError up front rather than dying mid-pass-2."""
     import ray
 
+    base = getattr(ds.schema(), "base_schema", None)
+    col_type = base.field(column).type if isinstance(base, pa.Schema) else None
+    if col_type is not None and not pa.types.is_integer(col_type):
+        raise TypeError(
+            f"heavy_hitters requires an integer column; {column!r} is "
+            f"{col_type} — hash/dictionary-encode it first (the exchange "
+            f"schema and the is_total sentinel are int64)")
     if m is None:
-        n_hint = n_rows_hint or 0
-        m = max(64, min(1_000_000, -(-4 * n_hint // max(min_count, 1))))
+        if n_rows_hint is None:
+            raise ValueError(
+                "heavy_hitters needs n_rows_hint (e.g. the parquet footer "
+                "row count) or an explicit m: the EXACT guarantee requires "
+                "m + 1 >= n/min_count and cannot be sized blind")
+        m = max(64, -(-4 * n_rows_hint // max(min_count, 1)))
+        if m > HH_M_CAP:
+            raise ValueError(
+                f"heavy_hitters: hint-derived m={m} exceeds HH_M_CAP="
+                f"{HH_M_CAP} (n_rows_hint={n_rows_hint}, min_count="
+                f"{min_count}); pass m= explicitly to accept the larger "
+                f"candidate bound, or raise min_count")
+    elif n_rows_hint is not None and (m + 1) * min_count < n_rows_hint:
+        import warnings
+        warnings.warn(
+            f"heavy_hitters: m={m} breaks the pigeonhole guarantee "
+            f"m+1 >= n/min_count (n={n_rows_hint}, min_count={min_count})"
+            f" — output may MISS true hitters", RuntimeWarning,
+            stacklevel=2)
 
     def pass1(batch: pa.Table) -> pa.Table:
         vc = batch[column].value_counts()
@@ -375,6 +415,9 @@ def seeded_sample_n(ds, id_column: str, n: int) -> pa.Table:
     ≤ n × num_batches rows."""
 
     def rank(batch: pa.Table) -> pa.Table:
+        # drop null ids BEFORE to_numpy: a null slot would yield
+        # float64-with-NaN and crash the int64 re-cast below
+        batch = batch.filter(pc.is_valid(batch[id_column]))
         ids = pc.cast(batch[id_column], pa.int64()).to_numpy(
             zero_copy_only=False)
         h = hash61(np.asarray(ids, dtype=np.int64))

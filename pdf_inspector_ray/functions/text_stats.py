@@ -280,6 +280,9 @@ def grouped_quantiles(ds, group_column: str, value_column: str,
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"grp": batch[group_column], "value": batch[value_column]})
+        # null group or value rows carry no quantile information; dropping
+        # here also keeps the driver-side sorted() fold None-free
+        t = t.filter(pc.and_(pc.is_valid(t["grp"]), pc.is_valid(t["value"])))
         return (t.group_by(["grp", "value"]).aggregate([([], "count_all")])
                  .rename_columns(["grp", "value", "cnt"]))
 
@@ -323,6 +326,11 @@ def grouped_mad(ds, group_column: str, value_column: str) -> pa.Table:
 
     def dev(batch: pa.Table) -> pa.Table:
         m = ray.get(med_ref)
+        # null group/value rows carry no deviation (grouped_quantiles
+        # drops them from the medians) and would NaN-poison the numpy
+        # conversion — filter before converting
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_column]),
+                                     pc.is_valid(batch[value_column])))
         grp = batch[group_column]
         x = pc.cast(batch[value_column], pa.int64()).to_numpy(
             zero_copy_only=False)
@@ -725,6 +733,9 @@ def dense_rank_column(ds, column: str, id_column: str = "doc_id"):
 
     def rank(batch: pa.Table) -> pa.Table:
         vals = ray.get(ref)
+        # null values are dropped (they have no dense rank; a null slot
+        # would also NaN-poison the numpy conversion below)
+        batch = batch.filter(pc.is_valid(batch[column]))
         x = pc.cast(batch[column], pa.int64()).to_numpy(
             zero_copy_only=False)
         return pa.table({

@@ -2288,3 +2288,45 @@ def test_resample_daily_counts_gap_fill(ray_session):
     a_counts = out[out.event_type == "a"].sort_values("day")[
         "n_events"].tolist()
     assert a_counts == [1, 0, 0, 2]
+
+
+def test_resample_daily_counts_null_ts_dropped(ray_session):
+    """ADVICE r4: a null ts used to NaN-poison the int64 numpy
+    conversion and crash the batch — now dropped like null event_type."""
+    import ray.data
+
+    from pdf_inspector_ray.functions.relational import resample_daily_counts
+
+    day = 86_400_000_000
+    ev = pa.table({
+        "ts": pa.array([0, None, day, None], pa.timestamp("us")),
+        "event_type": pa.array(["a", "a", "b", None]),
+    })
+    out = resample_daily_counts(ray.data.from_arrow(ev)).to_pandas()
+    assert out["n_events"].sum() == 2  # both null-ts rows dropped
+    assert len(out) == 4  # 2 days x 2 types
+
+
+def test_dense_rank_null_values_dropped(ray_session):
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import dense_rank_column
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "n": pa.array([10, None, 20], pa.int64())})
+    out = dense_rank_column(ray.data.from_arrow(t), "n").to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
+    assert dict(zip(out["doc_id"], out["drank"])) == {1: 1, 3: 2}
+
+
+def test_grouped_mad_null_rows_dropped(ray_session):
+    import ray.data
+
+    from pdf_inspector_ray.functions.text_stats import grouped_mad
+
+    t = pa.table({"g": pa.array(["a", "a", "a", None, "a"]),
+                  "v": pa.array([1, 5, 9, 7, None], pa.int64())})
+    out = grouped_mad(ray.data.from_arrow(t), "g", "v")
+    assert out["g"].to_pylist() == ["a"]
+    assert out["median"].to_pylist() == [5]
+    assert out["mad"].to_pylist() == [4]

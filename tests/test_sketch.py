@@ -7,6 +7,7 @@ import duckdb
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 from pdf_inspector_ray.functions.sketch import (CMS_CD, HASH61_A1, HASH61_A2,
                                                 HASH61_B1, HASH61_B2, M61,
@@ -261,3 +262,41 @@ def test_seeded_sample_n_deterministic_and_uniformish(ray_session):
     # matches the scalar-hash brute force exactly
     exp = sorted(ids.tolist(), key=lambda i: (hash61_scalar(i), i))[:40]
     assert sorted(a["doc_id"].to_pylist()) == sorted(exp)
+
+
+def test_heavy_hitters_sizing_contract(ray_session):
+    """ADVICE r4: no silent caps — blind sizing and cap-busting hints
+    raise; an explicit undersized m warns instead of silently missing
+    hitters; non-integer columns raise TypeError up front."""
+    import warnings
+
+    import ray.data
+
+    from pdf_inspector_ray.functions.sketch import HH_M_CAP, heavy_hitters
+
+    t = pa.table({"k": pa.array([1, 1, 1, 2], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="n_rows_hint"):
+        heavy_hitters(ds, "k", min_count=2)
+    with pytest.raises(ValueError, match="HH_M_CAP"):
+        heavy_hitters(ds, "k", min_count=1, n_rows_hint=HH_M_CAP)
+    with pytest.warns(RuntimeWarning, match="pigeonhole"):
+        # (m+1)*min_count = 4 < n_rows_hint = 5 — guarantee broken
+        heavy_hitters(ds, "k", min_count=2, n_rows_hint=5, m=1)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # well-sized explicit m: no warning
+        out = heavy_hitters(ds, "k", min_count=2, n_rows_hint=4, m=8)
+    assert out["value"].to_pylist() == [1]
+    ts = ray.data.from_arrow(pa.table({"k": pa.array(["x", "x"])}))
+    with pytest.raises(TypeError, match="integer column"):
+        heavy_hitters(ts, "k", min_count=1, n_rows_hint=2)
+
+
+def test_seeded_sample_n_null_ids_dropped(ray_session):
+    import ray.data
+
+    from pdf_inspector_ray.functions.sketch import seeded_sample_n
+
+    t = pa.table({"doc_id": pa.array([1, None, 2, None, 3], pa.int64())})
+    out = seeded_sample_n(ray.data.from_arrow(t), "doc_id", 10)
+    assert sorted(out["doc_id"].to_pylist()) == [1, 2, 3]
