@@ -719,11 +719,9 @@ def connected_components(pairs_ds, num_partitions: int = 16,
         if edge.num_rows == 0 or lab.num_rows == 0:
             return pa.table({"node": pa.array([], pa.int64()),
                              "label": pa.array([], pa.int64())})
-        lk = dict(zip(lab["key"].to_pylist(), lab["label"].to_pylist()))
-        keys = edge["key"].to_pylist()
-        labs = [lk.get(k) for k in keys]
         return pa.table({"node": edge["dst"],
-                         "label": pa.array(labs, pa.int64())})
+                         "label": _lookup_by_key(edge["key"], lab["key"],
+                                                 lab["label"])})
 
     prev_sum = None
     for _ in range(max_iters):
@@ -828,21 +826,46 @@ def neardup_kept_docs(docs_ds, components, id_column: str = "doc_id",
     if distributed:
         return _anti_join_ids(docs_ds, dropped_ds, id_column=id_column)
 
-    dropped: set = set()
-    for batch in dropped_ds.iter_batches(batch_format="pyarrow"):
-        dropped.update(batch["node"].to_pylist())
+    chunks = [batch["node"].combine_chunks()
+              for batch in dropped_ds.iter_batches(batch_format="pyarrow")]
+    dropped = (pc.unique(pa.concat_arrays(chunks)) if chunks
+               else pa.array([], pa.int64()))
     dropped_ref = ray.put(dropped)
 
     def keep(batch: pa.Table) -> pa.Table:
         drop = ray.get(dropped_ref)
-        ids = batch[id_column]
-        mask = pa.array([v not in drop for v in ids.to_pylist()], pa.bool_())
+        mask = pc.invert(pc.is_in(batch[id_column], value_set=drop))
         return batch.filter(mask)
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
 
 
 # -- distributed pair verification (the corpus-scale path) ------------------
+
+def _lookup_by_key(probe_keys, src_keys, src_vals) -> pa.Array:
+    """Vectorized left-join lookup: for each int64 key in ``probe_keys``
+    return the ``src_vals`` element whose ``src_keys`` entry matches, else
+    null. numpy argsort+searchsorted on the keys, one Arrow ``take`` with
+    null indices for the misses — no Python per-row probe, and it works
+    for ANY value type (Acero's hash join rejects nested payload columns
+    like ``list<float>`` embeddings, which this path must carry)."""
+    vals = src_vals.combine_chunks() if isinstance(
+        src_vals, pa.ChunkedArray) else src_vals
+    n = len(probe_keys)
+    if len(src_keys) == 0:
+        return pa.nulls(n, vals.type)
+    sk = np.asarray(src_keys.to_numpy(zero_copy_only=False), dtype=np.int64)
+    pk = np.asarray(probe_keys.to_numpy(zero_copy_only=False),
+                    dtype=np.int64)
+    order = np.argsort(sk, kind="stable")
+    sk_sorted = sk[order]
+    pos = np.searchsorted(sk_sorted, pk)
+    pos_c = np.minimum(pos, len(sk_sorted) - 1)
+    found = sk_sorted[pos_c] == pk
+    idx = order[pos_c].astype(np.float64)
+    idx[~found] = np.nan  # null indices -> null output rows
+    return vals.take(pa.array(idx, pa.int64(), from_pandas=True))
+
 
 def _attach_side_column(pairs_ds, src_ds, pair_key: str, out_col: str,
                         src_key: str = "doc_id", src_col: str = "text",
@@ -891,10 +914,9 @@ def _attach_side_column(pairs_ds, src_ds, pair_key: str, out_col: str,
             empty = {f: pa.array([], t) for f, t in pair_schema}
             empty[out_col] = pa.array([], out_type)
             return pa.table(empty)
-        lk = dict(zip(srcs["__key"].to_pylist(), srcs["__side"].to_pylist()))
-        vals = [lk.get(kv) for kv in pairs["__key"].to_pylist()]
         out = {f: pairs[f] for f, _ in pair_schema}
-        out[out_col] = pa.array(vals, out_type)
+        out[out_col] = _lookup_by_key(pairs["__key"], srcs["__key"],
+                                      srcs["__side"])
         return pa.table(out)
 
     tagged = (pairs_ds.map_batches(tag_pairs, batch_format="pyarrow")

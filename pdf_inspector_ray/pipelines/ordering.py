@@ -40,13 +40,26 @@ def stable_bucket(conv_id: str, block: int, num_buckets: int) -> int:
 
 def add_salted_partition(batch: pa.Table, num_buckets: int,
                          stride: int = DEFAULT_STRIDE) -> pa.Table:
-    """SB map_batches UDF: append the salted ``part`` column."""
-    conv = batch["conv_id"].to_pylist()
-    turn = batch["turn_idx"].to_pylist()
-    parts = np.fromiter(
-        (stable_bucket(c, (t or 0) // stride, num_buckets)
-         for c, t in zip(conv, turn)),
-        dtype=np.int32, count=len(conv))
+    """SB map_batches UDF: append the salted ``part`` column.
+
+    Vectorized (r5): dictionary-encode ``conv_id`` so the md5 base is
+    computed once per UNIQUE conversation in the batch (a conversation
+    spans many turns, so uniques ≪ rows), then the per-row work is one
+    numpy take + add + mod. Bucket values are bit-identical to
+    ``stable_bucket`` — the r4 partition layout, goldens and resumable
+    checkpoints are unchanged."""
+    conv = batch["conv_id"].combine_chunks().dictionary_encode()
+    uniq = conv.dictionary.to_pylist()
+    base_mod = np.fromiter(
+        (int.from_bytes(
+            hashlib.md5(u.encode("utf-8"),
+                        usedforsecurity=False).digest()[:8], "big")
+         % num_buckets for u in uniq),
+        dtype=np.int64, count=len(uniq))
+    idx = conv.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = pc.fill_null(batch["turn_idx"], 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    parts = ((base_mod[idx] + turn // stride) % num_buckets).astype(np.int32)
     return batch.append_column(
         pa.field("part", pa.int32()), pa.array(parts, pa.int32()))
 
