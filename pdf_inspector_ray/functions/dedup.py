@@ -587,13 +587,12 @@ def embedding_neardup_candidates(ds, dim: int = 64, num_tables: int = 8,
     lsh = HyperplaneLSH(dim, num_tables, planes_per_table, seed, axis_aligned)
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        from pdf_inspector_ray.functions.similarity import _to_matrix
+        vecs = _to_matrix(batch["embedding"])
         if vecs.size == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.uint64()),
                              "subkey": pa.array([], pa.uint64())})
-        per_row = lsh.bucket_ids(vecs)
-        ids = batch["vec_id"].to_pylist()
         # subkey = the full multi-table sign pattern (≤64 bits), table t at
         # bits [t·b, (t+1)·b) — oversized buckets split along OTHER
         # tables' sign bits instead of truncating; pairs split apart
@@ -601,17 +600,25 @@ def embedding_neardup_candidates(ds, dim: int = 64, num_tables: int = 8,
         # catch path anyway (multi-table OR), while near-identical
         # vectors (the realistic oversized-bucket content) share all sign
         # bits and are never split.
-        signs = (vecs @ lsh.planes.T) >= 0
+        signs = (vecs @ lsh.planes.T) >= 0  # (n, T*b)
+        b = lsh.planes_per_table
+        wb = np.uint64(1) << np.arange(b, dtype=np.uint64)
+        # (n, T) bucket matrix: per table, sign bits -> payload; key =
+        # (t << 48) | payload — all numpy, no per-row Python
+        payload = (signs.reshape(len(vecs), lsh.num_tables, b)
+                   .astype(np.uint64) @ wb)
+        tkeys = (np.arange(lsh.num_tables, dtype=np.uint64)
+                 << np.uint64(48))
+        buckets = tkeys[None, :] | (payload & np.uint64((1 << 48) - 1))
         nbits = min(64, signs.shape[1])
         weights = (np.uint64(1) << np.arange(nbits, dtype=np.uint64))
         subkeys = signs[:, :nbits].astype(np.uint64) @ weights
-        out_id = [i for i, row in zip(ids, per_row) for _ in row]
-        out_bucket = [b for row in per_row for b in row]
-        out_sub = [s for s, row in zip(subkeys, per_row) for _ in row]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        T = lsh.num_tables
         return pa.table({
-            "doc_id": pa.array(out_id, pa.int64()),
-            "bucket": pa.array(out_bucket, pa.uint64()),
-            "subkey": pa.array(out_sub, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, T), pa.int64()),
+            "bucket": pa.array(buckets.ravel(), pa.uint64()),
+            "subkey": pa.array(np.repeat(subkeys, T), pa.uint64()),
         })
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
@@ -1034,8 +1041,9 @@ def verify_pairs_cosine_distributed(pairs_ds, emb_ds,
                         pc.is_valid(batch["__v_b"]))
         t = batch.filter(valid)
         if t.num_rows:
-            va = np.asarray(t["__v_a"].to_pylist(), dtype=np.float64)
-            vb = np.asarray(t["__v_b"].to_pylist(), dtype=np.float64)
+            from pdf_inspector_ray.functions.similarity import _to_matrix
+            va = _to_matrix(t["__v_a"])
+            vb = _to_matrix(t["__v_b"])
             na = np.linalg.norm(va, axis=1)
             nb = np.linalg.norm(vb, axis=1)
             na[na == 0] = 1.0

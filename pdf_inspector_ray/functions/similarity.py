@@ -14,7 +14,32 @@ import pyarrow as pa
 
 
 def _to_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float64)
+    """list<float> column → (n, d) float64 matrix WITHOUT a Python-object
+    round-trip: flatten the list child values (zero-copy out of the Arrow
+    buffer) and reshape when every list has the same length and there are
+    no nulls — the layout every embedding column in this engine has. The
+    to_pylist fallback remains for ragged/nullable inputs. The only copy
+    on the fast path is the float32→float64 widening the math needs."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if (isinstance(arr, (pa.ListArray, pa.LargeListArray,
+                         pa.FixedSizeListArray))
+            and arr.null_count == 0 and len(arr) > 0):
+        if isinstance(arr, pa.FixedSizeListArray):
+            d = arr.type.list_size
+            flat = arr.flatten()
+            if flat.null_count == 0:
+                return (flat.to_numpy(zero_copy_only=False)
+                        .astype(np.float64, copy=False).reshape(len(arr), d))
+        else:
+            offs = arr.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offs)
+            if (widths == widths[0]).all() and widths[0] > 0:
+                flat = arr.flatten()
+                if flat.null_count == 0:
+                    return (flat.to_numpy(zero_copy_only=False)
+                            .astype(np.float64, copy=False)
+                            .reshape(len(arr), int(widths[0])))
+    return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -178,7 +203,7 @@ def build_ivf_index_local(parquet_path: str, n_clusters: int = 16,
     import pyarrow.parquet as pq
 
     t = pq.read_table(parquet_path, columns=[embedding_column])
-    vecs = np.asarray(t[embedding_column].to_pylist(), dtype=np.float64)
+    vecs = _to_matrix(t[embedding_column])
     rng = np.random.default_rng(seed)
     n = len(vecs)
     take = min(sample_limit, n)
@@ -275,8 +300,7 @@ def quantize_embeddings(ds, dim: int,
     from ray.data.aggregate import Max, Min
 
     def rng_partial(batch: pa.Table) -> pa.Table:
-        m = np.asarray(batch[embedding_column].to_pylist(),
-                       dtype=np.float64)
+        m = _to_matrix(batch[embedding_column])
         return pa.table({
             "dim": pa.array(np.arange(dim), pa.int64()),
             "mn": pa.array(m.min(axis=0), pa.float64()),
@@ -296,8 +320,7 @@ def quantize_embeddings(ds, dim: int,
     degenerate = span == 0
 
     def quantize(batch: pa.Table) -> pa.Table:
-        m = np.asarray(batch[embedding_column].to_pylist(),
-                       dtype=np.float64)
+        m = _to_matrix(batch[embedding_column])
         q = np.minimum(np.floor((m - mn) / span * 255.0), 255.0)
         q[:, degenerate] = 0.0
         n, d = m.shape
