@@ -21,6 +21,12 @@ import os
 from collections.abc import Callable
 from typing import Any
 
+# Corpus root the DuckDB oracle twins read. The driver compares at
+# sf0.01 (the default); tools/driver_sim.py exports this when sweeping
+# another scale so oracle and engine always read the SAME corpus
+# (VERDICT r4 #7 — a silent mismatch otherwise).
+_ORACLE_SF_DIR = os.environ.get("GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
 _CORPUS_ROOT = "/tmp/pdf_inspector_ray_corpus"
 
 # sf_dir → transcript turn count (deterministic synthetic corpus; the
@@ -181,11 +187,10 @@ def _q_pdf_extract_resumable(sf_dir: str):
                               concurrency=(1, 8))
     import glob as _glob
     files = sorted(_glob.glob(os.path.join(out_dir, "part=*", "data.parquet")))
-    back = ray.data.read_parquet(files)
-    return back.select_columns([
+    back = ray.data.read_parquet(files, columns=[
         "conv_id", "turn_idx", "pdf_sha256", "pdf_type", "page_count",
-        "markdown", "error_kind"]).map_batches(
-            _cast_markdown_str, batch_format="pyarrow")
+        "markdown", "error_kind"])  # pushdown: prune at the parquet scan
+    return back.map_batches(_cast_markdown_str, batch_format="pyarrow")
 
 
 def _q_pdf_classify_jsonl(sf_dir: str):
@@ -2023,9 +2028,9 @@ def oracle_sql() -> dict[str, str]:
     # the DuckDB twins SELECT them back keyed by (conv_id, turn_idx), so
     # the distributed pipeline is checked against a table it never reads.
     corpus = (
-        f"read_parquet('{os.path.join(_corpus_dir('/root/testdata/sf0.01'), '*.parquet')}')"
+        f"read_parquet('{os.path.join(_corpus_dir(_ORACLE_SF_DIR), '*.parquet')}')"
     )
-    ivf_dir, ivf_probes = _ivf_assign_dir("/root/testdata/sf0.01")
+    ivf_dir, ivf_probes = _ivf_assign_dir(_ORACLE_SF_DIR)
     sql = {
         "pdf_classify": f"""
             SELECT conv_id, turn_idx,
@@ -2098,13 +2103,13 @@ def oracle_sql() -> dict[str, str]:
                    golden_kind AS payload_kind,
                    golden_markdown AS markdown,
                    golden_error_kind AS error_kind
-            FROM read_parquet('{os.path.join(_mixed_dir('/root/testdata/sf0.01'), '*.parquet')}')
+            FROM read_parquet('{os.path.join(_mixed_dir(_ORACLE_SF_DIR), '*.parquet')}')
         """,
         "media_frames": f"""
             SELECT media_id,
                    CAST(ts // 1000 AS INTEGER) AS frame_idx,
                    CAST(ts AS INTEGER) AS frame_ts_ms
-            FROM read_parquet('{os.path.join(_media_dir('/root/testdata/sf0.01'), '*.parquet')}')
+            FROM read_parquet('{os.path.join(_media_dir(_ORACLE_SF_DIR), '*.parquet')}')
             CROSS JOIN unnest(generate_series(0, meta_duration_ms - 1, 1000))
                 AS t(ts)
             WHERE media_type = 'video' AND meta_duration_ms > 0
@@ -2113,14 +2118,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id, media_type,
                    sha256(decode(payload)) AS payload_sha256,
                    octet_length(payload) AS n_bytes
-            FROM read_parquet('{os.path.join(_media_dir('/root/testdata/sf0.01'), '*.parquet')}')
+            FROM read_parquet('{os.path.join(_media_dir(_ORACLE_SF_DIR), '*.parquet')}')
         """,
         "media_thumbs": f"""
             SELECT media_id,
                    CAST((u.i - 1) // 8 AS BIGINT) AS py,
                    CAST((u.i - 1) % 8 AS BIGINT) AS px,
                    CAST(golden_thumb[u.i] AS BIGINT) AS gray_sum
-            FROM read_parquet('{os.path.join(_real_media_dir('/root/testdata/sf0.01'), '*.parquet')}'),
+            FROM read_parquet('{os.path.join(_real_media_dir(_ORACLE_SF_DIR), '*.parquet')}'),
                  unnest(generate_series(1, len(golden_thumb))) AS u(i)
             WHERE golden_thumb IS NOT NULL
         """,
@@ -2148,7 +2153,7 @@ def oracle_sql() -> dict[str, str]:
                    golden_duration_ms AS duration_ms,
                    golden_rms AS rms, golden_peak AS peak,
                    CAST(NULL AS VARCHAR) AS error
-            FROM read_parquet('{os.path.join(_real_media_dir('/root/testdata/sf0.01'), '*.parquet')}')
+            FROM read_parquet('{os.path.join(_real_media_dir(_ORACLE_SF_DIR), '*.parquet')}')
         """,
         "html_extract": f"""
             SELECT doc_id, fixture,
@@ -2157,7 +2162,7 @@ def oracle_sql() -> dict[str, str]:
                    golden_n_content_blocks AS n_content_blocks,
                    golden_markdown AS markdown,
                    golden_error_kind AS error_kind
-            FROM read_parquet('{os.path.join(_html_corpus_dir('/root/testdata/sf0.01'), '*.parquet')}')
+            FROM read_parquet('{os.path.join(_html_corpus_dir(_ORACLE_SF_DIR), '*.parquet')}')
         """,
         "docs_by_lang": """
             SELECT lang, COUNT(*) AS n_docs,
@@ -2692,7 +2697,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_pairs": f"""
             WITH s AS (SELECT doc_id, simhash FROM read_parquet(
-                '{os.path.join(_simhash_sidecar('/root/testdata/sf0.01'), '*.parquet')}'))
+                '{os.path.join(_simhash_sidecar(_ORACLE_SF_DIR), '*.parquet')}'))
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash))

@@ -106,6 +106,10 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    # point the oracle twins' sidecar/golden reads at the SAME corpus the
+    # engine queries run over (must be set before __ray_entry__ imports)
+    os.environ["GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
