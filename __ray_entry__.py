@@ -708,16 +708,19 @@ def _ivf_assign_dir(sf_dir: str) -> tuple[str, list[int]]:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
-    from pdf_inspector_ray.functions.similarity import build_ivf_index_local
+    import ray.data
+    from pdf_inspector_ray.functions.similarity import (
+        build_ivf_index_distributed)
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    out = os.path.join(_CORPUS_ROOT, f"ivf-sf{_sf_of(sf_dir)}-v1")
+    # v2: centroids come from the distributed seeded-sample + Lloyd build
+    out = os.path.join(_CORPUS_ROOT, f"ivf-sf{_sf_of(sf_dir)}-v2")
     marker = os.path.join(out, "_complete")
     if not os.path.exists(marker):
-        index = build_ivf_index_local(path)
+        index = build_ivf_index_distributed(ray.data.read_parquet(path))
         t = pq.read_table(path, columns=["vec_id", "embedding"])
-        vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-        assign = index.assign(vecs).astype(np.int32)
+        from pdf_inspector_ray.functions.similarity import _to_matrix
+        assign = index.assign(_to_matrix(t["embedding"])).astype(np.int32)
         os.makedirs(out, exist_ok=True)
         pq.write_table(pa.table({
             "vec_id": t["vec_id"],
@@ -736,13 +739,15 @@ def _ivf_assign_dir(sf_dir: str) -> tuple[str, list[int]]:
 
 
 def _q_topk_similar_ivf(sf_dir: str):
+    """IVF top-k with the DISTRIBUTED index build (seeded hash61 sample +
+    fixed-point Lloyd passes — similarity.build_ivf_index_distributed):
+    the driver never reads the embeddings table. The oracle recomputes
+    the probed-cluster scan + exact top-k from the assignment sidecar
+    written by _ivf_assign_dir with the same build."""
     import ray.data
-    from pdf_inspector_ray.functions.similarity import (
-        build_ivf_index_local, ivf_topk)
+    from pdf_inspector_ray.functions.similarity import ivf_topk
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    index = build_ivf_index_local(os.path.join(sf_dir, "embeddings.parquet"))
-    res = ivf_topk(ds, _query_vector(sf_dir), k=10, nprobe=_IVF_NPROBE,
-                   index=index)
+    res = ivf_topk(ds, _query_vector(sf_dir), k=10, nprobe=_IVF_NPROBE)
     return res.select(["vec_id"])
 
 

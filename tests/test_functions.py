@@ -2330,3 +2330,20 @@ def test_grouped_mad_null_rows_dropped(ray_session):
     assert out["g"].to_pylist() == ["a"]
     assert out["median"].to_pylist() == [5]
     assert out["mad"].to_pylist() == [4]
+
+
+def test_ivf_distributed_build_partition_invariant(ray_session):
+    """The distributed IVF build must produce BIT-IDENTICAL centroids
+    however Ray splits the blocks (hash-ranked seeded sample + exact
+    fixed-point Lloyd partials) — the property that lets the oracle
+    sidecar and the query share one index without coordination."""
+    import ray.data
+
+    from pdf_inspector_ray.functions.similarity import (
+        build_ivf_index_distributed)
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    a = build_ivf_index_distributed(ray.data.read_parquet(path))
+    b = build_ivf_index_distributed(
+        ray.data.read_parquet(path).repartition(7))
+    assert np.array_equal(a.centroids, b.centroids)
