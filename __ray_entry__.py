@@ -1672,14 +1672,18 @@ def _media_dir(sf_dir: str) -> str:
 
 
 def _q_media_frames(sf_dir: str):
-    """Video frame sampling (flat-map expansion: one row per sampled
-    frame); oracle recomputes the expansion with generate_series."""
+    """REAL video frame sampling (multimodal.VideoFrameSampler): decode
+    the AVI-DIB payload, sample frames on the FRAME_EVERY_MS plan, emit
+    per-frame channel means from the RAW decoded arrays. The oracle
+    unnests golden per-frame means the generator froze from the arrays
+    BEFORE encoding — real decoding under test, not metadata math."""
     import ray.data
-    from pdf_inspector_ray.functions.multimodal import frame_sample_stub
-    ds = ray.data.read_parquet(_media_dir(sf_dir),
+    from pdf_inspector_ray.functions.multimodal import VideoFrameSampler
+    ds = ray.data.read_parquet(_real_media_dir(sf_dir),
                                columns=["media_id", "media_type",
-                                        "meta_duration_ms"])
-    return ds.map_batches(frame_sample_stub, batch_format="pyarrow")
+                                        "payload"])
+    return ds.map_batches(VideoFrameSampler, batch_size=16,
+                          concurrency=(1, 4), batch_format="pyarrow")
 
 
 def _q_hopping_windows(sf_dir: str):
@@ -1735,6 +1739,20 @@ def _q_media_thumbs(sf_dir: str):
                                columns=["media_id", "media_type",
                                         "payload"])
     return ds.map_batches(MediaThumbs, batch_size=32,
+                          concurrency=(1, 4), batch_format="pyarrow")
+
+
+def _q_media_resize(sf_dir: str):
+    """REAL image resize (multimodal.ResizeImages): decode BMP/PNG,
+    nearest-neighbor resample to 8x8, re-encode as BMP, decode the own
+    output, emit per-pixel channel sums — the full loop must equal the
+    golden_thumb values frozen at synthesis (integer math end to end)."""
+    import ray.data
+    from pdf_inspector_ray.functions.multimodal import ResizeImages
+    ds = ray.data.read_parquet(_real_media_dir(sf_dir),
+                               columns=["media_id", "media_type",
+                                        "payload"])
+    return ds.map_batches(ResizeImages, batch_size=32,
                           concurrency=(1, 4), batch_format="pyarrow")
 
 
@@ -1892,6 +1910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _q_dataset_split,
         "heavy_users": _q_heavy_users,
         "hll_user_registers": _q_hll_user_registers,
+        # --- r5 additions (append-only; enter the window at next rotation)
+        "media_resize": _q_media_resize,
     }
 
 
@@ -2112,12 +2132,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_frames": f"""
             SELECT media_id,
-                   CAST(ts // 1000 AS INTEGER) AS frame_idx,
-                   CAST(ts AS INTEGER) AS frame_ts_ms
-            FROM read_parquet('{os.path.join(_media_dir(_ORACLE_SF_DIR), '*.parquet')}')
-            CROSS JOIN unnest(generate_series(0, meta_duration_ms - 1, 1000))
-                AS t(ts)
-            WHERE media_type = 'video' AND meta_duration_ms > 0
+                   CAST(u.i - 1 AS INTEGER) AS frame_idx,
+                   CAST(golden_fr_ts[u.i] AS INTEGER) AS frame_ts_ms,
+                   golden_fr_r[u.i] AS mean_r,
+                   golden_fr_g[u.i] AS mean_g,
+                   golden_fr_b[u.i] AS mean_b
+            FROM read_parquet('{os.path.join(_real_media_dir(_ORACLE_SF_DIR), '*.parquet')}'),
+                 unnest(generate_series(1, len(golden_fr_ts))) AS u(i)
+            WHERE golden_fr_ts IS NOT NULL
+        """,
+        "media_resize": f"""
+            SELECT media_id,
+                   CAST((u.i - 1) // 8 AS BIGINT) AS py,
+                   CAST((u.i - 1) % 8 AS BIGINT) AS px,
+                   CAST(golden_thumb[u.i] AS BIGINT) AS resized_sum
+            FROM read_parquet('{os.path.join(_real_media_dir(_ORACLE_SF_DIR), '*.parquet')}'),
+                 unnest(generate_series(1, len(golden_thumb))) AS u(i)
+            WHERE golden_thumb IS NOT NULL
         """,
         "media_features": f"""
             SELECT media_id, media_type,
@@ -2157,6 +2188,7 @@ def oracle_sql() -> dict[str, str]:
                    golden_rate AS rate, golden_n_samples AS n_samples,
                    golden_duration_ms AS duration_ms,
                    golden_rms AS rms, golden_peak AS peak,
+                   golden_n_frames AS n_frames, golden_fps AS fps,
                    CAST(NULL AS VARCHAR) AS error
             FROM read_parquet('{os.path.join(_real_media_dir(_ORACLE_SF_DIR), '*.parquet')}')
         """,

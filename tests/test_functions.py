@@ -132,7 +132,7 @@ def test_media_plumbing(ray_session):
     import ray.data
 
     from pdf_inspector_ray.functions.multimodal import (
-        MediaFeatureExtractor, frame_sample_stub, synthesize_media_table)
+        MediaFeatureExtractor, synthesize_media_table)
 
     t = synthesize_media_table(60)
     ds = ray.data.from_arrow(t)
@@ -141,13 +141,13 @@ def test_media_plumbing(ray_session):
     assert len(out) == 60
     assert all(len(f) == MediaFeatureExtractor.FEATURE_DIM
                for f in out.features)
-    # decode stub off → NotImplementedError at the decode seam
+    # decode stub off → the REAL decode path rejects junk with ValueError
     ex = MediaFeatureExtractor(decode_stub=False)
-    with pytest.raises(NotImplementedError):
-        ex._decode(b"xx", "image")
-    frames = frame_sample_stub(t)
-    assert frames.num_rows > 0
-    assert frames.column_names == ["media_id", "frame_idx", "frame_ts_ms"]
+    if ex._pil is None:
+        with pytest.raises(ValueError):
+            ex._decode(b"xx", "image")
+    with pytest.raises(ValueError):
+        ex._decode(b"xx", "subspace")
 
 
 def test_windowed_events(ray_session):
@@ -2347,3 +2347,70 @@ def test_ivf_distributed_build_partition_invariant(ray_session):
     b = build_ivf_index_distributed(
         ray.data.read_parquet(path).repartition(7))
     assert np.array_equal(a.centroids, b.centroids)
+
+
+def test_png_avi_codecs_roundtrip():
+    """Real PNG (all five filter types) and AVI-DIB codecs must be
+    lossless, and reject corrupt payloads with ValueError."""
+    from pdf_inspector_ray.functions.multimodal import (decode_avi,
+                                                        decode_png,
+                                                        encode_avi,
+                                                        encode_png)
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(1, 1), (6, 3), (48, 31)]:  # h >= 5 cycles filters 0-4
+        a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(a)), a)
+    fr = rng.integers(0, 256, size=(5, 9, 13, 3), dtype=np.uint8)
+    dec, fps = decode_avi(encode_avi(fr, 25))
+    assert fps == 25 and np.array_equal(dec, fr)
+    good = encode_png(rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8))
+    for bad in (b"", b"\x89PNG\r\n\x1a\nxx", good[:len(good) // 2],
+                good[:30]):
+        with pytest.raises((ValueError, Exception)):
+            decode_png(bad)
+    avi = encode_avi(fr, 10)
+    for bad in (b"", b"RIFF\x04\x00\x00\x00AVI ", avi[:100]):
+        with pytest.raises(ValueError):
+            decode_avi(bad)
+
+
+def test_real_media_decode_matches_goldens():
+    """RealMediaDecoder, VideoFrameSampler and ResizeImages must
+    reproduce the golden stats frozen from the RAW arrays before
+    encoding — real decoding of BMP, PNG, WAV and AVI, not metadata."""
+    import pdf_inspector_ray.functions.multimodal as m
+
+    t = m.synthesize_real_media_table(24)
+    out = m.RealMediaDecoder()(t)
+    assert out["error"].to_pylist() == [None] * len(t)
+    for name, _ in m._REAL_STAT_COLS:
+        assert out[name].to_pylist() == t[f"golden_{name}"].to_pylist(), name
+
+    fr = m.VideoFrameSampler()(t)
+    got: dict = {}
+    for i in range(fr.num_rows):
+        got.setdefault(fr["media_id"][i].as_py(), []).append(
+            (fr["frame_ts_ms"][i].as_py(), fr["mean_r"][i].as_py(),
+             fr["mean_g"][i].as_py(), fr["mean_b"][i].as_py()))
+    n_video = 0
+    for row in range(len(t)):
+        ts = t["golden_fr_ts"][row].as_py()
+        if ts is None:
+            continue
+        n_video += 1
+        want = list(zip(ts, t["golden_fr_r"][row].as_py(),
+                        t["golden_fr_g"][row].as_py(),
+                        t["golden_fr_b"][row].as_py()))
+        assert got[t["media_id"][row].as_py()] == want
+    assert n_video == 24 // 4
+
+    rz = m.ResizeImages()(t)
+    by: dict = {}
+    for i in range(rz.num_rows):
+        by.setdefault(rz["media_id"][i].as_py(), []).append(
+            rz["resized_sum"][i].as_py())
+    for row in range(len(t)):
+        th = t["golden_thumb"][row].as_py()
+        if th is not None:
+            assert by[t["media_id"][row].as_py()] == th
