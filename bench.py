@@ -442,6 +442,38 @@ def run_benchmarks(sf_dir: str, num_cpus: int,
                 emb_path, columns=["vec_id", "embedding"]), cents).count()
             queries["kmeans_assign"] = round(time.perf_counter() - t0, 3)
 
+        # media_suite: REAL decode work (BMP/PNG/WAV/AVI codecs, frame
+        # sampling, resize round-trip) over an sf-scaled corpus — r4's
+        # media bench was "fake-cheap" because the video path was a stub
+        media_n = {"0.001": 100, "0.01": 400, "0.1": 2000}.get(
+            _sf_of(sf_dir), 400)
+        from pdf_inspector_ray.functions.multimodal import (
+            REAL_MEDIA_GENERATOR_VERSION, RealMediaDecoder, ResizeImages,
+            VideoFrameSampler, synthesize_real_media_table)
+        media_dir = (f"/tmp/pdfi_bench_media_v{REAL_MEDIA_GENERATOR_VERSION}"
+                     f"-n{media_n}")
+        marker = os.path.join(media_dir, "_complete")
+        if not os.path.exists(marker):
+            import pyarrow.parquet as _pq
+            os.makedirs(media_dir, exist_ok=True)
+            _pq.write_table(synthesize_real_media_table(media_n),
+                            os.path.join(media_dir, "media-00000.parquet"))
+            with open(marker, "w") as f:
+                f.write("ok")
+        t0 = time.perf_counter()
+        media_ds = ray.data.read_parquet(
+            media_dir, columns=["media_id", "media_type", "payload"])
+        media_ds.map_batches(RealMediaDecoder, batch_size=32,
+                             concurrency=(1, num_cpus // 4 or 1),
+                             batch_format="pyarrow").count()
+        media_ds.map_batches(VideoFrameSampler, batch_size=16,
+                             concurrency=(1, num_cpus // 4 or 1),
+                             batch_format="pyarrow").count()
+        media_ds.map_batches(ResizeImages, batch_size=32,
+                             concurrency=(1, num_cpus // 4 or 1),
+                             batch_format="pyarrow").count()
+        queries["media_suite"] = round(time.perf_counter() - t0, 3)
+
         total = round(sum(queries.values()), 3)
         return {
             "metric": "pipeline_suite_seconds",
