@@ -160,6 +160,8 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 def decode_bmp(payload: bytes) -> np.ndarray:
     """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB."""
     import struct
+    if len(payload) < 54:
+        raise ValueError("BMP payload shorter than its headers")
     magic, _, _, _, offset = struct.unpack_from("<2sIHHI", payload, 0)
     if magic != b"BM":
         raise ValueError("not a BMP payload")
@@ -167,6 +169,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         "<IiiHHIIiiII", payload, 14)
     if hdr_size < 40 or planes != 1 or bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
+    if w <= 0 or h == 0 or w * abs(h) > 64_000_000:
+        raise ValueError(f"implausible BMP geometry {w}x{h}")
     stride = (w * 3 + 3) & ~3
     flip = h > 0
     h = abs(h)
@@ -243,11 +247,15 @@ def decode_png(payload: bytes) -> np.ndarray:
         if len(data) != length:
             raise ValueError("truncated PNG chunk")
         if tag == b"IHDR":
+            if length < 13:
+                raise ValueError("short IHDR")
             w, h, depth, ctype, comp, filt, ilace = struct.unpack(
-                ">IIBBBBB", data)
+                ">IIBBBBB", data[:13])
             if depth != 8 or ctype not in (0, 2, 6) or comp or filt or ilace:
                 raise ValueError(
                     f"unsupported PNG (depth={depth}, color={ctype})")
+            if w == 0 or h == 0 or w * h > 64_000_000:
+                raise ValueError(f"implausible PNG geometry {w}x{h}")
             ch = {0: 1, 2: 3, 6: 4}[ctype]
         elif tag == b"IDAT":
             idat.extend(data)
@@ -256,7 +264,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+    expected = h * (w * ch + 1)
+    try:
+        # bounded inflate: a crafted tiny IDAT must not balloon past the
+        # geometry the IHDR promises (deflate-bomb containment)
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG deflate stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline size mismatch")
@@ -360,7 +374,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError("truncated AVI chunk")
             if tag == b"LIST":
                 walk(buf, data_start + 4, data_start + length)
-            elif tag == b"avih":
+            elif tag == b"avih" and length >= 4:
                 us_per_frame = struct.unpack_from("<I", buf, data_start)[0]
             elif tag == b"strf" and length >= 40:
                 _, w, h, _, bpp = struct.unpack_from("<IiiHH", buf,
@@ -368,6 +382,8 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
             elif tag in (b"00db", b"00dc"):
                 if w is None or bpp != 24:
                     raise ValueError("AVI frame before/without 24-bit strf")
+                if w <= 0 or h == 0 or w * abs(h) > 64_000_000:
+                    raise ValueError(f"implausible AVI geometry {w}x{h}")
                 stride = (w * 3 + 3) & ~3
                 hh = abs(h)
                 if length < stride * hh:
@@ -401,15 +417,22 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM bytes → (int16 mono samples, rate)."""
+    """RIFF/WAVE PCM bytes → (int16 mono samples, rate). Malformed
+    containers surface as ValueError (the decode-seam contract), not as
+    stdlib wave.Error/EOFError."""
     import io
     import wave
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
-            raise ValueError("only 16-bit mono PCM supported")
-        rate = wf.getframerate()
-        samples = np.frombuffer(wf.readframes(wf.getnframes()),
-                                dtype="<i2")
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            if wf.getnchannels() != 1 or wf.getsampwidth() != 2:
+                raise ValueError("only 16-bit mono PCM supported")
+            rate = wf.getframerate()
+            samples = np.frombuffer(wf.readframes(wf.getnframes()),
+                                    dtype="<i2")
+    except (wave.Error, EOFError, RuntimeError) as e:
+        # stdlib wave/chunk raise wave.Error, EOFError, and (on seeks past
+        # a mutated chunk boundary) a bare RuntimeError
+        raise ValueError(f"malformed WAV: {e}") from e
     return samples, rate
 
 

@@ -219,3 +219,69 @@ def test_chunk_documents_invariants(chunk, stride, n_tok, seed):
         rebuilt.extend(words if i == len(rows) - 1 else words[:stride])
     # the non-last chunks each contribute exactly `stride` fresh tokens
     assert rebuilt[:n_tok] == toks
+
+
+# -- real media codecs: total on garbage (r5) --------------------------------
+#
+# The decode seam contract: corrupt/truncated/mutated payloads must raise
+# ValueError (or a contained struct/zlib error the stage maps to the error
+# column) — never crash the interpreter, hang, or return garbage silently.
+
+_MEDIA_OK = (ValueError,)
+
+
+def _decode_media_total(fn, data: bytes) -> None:
+    import struct
+
+    try:
+        fn(data)
+    except (ValueError, struct.error, zlib.error, EOFError):
+        pass  # contained — RealMediaDecoder maps these to the error column
+
+
+@given(st.binary(min_size=0, max_size=4096))
+@settings(max_examples=150, deadline=None)
+def test_media_decoders_total_on_random_bytes(data):
+    from pdf_inspector_ray.functions.multimodal import (decode_avi,
+                                                        decode_bmp,
+                                                        decode_image,
+                                                        decode_png,
+                                                        decode_wav)
+    for fn in (decode_bmp, decode_png, decode_avi, decode_wav,
+               decode_image):
+        _decode_media_total(fn, data)
+
+
+@given(st.integers(0, 3), st.data())
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_media_decoders_total_on_mutated_payloads(kind, data):
+    """Flip bytes inside VALID payloads: decode must either succeed or
+    raise a contained error — bit flips in length fields/filters must not
+    crash numpy reshape or loop forever."""
+    import numpy as np
+
+    from pdf_inspector_ray.functions.multimodal import (decode_avi,
+                                                        decode_bmp,
+                                                        decode_png,
+                                                        decode_wav,
+                                                        encode_avi,
+                                                        encode_bmp,
+                                                        encode_png,
+                                                        encode_wav)
+    rng = np.random.default_rng(99)
+    arr = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    payloads = [
+        (encode_bmp(arr), decode_bmp),
+        (encode_png(arr), decode_png),
+        (encode_avi(rng.integers(0, 256, size=(3, 6, 5, 3),
+                                 dtype=np.uint8), 10), decode_avi),
+        (encode_wav(rng.integers(-32768, 32767, size=300,
+                                 dtype=np.int16), 8000), decode_wav),
+    ]
+    payload, fn = payloads[kind]
+    buf = bytearray(payload)
+    for _ in range(data.draw(st.integers(1, 8))):
+        pos = data.draw(st.integers(0, len(buf) - 1))
+        buf[pos] = data.draw(st.integers(0, 255))
+    _decode_media_total(fn, bytes(buf))
