@@ -598,6 +598,57 @@ def _q_neardup_dedup_docs(sf_dir: str):
     return neardup_kept_docs(docs_ids, comp)
 
 
+def _q_neardup_best_docs(sf_dir: str):
+    """Quality-aware near-dup dedup: same verified-pair → connected-
+    components dataflow as `neardup_dedup_docs`, but each cluster keeps
+    its argmax-quality member — (stopword_count DESC, n_chars DESC,
+    doc_id ASC), integer scores so the pick is exact — instead of the
+    min doc_id. The oracle recomputes components via the recursive
+    transitive closure, ranks members with ROW_NUMBER over the same
+    keys, and anti-joins the losers."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import (
+        connected_components, minhash_lsh_candidates, neardup_best_docs,
+        verify_pairs_jaccard)
+    from pdf_inspector_ray.functions.text_stats import (LANG_STOPWORDS,
+                                                        _count_padded)
+    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=["doc_id", "text"])
+    cands = minhash_lsh_candidates(docs)
+    if (_parquet_rows(os.path.join(sf_dir, "documents.parquet"))
+            > PAIR_VERIFY_BROADCAST_LIMIT):
+        from pdf_inspector_ray.functions.dedup import (
+            verify_pairs_jaccard_distributed)
+        verified = verify_pairs_jaccard_distributed(
+            cands, docs, threshold=NEARDUP_JACCARD_T)
+    else:
+        verified = verify_pairs_jaccard(cands, _docs_lookup(sf_dir),
+                                        threshold=NEARDUP_JACCARD_T)
+    comp = connected_components(verified.select_columns(["doc_a", "doc_b"]))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        stop = None
+        for w in LANG_STOPWORDS["en"]:
+            c = _count_padded(text, w)
+            stop = c if stop is None else pc.add(stop, c)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "stopword_count": pc.cast(stop, pa.int64()),
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+        })
+
+    scores = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"]).map_batches(
+            score_batch, batch_format="pyarrow")
+    docs_ids = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return neardup_best_docs(docs_ids, comp, scores)
+
+
 def _q_neardup_cluster_sizes(sf_dir: str):
     """Near-dup CLUSTER-SIZE histogram — the curation diagnostic that
     tells you whether duplication is pairwise noise or template
@@ -1577,6 +1628,15 @@ def _q_running_totals(sf_dir: str):
     return running_totals(ds)
 
 
+def _q_rolling_event_values(sf_dir: str):
+    """Bounded ROWS-frame moving average per user (last-7-rows window)."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import rolling_event_stats
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id", "value"])
+    return rolling_event_stats(ds, window=7)
+
+
 def _q_distinct_users_by_type(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.relational import distinct_count
@@ -1912,6 +1972,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_user_registers": _q_hll_user_registers,
         # --- r5 additions (append-only; enter the window at next rotation)
         "media_resize": _q_media_resize,
+        "rolling_event_values": _q_rolling_event_values,
+        "neardup_best_docs": _q_neardup_best_docs,
     }
 
 
@@ -3230,6 +3292,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start, COUNT(*) AS n_events,
                    ROUND(SUM(value), 2) AS sum_value
             FROM x GROUP BY window_start
+        """,
+        "rolling_event_values": """
+            WITH e AS (
+                SELECT event_id, user_id, ts,
+                       CAST(floor(coalesce(value, 0.0) * 100.0) AS BIGINT)
+                           AS cents
+                FROM events WHERE ts IS NOT NULL
+            )
+            SELECT event_id, user_id,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS roll_cents,
+                   CAST(SUM(cents) OVER w AS DOUBLE)
+                       / (100.0 * COUNT(*) OVER w) AS roll_avg
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "neardup_best_docs": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM jpairs
+                UNION ALL
+                SELECT doc_b, doc_a FROM jpairs
+            ),
+            reach(src, dst) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+            ),
+            roots AS (
+                SELECT src AS node, least(src, min(dst)) AS root
+                FROM reach GROUP BY src
+            ),
+            scored AS (
+                SELECT r.node, r.root, {s_en} AS stopword_count, d.n_chars
+                FROM roots r JOIN documents d ON d.doc_id = r.node
+            ),
+            losers AS (
+                SELECT node FROM (
+                    SELECT node,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY root
+                               ORDER BY stopword_count DESC, n_chars DESC,
+                                        node) AS rn
+                    FROM scored
+                ) WHERE rn > 1
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM losers)
         """,
     }
     # the Bloom-prescreened path is EXACT by construction (no false

@@ -827,6 +827,22 @@ def neardup_kept_docs(docs_ds, components, id_column: str = "doc_id",
         return pa.table({"node": batch["node"].filter(mask)})
 
     dropped_ds = components.map_batches(to_dropped, batch_format="pyarrow")
+    return _mask_dropped_ids(docs_ds, dropped_ds, id_column=id_column,
+                             distributed=distributed,
+                             broadcast_limit=broadcast_limit)
+
+
+def _mask_dropped_ids(docs_ds, dropped_ds, id_column: str = "doc_id",
+                      distributed: bool | None = None,
+                      broadcast_limit: int = NEARDUP_BROADCAST_LIMIT):
+    """Filter ``docs_ds`` down to rows whose id is NOT in
+    ``dropped_ds["node"]`` — the shared tail of every cluster-dedup
+    operator. Size-gated: below ``broadcast_limit`` the (edge-sized)
+    dropped ids are broadcast once with ``ray.put`` and applied as a
+    per-batch ``pc.is_in`` mask (no shuffle); above it a reduce-side
+    left anti join streams both sides with no driver-side collect."""
+    import pyarrow.compute as pc
+    import ray
 
     if distributed is None:
         distributed = dropped_ds.count() > broadcast_limit
@@ -845,6 +861,61 @@ def neardup_kept_docs(docs_ds, components, id_column: str = "doc_id",
         return batch.filter(mask)
 
     return docs_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def neardup_best_docs(docs_ds, components, score_ds,
+                      id_column: str = "doc_id",
+                      score_columns: tuple = ("stopword_count", "n_chars"),
+                      distributed: bool | None = None,
+                      broadcast_limit: int = NEARDUP_BROADCAST_LIMIT,
+                      num_partitions: int = PAIR_PARTITIONS):
+    """Quality-aware near-dup dedup: instead of keeping each component's
+    MIN doc_id (``neardup_kept_docs``), keep the component member that
+    maximizes the quality score — DESC on each ``score_columns`` entry in
+    order, ties broken by min id — plus every doc not in any component.
+    This is the curation shape real pipelines want: when a template
+    cluster holds one full article and nine boilerplate stubs, min-id
+    keeps whichever crawled first; argmax-by-quality keeps the article.
+
+    Scores must be integer columns (exact comparisons, hash-stable
+    twins). Dataflow: the (edge-sized) components attach their scores via
+    ``_attach_side_column`` reduce-side joins — only component members,
+    never the corpus, pay the join — then ONE tiny groupby(label) picks
+    the winner per component and emits the losers as dropped ids, applied
+    with the same size-gated mask / anti-join tail as
+    ``neardup_kept_docs``. At 100 TB every exchange here is bounded by
+    the verified-pair set, not the corpus."""
+    import pyarrow.compute as pc
+
+    labeled = components
+    for col in score_columns:
+        labeled = _attach_side_column(labeled, score_ds, "node", col,
+                                      src_key=id_column, src_col=col,
+                                      out_type=pa.int64(),
+                                      num_partitions=num_partitions)
+
+    cols = tuple(score_columns)
+
+    def pick_dropped(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64())})
+        node = group["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [node]
+        # np.lexsort sorts by the LAST key first: append scores in
+        # reverse so the FIRST score column is the primary sort, negated
+        # for DESC; a missing score (doc absent from score_ds) sorts
+        # last via -1.
+        for col in reversed(cols):
+            s = pc.coalesce(group[col], pa.scalar(-1, pa.int64()))
+            keys.append(-s.to_numpy(zero_copy_only=False).astype(np.int64))
+        order = np.lexsort(tuple(keys))
+        return pa.table({"node": pa.array(node[order[1:]], pa.int64())})
+
+    dropped_ds = (labeled.groupby("label")
+                         .map_groups(pick_dropped, batch_format="pyarrow"))
+    return _mask_dropped_ids(docs_ds, dropped_ds, id_column=id_column,
+                             distributed=distributed,
+                             broadcast_limit=broadcast_limit)
 
 
 # -- distributed pair verification (the corpus-scale path) ------------------

@@ -792,6 +792,64 @@ def running_totals(ds) -> "ray.data.Dataset":
               .map_groups(sweep, batch_format="pyarrow"))
 
 
+def rolling_event_stats(ds, window: int = 7) -> "ray.data.Dataset":
+    """Bounded ROWS-frame window aggregates over events: per ``user_id``
+    ordered by ``(ts, event_id)``, the rolling sum and rolling mean of
+    ``value`` over the last ``window`` rows (``ROWS BETWEEN window-1
+    PRECEDING AND CURRENT ROW``) — the moving-average shape
+    ``running_totals``'s unbounded frame doesn't cover.
+
+    Same exactness discipline as ``running_totals``: the frame sum is
+    ``floor(value·100)`` int64 cents via a cumsum difference (exact in
+    any accumulation order); the mean is then ONE float64 division
+    ``cents / (100·count)`` that the SQL twin reproduces bit-for-bit.
+    Rows with null ``ts`` are dropped on both sides (a null sort key has
+    no well-defined frame). One shuffle (groupby user_id); the per-group
+    sweep is numpy lexsort + cumsum — no Python row loop. Partitioning
+    assumption at 100 TB: one user's history fits in one group.
+
+    SQL twin: ``SUM(cents) OVER w`` / ``COUNT(*) OVER w`` with
+    ``w AS (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN {window-1} PRECEDING AND CURRENT ROW)``."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["ts"]))
+        cents = pc.cast(pc.floor(pc.multiply(
+            pc.coalesce(batch["value"], pa.scalar(0.0)),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "cents": cents,
+        })
+
+    def sweep(group: pa.Table) -> pa.Table:
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        eid = eid[order]
+        cents = group["cents"].to_numpy(zero_copy_only=False)[order]
+        cum = np.cumsum(cents)
+        roll = cum.copy()
+        if len(cum) > window:
+            roll[window:] -= cum[:-window]
+        count = np.minimum(np.arange(1, len(cum) + 1), window)
+        avg = roll.astype(np.float64) / (100.0 * count)
+        return pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": group["user_id"],
+            "roll_cents": pa.array(roll, pa.int64()),
+            "roll_avg": pa.array(avg, pa.float64()),
+        })
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(sweep, batch_format="pyarrow"))
+
+
 def distinct_count(ds, group_column: str, value_column: str,
                    alias: str = "n_distinct") -> "ray.data.Dataset":
     """COUNT(DISTINCT value) per group. Per-batch partial dedupe (arrow

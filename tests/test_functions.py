@@ -2414,3 +2414,63 @@ def test_real_media_decode_matches_goldens():
         th = t["golden_thumb"][row].as_py()
         if th is not None:
             assert by[t["media_id"][row].as_py()] == th
+
+
+def test_rolling_event_stats_rows_frame(ray_session):
+    """Bounded ROWS frame: sums/means cover only the last `window` rows,
+    null ts rows are dropped, null values count as 0 cents."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import rolling_event_stats
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 10, 11], pa.int64()),
+        "ts": pa.array([100, 100, 200, 300, 400, 50, None],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, None, 7.5, 1.0],
+                          pa.float64()),
+    })
+    out = (rolling_event_stats(ray.data.from_arrow(t), window=3).to_pandas()
+           .sort_values(["user_id", "event_id"]).reset_index(drop=True))
+    u1 = out[out.user_id == 1]
+    # order by (ts, event_id): 1,2,3,4,5; cents 100,200,300,400,0
+    assert list(u1.event_id) == [1, 2, 3, 4, 5]
+    assert list(u1.roll_cents) == [100, 300, 600, 900, 700]
+    assert list(u1.roll_avg) == [1.0, 1.5, 2.0, 3.0, 700.0 / 300.0]
+    u2 = out[out.user_id == 2]                    # null-ts row 11 dropped
+    assert list(u2.event_id) == [10]
+    assert list(u2.roll_cents) == [750]
+
+    with pytest.raises(ValueError):
+        rolling_event_stats(ray.data.from_arrow(t), window=0)
+
+
+def test_neardup_best_docs_picks_argmax(ray_session):
+    """Quality-aware cluster dedup keeps the (stopword_count DESC,
+    n_chars DESC, doc_id ASC) argmax per component — NOT the min id —
+    and the distributed mask path equals the broadcast path."""
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import (connected_components,
+                                                   neardup_best_docs)
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2, 10], pa.int64()),
+        "doc_b": pa.array([2, 3, 11], pa.int64()),
+    }))
+    comp = connected_components(pairs)
+    ids = [1, 2, 3, 5, 10, 11, 99]
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64())}))
+    scores = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "stopword_count": pa.array([0, 5, 5, 9, 2, 2, 0], pa.int64()),
+        "n_chars": pa.array([10, 10, 30, 1, 4, 9, 1], pa.int64()),
+    }))
+    # {1,2,3}: stop ties 5/5 -> n_chars 30 wins -> 3; {10,11}: 11 wins
+    kept = sorted(r["doc_id"] for r in
+                  neardup_best_docs(docs, comp, scores).take_all())
+    assert kept == [3, 5, 11, 99]
+    kept_d = sorted(r["doc_id"] for r in
+                    neardup_best_docs(docs, comp, scores,
+                                      distributed=True).take_all())
+    assert kept_d == kept
