@@ -887,6 +887,11 @@ def neardup_best_docs(docs_ds, components, score_ds,
     the verified-pair set, not the corpus."""
     import pyarrow.compute as pc
 
+    # A pair-free corpus yields an empty, schema-less components dataset
+    # (Ray 2.49 reports schema()=None); nothing is dropped.
+    if components.schema() is None:
+        return docs_ds
+
     labeled = components
     for col in score_columns:
         labeled = _attach_side_column(labeled, score_ds, "node", col,

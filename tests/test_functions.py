@@ -2474,3 +2474,26 @@ def test_neardup_best_docs_picks_argmax(ray_session):
                     neardup_best_docs(docs, comp, scores,
                                       distributed=True).take_all())
     assert kept_d == kept
+
+
+def test_neardup_best_docs_pair_free_corpus(ray_session):
+    """Zero verified pairs -> schema-less empty components dataset ->
+    every doc is kept (regression: _attach_side_column crashed on
+    schema()=None)."""
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import (connected_components,
+                                                   neardup_best_docs)
+
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64())}))
+    comp = connected_components(pairs)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64())}))
+    scores = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "stopword_count": pa.array([1, 2, 3], pa.int64()),
+        "n_chars": pa.array([1, 2, 3], pa.int64())}))
+    kept = sorted(r["doc_id"] for r in
+                  neardup_best_docs(docs, comp, scores).take_all())
+    assert kept == [1, 2, 3]
