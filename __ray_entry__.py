@@ -1628,6 +1628,26 @@ def _q_running_totals(sf_dir: str):
     return running_totals(ds)
 
 
+def _q_avg_price_by_flag(sf_dir: str):
+    """Quantity-weighted mean price per returnflag (exact int partials)."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import weighted_avg_by_group
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    return weighted_avg_by_group(ds, "l_returnflag", "l_extendedprice",
+                                 "l_quantity", alias="w_avg_price")
+
+
+def _q_doc_length_quantiles_cont(sf_dir: str):
+    """Interpolated (quantile_cont) doc-length quantiles."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import quantile_cont_values
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["n_chars"])
+    return quantile_cont_values(ds, "n_chars")
+
+
 def _q_rolling_event_values(sf_dir: str):
     """Bounded ROWS-frame moving average per user (last-7-rows window)."""
     import ray.data
@@ -1974,6 +1994,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": _q_media_resize,
         "rolling_event_values": _q_rolling_event_values,
         "neardup_best_docs": _q_neardup_best_docs,
+        "avg_price_by_flag": _q_avg_price_by_flag,
+        "doc_length_quantiles_cont": _q_doc_length_quantiles_cont,
     }
 
 
@@ -3340,6 +3362,24 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT node FROM losers)
+        """,
+        "avg_price_by_flag": """
+            SELECT l_returnflag,
+                   CAST(CAST(SUM(
+                       CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       * CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE)
+                   / (100.0 * CAST(SUM(CAST(l_quantity AS BIGINT))
+                              AS BIGINT)) AS w_avg_price
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+            GROUP BY l_returnflag
+        """,
+        "doc_length_quantiles_cont": """
+            SELECT quantile_cont(n_chars, 0.25) AS q25,
+                   quantile_cont(n_chars, 0.50) AS q50,
+                   quantile_cont(n_chars, 0.75) AS q75,
+                   quantile_cont(n_chars, 0.95) AS q95
+            FROM documents
         """,
     }
     # the Bloom-prescreened path is EXACT by construction (no false

@@ -850,6 +850,54 @@ def rolling_event_stats(ds, window: int = 7) -> "ray.data.Dataset":
               .map_groups(sweep, batch_format="pyarrow"))
 
 
+def weighted_avg_by_group(ds, group_column: str, value_column: str,
+                          weight_column: str,
+                          alias: str = "w_avg") -> "ray.data.Dataset":
+    """Weighted mean per group — SUM(value·weight)/SUM(weight) — with the
+    ``running_totals`` exactness discipline: value in floor(x·100+0.5)
+    integer cents, weights cast int64 (the safe Arrow cast REJECTS
+    non-integral weights instead of silently truncating), so both sums
+    are exact in any accumulation order; the quotient is ONE mirrored
+    float64 expression ``cents_sum / (100·weight_sum)``. Per-batch
+    partials shrink the exchange to one row per (batch, group); zero- or
+    null-weight rows contribute nothing. int64 partials hold to ~2^63 —
+    beyond that (≳10^14 rows × 5e8/row) swap the Sum for a decimal128
+    aggregate; the expression stays the same.
+
+    SQL twin: ``CAST(CAST(SUM(cents·w) AS BIGINT) AS DOUBLE)
+    / (100.0 * CAST(SUM(w) AS BIGINT)) GROUP BY group``."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(batch[value_column]),
+                       pc.is_valid(batch[weight_column]))
+        batch = batch.filter(mask)
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(batch[value_column], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        w = pc.cast(batch[weight_column], pa.int64())  # safe: raises if lossy
+        t = pa.table({
+            "grp": batch[group_column],
+            "cw": pc.multiply(cents, w),
+            "w": w,
+        })
+        return (t.group_by(["grp"]).aggregate([("cw", "sum"), ("w", "sum")])
+                 .rename_columns(["grp", "cw", "w"]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        num = batch["cw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        den = batch["w"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            group_column: batch["grp"],
+            alias: pa.array(num / (100.0 * den), pa.float64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("grp")
+              .aggregate(Sum("cw", alias_name="cw"), Sum("w", alias_name="w"))
+              .map_batches(finish, batch_format="pyarrow"))
+
+
 def distinct_count(ds, group_column: str, value_column: str,
                    alias: str = "n_distinct") -> "ray.data.Dataset":
     """COUNT(DISTINCT value) per group. Per-batch partial dedupe (arrow

@@ -267,6 +267,48 @@ def value_quantiles(ds, column: str, qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0
     return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
 
 
+def quantile_cont_values(ds, column: str,
+                         qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
+    """Exact distributed CONTINUOUS (interpolated) quantiles of an integer
+    column — the ``quantile_cont`` / numpy-type-7 shape the disc-rule
+    sketches (``value_quantiles``) don't cover. Same dataflow: per-batch
+    value-count partials, one (value → count) sum groupby, tiny driver
+    cumsum over the distinct values; the two order statistics around
+    ``h = q·(n−1)`` are read exactly from the cumulative counts, then ONE
+    mirrored float64 convex combination ``(1−frac)·lo + frac·hi`` —
+    pinned empirically as DuckDB's exact expression order (the
+    ``lo + (hi−lo)·frac`` form differs in IEEE and hash-mismatches).
+    Float only in that final expression; everything upstream is int64."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"value": batch[column]})
+        t = t.filter(pc.is_valid(t["value"]))
+        return (t.group_by(["value"]).aggregate([([], "count_all")])
+                 .rename_columns(["value", "cnt"]))
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("value").aggregate(Sum("cnt", alias_name="cnt")))
+    rows = counts.take_all()  # tiny: one row per distinct value
+    rows.sort(key=lambda r: r["value"])
+    values = np.asarray([r["value"] for r in rows], dtype=np.int64)
+    cum = np.cumsum([r["cnt"] for r in rows])
+    n = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for q in qs:
+        if n == 0:
+            out[f"q{int(q * 100)}"] = None
+            continue
+        h = q * (n - 1)
+        k_lo, k_hi = int(np.floor(h)), int(np.ceil(h))
+        frac = h - k_lo
+        v_lo = float(values[int(np.searchsorted(cum, k_lo + 1))])
+        v_hi = float(values[int(np.searchsorted(cum, k_hi + 1))])
+        out[f"q{int(q * 100)}"] = (1.0 - frac) * v_lo + frac * v_hi
+    return pa.table({k: pa.array([v], pa.float64()) for k, v in out.items()})
+
+
 def grouped_quantiles(ds, group_column: str, value_column: str,
                       qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95)):
     """Exact distributed per-group quantiles of an integer column: the

@@ -2497,3 +2497,52 @@ def test_neardup_best_docs_pair_free_corpus(ray_session):
     kept = sorted(r["doc_id"] for r in
                   neardup_best_docs(docs, comp, scores).take_all())
     assert kept == [1, 2, 3]
+
+
+def test_weighted_avg_by_group_exact(ray_session):
+    """SUM(v*w)/SUM(w) per group in exact integer cents; non-integral
+    weights are rejected by the safe Arrow cast, not truncated."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import weighted_avg_by_group
+
+    t = pa.table({
+        "g": pa.array(["a", "a", "b", "b"], pa.string()),
+        "v": pa.array([10.00, 20.00, 5.555, None], pa.float64()),
+        "w": pa.array([1.0, 3.0, 2.0, 9.0], pa.float64()),
+    })
+    out = (weighted_avg_by_group(ray.data.from_arrow(t), "g", "v", "w")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    # a: (1000*1 + 2000*3) / (100*4) = 17.5; b: floor(555.5+0.5)=556 cents
+    assert list(out.g) == ["a", "b"]
+    assert list(out.w_avg) == [17.5, 556.0 * 2 / (100.0 * 2)]
+
+    bad = pa.table({
+        "g": pa.array(["a"], pa.string()),
+        "v": pa.array([1.0], pa.float64()),
+        "w": pa.array([1.5], pa.float64()),   # non-integral weight
+    })
+    with pytest.raises(Exception):
+        weighted_avg_by_group(ray.data.from_arrow(bad), "g", "v",
+                              "w").take_all()
+
+
+def test_quantile_cont_matches_duckdb(ray_session):
+    """Interpolated quantiles over a duplicate-heavy multiset must equal
+    DuckDB's quantile_cont bit-for-bit (convex-combination rule)."""
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import quantile_cont_values
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 40, 503).astype(np.int64)   # heavy duplicates
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    got = quantile_cont_values(
+        ray.data.from_arrow(t).repartition(7), "x",
+        qs=(0.25, 0.5, 0.75, 0.95, 0.33)).to_pydict()
+    con = duckdb.connect()
+    con.register("t", t)
+    for q, name in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"),
+                    (0.95, "q95"), (0.33, "q33")):
+        want = con.execute(
+            f"SELECT quantile_cont(x, {q}) FROM t").fetchone()[0]
+        assert got[name][0] == want, (name, got[name][0], want)
