@@ -1648,6 +1648,17 @@ def _q_doc_length_quantiles_cont(sf_dir: str):
     return quantile_cont_values(ds, "n_chars")
 
 
+def _q_doc_packing(sf_dir: str):
+    """Sequence packing: fixed 2048-char context bins under global
+    doc_id order via a distributed prefix sum (no global sort).
+    shard_size=100 so the toy corpora exercise multiple shards."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import pack_sequences
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+    return pack_sequences(ds, bin_budget=2048, shard_size=100)
+
+
 def _q_rolling_event_values(sf_dir: str):
     """Bounded ROWS-frame moving average per user (last-7-rows window)."""
     import ray.data
@@ -1996,6 +2007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_best_docs": _q_neardup_best_docs,
         "avg_price_by_flag": _q_avg_price_by_flag,
         "doc_length_quantiles_cont": _q_doc_length_quantiles_cont,
+        "doc_packing": _q_doc_packing,
     }
 
 
@@ -3380,6 +3392,17 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.75) AS q75,
                    quantile_cont(n_chars, 0.95) AS q95
             FROM documents
+        """,
+        "doc_packing": """
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS cost,
+                   CAST(SUM(n_chars) OVER w - n_chars AS BIGINT)
+                       AS start_offset,
+                   CAST((SUM(n_chars) OVER w - n_chars) // 2048 AS BIGINT)
+                       AS pack_id
+            FROM documents
+            WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+            WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
         """,
     }
     # the Bloom-prescreened path is EXACT by construction (no false

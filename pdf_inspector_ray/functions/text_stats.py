@@ -146,6 +146,81 @@ def fingerprint_batch(batch: pa.Table, text_column: str = "text") -> pa.Table:
     })
 
 
+def pack_sequences(ds, id_column: str = "doc_id",
+                   cost_column: str = "n_chars",
+                   bin_budget: int = 2048,
+                   shard_size: int = 1_000_000):
+    """Sequence packing for training: assign each doc a ``pack_id`` =
+    which fixed-budget context bin its START offset falls in, under the
+    global ``id_column`` order — ``pack_id = (cumsum_exclusive(cost)) //
+    bin_budget``. The classic pre-tokenization packing step, computed as
+    a DISTRIBUTED PREFIX SUM rather than a global sort: (1) one tiny
+    exchange sums ``cost`` per id-shard (``id // shard_size``; the
+    driver-side offset fold is bounded by #shards — pick ``shard_size``
+    so max_id/shard_size stays ~10^5-10^6 at corpus scale), (2) the
+    exclusive shard offsets are broadcast once with ``ray.put``, (3) one
+    ``groupby(shard)`` sweep sorts each shard locally by id and adds its
+    offset — no stage ever sees a global order. Deterministic and
+    partition-invariant: offsets are a pure function of the data.
+
+    SQL twin: ``(SUM(cost) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)
+    - cost) // bin_budget``."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if bin_budget < 1:
+        raise ValueError(f"bin_budget must be >= 1, got {bin_budget}")
+
+    def shard_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[id_column]),
+                                     pc.is_valid(batch[cost_column])))
+        t = pa.table({
+            "shard": pc.divide(batch[id_column],
+                               pa.scalar(shard_size, pa.int64())),
+            "cost": pc.cast(batch[cost_column], pa.int64()),
+        })
+        return (t.group_by(["shard"]).aggregate([("cost", "sum")])
+                 .rename_columns(["shard", "cost"]))
+
+    shard_sums = (ds.map_batches(shard_partial, batch_format="pyarrow")
+                    .groupby("shard")
+                    .aggregate(Sum("cost", alias_name="cost")).take_all())
+    shard_sums.sort(key=lambda r: r["shard"])
+    offsets, acc = {}, 0
+    for r in shard_sums:
+        offsets[r["shard"]] = acc
+        acc += r["cost"]
+    offsets_ref = ray.put(offsets)
+
+    def tag_shard(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[id_column]),
+                                     pc.is_valid(batch[cost_column])))
+        return pa.table({
+            id_column: batch[id_column],
+            "cost": pc.cast(batch[cost_column], pa.int64()),
+            "shard": pc.divide(batch[id_column],
+                               pa.scalar(shard_size, pa.int64())),
+        })
+
+    def sweep(group: pa.Table) -> pa.Table:
+        base = ray.get(offsets_ref)[group["shard"][0].as_py()]
+        ids = group[id_column].to_numpy(zero_copy_only=False)
+        cost = group["cost"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, cost = ids[order], cost[order]
+        start = base + np.cumsum(cost) - cost   # exclusive prefix sum
+        return pa.table({
+            id_column: pa.array(ids, pa.int64()),
+            "cost": pa.array(cost, pa.int64()),
+            "start_offset": pa.array(start, pa.int64()),
+            "pack_id": pa.array(start // bin_budget, pa.int64()),
+        })
+
+    return (ds.map_batches(tag_shard, batch_format="pyarrow")
+              .groupby("shard")
+              .map_groups(sweep, batch_format="pyarrow"))
+
+
 def assign_split_batch(batch: pa.Table, id_column: str = "doc_id",
                        train_bp: int = 8000, val_bp: int = 9000) -> pa.Table:
     """Deterministic train/val/test split: md5 of the id's decimal string

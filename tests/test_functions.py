@@ -2546,3 +2546,29 @@ def test_quantile_cont_matches_duckdb(ray_session):
         want = con.execute(
             f"SELECT quantile_cont(x, {q}) FROM t").fetchone()[0]
         assert got[name][0] == want, (name, got[name][0], want)
+
+
+def test_pack_sequences_prefix_sum_partition_invariant(ray_session):
+    """The distributed prefix sum must be a pure function of the data:
+    identical offsets/pack ids at any partitioning, exact greedy-start
+    bin assignment under global id order."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import pack_sequences
+
+    t = pa.table({
+        "doc_id": pa.array([4, 0, 7, 2, 11, 9], pa.int64()),
+        "n_chars": pa.array([5, 3, 10, 4, 2, 6], pa.int64()),
+    })
+    # id order: 0(3) 2(4) 4(5) 7(10) 9(6) 11(2) -> starts 0,3,7,12,22,28
+    want_start = [0, 3, 7, 12, 22, 28]
+    want_pack = [s // 10 for s in want_start]
+    for parts in (1, 3):
+        out = (pack_sequences(ray.data.from_arrow(t).repartition(parts),
+                              bin_budget=10, shard_size=5)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert list(out.doc_id) == [0, 2, 4, 7, 9, 11]
+        assert list(out.start_offset) == want_start, parts
+        assert list(out.pack_id) == want_pack, parts
+
+    with pytest.raises(ValueError):
+        pack_sequences(ray.data.from_arrow(t), bin_budget=0)
