@@ -1668,6 +1668,51 @@ def _q_rolling_event_values(sf_dir: str):
     return rolling_event_stats(ds, window=7)
 
 
+def _q_doc_ntile_buckets(sf_dir: str):
+    """Equal-frequency quality tiers: NTILE(4) within each language
+    ordered by (n_chars, doc_id) — relational.ntile_by_group (one
+    shuffle, closed-form rank arithmetic per group)."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import ntile_by_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang", "n_chars"])
+    return ntile_by_group(ds, "lang", "n_chars", "doc_id", n=4)
+
+
+def _q_revenue_share_by_flag(sf_dir: str):
+    """Ratio-to-report (relational.share_of_total): exact int cents
+    partials, grand total folded over the tiny aggregated result, ONE
+    mirrored float division."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import share_of_total
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_returnflag", "l_extendedprice"])
+    return share_of_total(ds, "l_returnflag", "l_extendedprice")
+
+
+def _q_user_event_types(sf_dir: str):
+    """Per-user distinct-sorted event-type profile
+    (relational.collect_distinct_sorted): string_agg(DISTINCT ... ORDER
+    BY) twin — distinct-pair partials shrink the exchange."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import collect_distinct_sorted
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+    return collect_distinct_sorted(ds, "user_id", "event_type")
+
+
+def _q_dedup_consecutive_events(sf_dir: str):
+    """Run-length de-bounce (relational.dedup_consecutive): drop a row
+    iff it repeats the previous row's event_type within the user's
+    (ts, event_id)-ordered stream — the LAG <> filter twin."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import dedup_consecutive
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    return dedup_consecutive(ds)
+
+
 def _q_distinct_users_by_type(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.relational import distinct_count
@@ -2008,6 +2053,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_price_by_flag": _q_avg_price_by_flag,
         "doc_length_quantiles_cont": _q_doc_length_quantiles_cont,
         "doc_packing": _q_doc_packing,
+        "doc_ntile_buckets": _q_doc_ntile_buckets,
+        "revenue_share_by_flag": _q_revenue_share_by_flag,
+        "user_event_types": _q_user_event_types,
+        "dedup_consecutive_events": _q_dedup_consecutive_events,
     }
 
 
@@ -3403,6 +3452,51 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
             WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        """,
+        "doc_ntile_buckets": """
+            SELECT doc_id, lang,
+                   NTILE(4) OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS bucket
+            FROM documents
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+              AND doc_id IS NOT NULL
+        """,
+        "revenue_share_by_flag": """
+            WITH g AS (
+                SELECT l_returnflag,
+                       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS sum_cents
+                FROM lineitem
+                WHERE l_returnflag IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, sum_cents,
+                   CAST(sum_cents AS DOUBLE)
+                       / CAST(SUM(sum_cents) OVER () AS DOUBLE) AS share
+            FROM g
+        """,
+        "user_event_types": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ','
+                              ORDER BY event_type) AS vals,
+                   COUNT(DISTINCT event_type) AS n_vals
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY user_id
+        """,
+        "dedup_consecutive_events": """
+            WITH e AS (
+                SELECT event_id, user_id, ts, event_type FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                  AND ts IS NOT NULL AND event_id IS NOT NULL
+            ), w AS (
+                SELECT *, lag(event_type) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                FROM e
+            )
+            SELECT event_id, user_id, ts, event_type FROM w
+            WHERE prev IS NULL OR prev <> event_type
         """,
     }
     # the Bloom-prescreened path is EXACT by construction (no false

@@ -1557,3 +1557,164 @@ def event_transitions(ds):
               .map_batches(partial, batch_format="pyarrow")
               .groupby(["from_type", "to_type"])
               .aggregate(Sum("n", alias_name="n")))
+
+
+def ntile_by_group(ds, group_column: str, order_column: str,
+                   tiebreak_column: str, n: int = 4,
+                   alias: str = "bucket") -> "ray.data.Dataset":
+    """NTILE(n) OVER (PARTITION BY group ORDER BY order, tiebreak) —
+    equal-frequency bucketing within each group, the standard recipe for
+    stratified curriculum/quality tiers over a training corpus.
+
+    SQL's NTILE rule: a partition of g rows gives the first ``g % n``
+    tiles ``ceil(g/n)`` rows and the rest ``floor(g/n)``. One shuffle
+    (groupby); the per-group pass is a numpy lexsort + closed-form rank
+    arithmetic — no Python row loop. Null order/tiebreak/group rows are
+    dropped up front (mirror with WHERE in the twin). Partitioning
+    assumption (same as every window function here): one group's rows
+    fit in a map_groups block.
+
+    SQL twin: ``NTILE(n) OVER (PARTITION BY grp ORDER BY ord, tie)``."""
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[group_column])
+        for c in (order_column, tiebreak_column):
+            keep = pc.and_(keep, pc.is_valid(batch[c]))
+        return batch.filter(keep).select(
+            [tiebreak_column, group_column, order_column])
+
+    def assign(group: pa.Table) -> pa.Table:
+        ordv = group[order_column].to_numpy(zero_copy_only=False)
+        tie = group[tiebreak_column].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, ordv))
+        g = len(order)
+        ranks = np.empty(g, dtype=np.int64)
+        ranks[order] = np.arange(g, dtype=np.int64)
+        base, rem = divmod(g, n)
+        split = rem * (base + 1)
+        # ranks < split land in the first `rem` (base+1)-sized tiles;
+        # the rest in base-sized tiles. max() guards the unused branch
+        # when base == 0 (np.where evaluates both).
+        buckets = np.where(
+            ranks < split,
+            ranks // (base + 1) + 1,
+            (ranks - split) // max(base, 1) + rem + 1)
+        out = group.select([tiebreak_column, group_column])
+        return out.append_column(alias, pa.array(buckets, pa.int64()))
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby(group_column)
+              .map_groups(assign, batch_format="pyarrow"))
+
+
+def share_of_total(ds, group_column: str, value_column: str,
+                   alias: str = "share") -> pa.Table:
+    """Ratio-to-report: each group's share of the grand total —
+    SUM(cents) per group / SUM over all groups. Exact int64 cents
+    partials (one row per batch × group on the exchange), ONE small
+    groupby; the grand total is folded on the driver over the
+    aggregated result, which is bounded by group cardinality, not row
+    count. Float64 appears only in the final division of two exactly
+    representable integers (exact below 2^53 total cents ≈ $90T), so
+    the twin is bit-identical.
+
+    SQL twin: ``CAST(sum_cents AS DOUBLE) /
+    CAST(SUM(sum_cents) OVER () AS DOUBLE)`` over the grouped CTE."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_column]),
+                                     pc.is_valid(batch[value_column])))
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(batch[value_column], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        t = pa.table({"grp": batch[group_column], "cents": cents})
+        return (t.group_by(["grp"]).aggregate([("cents", "sum")])
+                 .rename_columns(["grp", "cents"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("grp")
+             .aggregate(Sum("cents", alias_name="cents")))
+    rows = agg.take_all()  # bounded by group cardinality
+    grp = [r["grp"] for r in rows]
+    cents = np.array([r["cents"] for r in rows], dtype=np.int64)
+    total = float(cents.sum())
+    return pa.table({
+        group_column: pa.array(grp),
+        "sum_cents": pa.array(cents, pa.int64()),
+        alias: pa.array(cents.astype(np.float64) / total, pa.float64()),
+    })
+
+
+def collect_distinct_sorted(ds, group_column: str, value_column: str,
+                            sep: str = ",", alias: str = "vals",
+                            count_alias: str = "n_vals"
+                            ) -> "ray.data.Dataset":
+    """ARRAY_AGG(DISTINCT v ORDER BY v) per group, rendered as a
+    separator-joined string plus the distinct count — the profile/
+    feature-vector shape ("which event types has this user emitted").
+    Per-batch distinct-pair partial shrinks the exchange to unique
+    (group, value) pairs per batch; ONE shuffle; the per-group fold is
+    numpy unique + join. Values sort bytewise (numpy str ordering ==
+    DuckDB's binary collation for ASCII values). Null groups/values
+    dropped, as SQL aggregates do.
+
+    SQL twin: ``string_agg(DISTINCT v, sep ORDER BY v)`` +
+    ``COUNT(DISTINCT v)``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"grp": batch[group_column],
+                      "val": batch[value_column]})
+        t = t.filter(pc.and_(pc.is_valid(t["grp"]), pc.is_valid(t["val"])))
+        return (t.group_by(["grp", "val"]).aggregate([])
+                 .rename_columns(["grp", "val"]))
+
+    def fold(group: pa.Table) -> pa.Table:
+        vals = np.unique(group["val"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            group_column: group["grp"][:1],
+            alias: pa.array([sep.join(vals.tolist())], pa.string()),
+            count_alias: pa.array([len(vals)], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("grp")
+              .map_groups(fold, batch_format="pyarrow"))
+
+
+def dedup_consecutive(ds, group_column: str = "user_id",
+                      order_columns: tuple[str, str] = ("ts", "event_id"),
+                      value_column: str = "event_type"
+                      ) -> "ray.data.Dataset":
+    """Run-length dedup: within each group ordered by (ts, id), keep a
+    row iff its value differs from the previous row's (first row always
+    kept) — the streaming de-bounce used to strip repeated tool-call /
+    retry turns from transcripts. Null values and keys are dropped up
+    front (SQL's ``lag(v) <> v`` is NULL-poisoned otherwise; the twin
+    mirrors with WHERE). One shuffle; numpy lexsort + shifted-compare
+    per group, original rows returned by take() — no reconstruction.
+
+    SQL twin: ``... WHERE prev IS NULL OR prev <> v`` over
+    ``lag(v) OVER (PARTITION BY grp ORDER BY ts, id)``."""
+    ts_col, id_col = order_columns
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[value_column])
+        for c in (group_column, ts_col, id_col):
+            keep = pc.and_(keep, pc.is_valid(batch[c]))
+        return batch.filter(keep).select(
+            [id_col, group_column, ts_col, value_column])
+
+    def sweep(group: pa.Table) -> pa.Table:
+        ts = group[ts_col].to_numpy(zero_copy_only=False)
+        eid = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        vals = group[value_column].to_numpy(zero_copy_only=False)[order]
+        keep = np.empty(len(order), dtype=bool)
+        keep[0] = True
+        keep[1:] = vals[1:] != vals[:-1]
+        return group.take(pa.array(order[keep]))
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby(group_column)
+              .map_groups(sweep, batch_format="pyarrow"))

@@ -2572,3 +2572,92 @@ def test_pack_sequences_prefix_sum_partition_invariant(ray_session):
 
     with pytest.raises(ValueError):
         pack_sequences(ray.data.from_arrow(t), bin_budget=0)
+
+
+def test_ntile_by_group_matches_sql_rule(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import ntile_by_group
+
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "doc_id": pa.array(range(300), pa.int64()),
+        "lang": pa.array(rng.choice(["en", "fr", "xx"], 300)),
+        "n_chars": pa.array(rng.integers(0, 50, 300), pa.int64()),
+    })
+    for parts in (1, 4):
+        out = (ntile_by_group(ray.data.from_arrow(t).repartition(parts),
+                              "lang", "n_chars", "doc_id", n=4)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("d", t)
+        want = con.execute("""
+            SELECT doc_id, lang,
+                   NTILE(4) OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS bucket
+            FROM d ORDER BY doc_id""").df()
+        assert list(out.bucket) == list(want.bucket), parts
+
+    # tiny group (g < n): every row its own 1-row tile, buckets 1..g
+    tiny = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["en", "en"]),
+        "n_chars": pa.array([9, 3], pa.int64()),
+    })
+    out = (ntile_by_group(ray.data.from_arrow(tiny), "lang", "n_chars",
+                          "doc_id", n=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out.bucket) == [2, 1]  # doc 2 has fewer chars -> tile 1
+
+
+def test_share_of_total_exact_division(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import share_of_total
+
+    t = pa.table({
+        "g": pa.array(["a", "b", "a", None, "c"]),
+        "v": pa.array([1.25, 2.50, 0.25, 99.0, 6.00]),
+    })
+    out = share_of_total(ray.data.from_arrow(t), "g", "v")
+    d = {r["g"]: (r["sum_cents"], r["share"]) for r in out.to_pylist()}
+    assert d["a"] == (150, 150 / 1000.0)
+    assert d["b"] == (250, 250 / 1000.0)
+    assert d["c"] == (600, 600 / 1000.0)
+    assert None not in d  # null group dropped like SQL GROUP BY+WHERE
+
+
+def test_collect_distinct_sorted_profile(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import collect_distinct_sorted
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["view", "click", "view", "buy", None,
+                                "signup"]),
+    })
+    out = (collect_distinct_sorted(
+        ray.data.from_arrow(t).repartition(3), "user_id", "event_type")
+        .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert list(out.vals) == ["click,view", "buy", "signup"]
+    assert list(out.n_vals) == [2, 1, 1]
+
+
+def test_dedup_consecutive_keeps_run_heads(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import dedup_consecutive
+
+    ts = pa.array(np.arange(7).astype("datetime64[s]").astype(
+        "datetime64[us]"))
+    t = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 1], pa.int64()),
+        # user 1 stream: a a b b a ; user 2: a a
+        "event_type": pa.array(["a", "a", "b", "b", "a", "a", "a"]),
+    })
+    for parts in (1, 3):
+        out = (dedup_consecutive(ray.data.from_arrow(t).repartition(parts))
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        # kept: 0 (head of a-run), 2 (b-run), 6 (a after b), 4 (user 2 head)
+        assert list(out.event_id) == [0, 2, 4, 6], parts
+        assert list(out.event_type) == ["a", "b", "a", "a"], parts
