@@ -1713,6 +1713,28 @@ def _q_dedup_consecutive_events(sf_dir: str):
     return dedup_consecutive(ds)
 
 
+def _q_cheapest_part_per_brand(sf_dir: str):
+    """Deterministic ARG MIN (relational.argmin_by_group): one candidate
+    row per (batch, brand) on the exchange; winning rows pass through
+    byte-identical (no arithmetic)."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import argmin_by_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                               columns=["p_partkey", "p_brand",
+                                        "p_retailprice"])
+    return argmin_by_group(ds, "p_brand", "p_retailprice", "p_partkey")
+
+
+def _q_docs_cume_dist(sf_dir: str):
+    """Per-language CUME_DIST (relational.cume_dist_by_group): sort +
+    searchsorted rank per group, ONE mirrored integer division."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import cume_dist_by_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang", "n_chars"])
+    return cume_dist_by_group(ds, "lang", "n_chars", "doc_id")
+
+
 def _q_distinct_users_by_type(sf_dir: str):
     import ray.data
     from pdf_inspector_ray.functions.relational import distinct_count
@@ -2057,6 +2079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_share_by_flag": _q_revenue_share_by_flag,
         "user_event_types": _q_user_event_types,
         "dedup_consecutive_events": _q_dedup_consecutive_events,
+        "cheapest_part_per_brand": _q_cheapest_part_per_brand,
+        "docs_cume_dist": _q_docs_cume_dist,
     }
 
 
@@ -3484,6 +3508,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND user_id IS NOT NULL
             GROUP BY user_id
+        """,
+        "cheapest_part_per_brand": """
+            SELECT p_brand, p_retailprice, p_partkey FROM (
+                SELECT p_brand, p_retailprice, p_partkey,
+                       ROW_NUMBER() OVER (PARTITION BY p_brand
+                           ORDER BY p_retailprice, p_partkey) AS rn
+                FROM part
+                WHERE p_brand IS NOT NULL AND p_retailprice IS NOT NULL
+                  AND p_partkey IS NOT NULL
+            ) WHERE rn = 1
+        """,
+        "docs_cume_dist": """
+            SELECT doc_id, lang,
+                   CUME_DIST() OVER (PARTITION BY lang
+                                     ORDER BY n_chars) AS cd
+            FROM documents
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+              AND doc_id IS NOT NULL
         """,
         "dedup_consecutive_events": """
             WITH e AS (

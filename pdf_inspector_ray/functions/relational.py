@@ -1718,3 +1718,73 @@ def dedup_consecutive(ds, group_column: str = "user_id",
     return (ds.map_batches(prefilter, batch_format="pyarrow")
               .groupby(group_column)
               .map_groups(sweep, batch_format="pyarrow"))
+
+
+def argmin_by_group(ds, group_column: str, order_column: str,
+                    tiebreak_column: str) -> "ray.data.Dataset":
+    """Deterministic ARG MIN per group: the row whose (order, tiebreak)
+    pair is lexicographically smallest — SQL's ``ROW_NUMBER() OVER
+    (PARTITION BY g ORDER BY v, id) = 1``, i.e. ``min_by`` with the tie
+    pinned (DuckDB's bare ``min_by`` is tie-nondeterministic, so the
+    twin uses the window form). Per-batch partial: one numpy lexsort +
+    first-row-per-group mask emits ONE candidate row per (batch, group)
+    onto the exchange; the final per-group fold repeats the same argmin
+    over the few candidates. No value arithmetic — the winning row's
+    columns pass through byte-identical. Null keys/values dropped.
+    """
+
+    def _first_per_group(tbl: pa.Table) -> pa.Table:
+        grp = tbl[group_column].to_numpy(zero_copy_only=False)
+        v = tbl[order_column].to_numpy(zero_copy_only=False)
+        tie = tbl[tiebreak_column].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, v, grp))
+        g_sorted = grp[order]
+        head = np.empty(len(order), dtype=bool)
+        if len(order):
+            head[0] = True
+            head[1:] = g_sorted[1:] != g_sorted[:-1]
+        return tbl.take(pa.array(order[head]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[group_column])
+        for c in (order_column, tiebreak_column):
+            keep = pc.and_(keep, pc.is_valid(batch[c]))
+        batch = batch.filter(keep).select(
+            [group_column, order_column, tiebreak_column])
+        return _first_per_group(batch)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(group_column)
+              .map_groups(_first_per_group, batch_format="pyarrow"))
+
+
+def cume_dist_by_group(ds, group_column: str, order_column: str,
+                       id_column: str, alias: str = "cd"
+                       ) -> "ray.data.Dataset":
+    """CUME_DIST() OVER (PARTITION BY group ORDER BY value): fraction of
+    the partition's rows with value <= this row's (ties share the
+    fraction). One shuffle; the per-group pass is one numpy sort + a
+    searchsorted(side='right') rank divide — no row loop. The result is
+    one IEEE division of two integers below 2^53, so it is bit-identical
+    to the twin. Null keys/values dropped both sides."""
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[group_column])
+        for c in (order_column, id_column):
+            keep = pc.and_(keep, pc.is_valid(batch[c]))
+        return batch.filter(keep).select(
+            [id_column, group_column, order_column])
+
+    def rank(group: pa.Table) -> pa.Table:
+        v = group[order_column].to_numpy(zero_copy_only=False)
+        sv = np.sort(v)
+        cd = np.searchsorted(sv, v, side="right").astype(np.float64) / len(v)
+        return pa.table({
+            id_column: group[id_column],
+            group_column: group[group_column],
+            alias: pa.array(cd, pa.float64()),
+        })
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby(group_column)
+              .map_groups(rank, batch_format="pyarrow"))

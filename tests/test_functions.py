@@ -2661,3 +2661,37 @@ def test_dedup_consecutive_keeps_run_heads(ray_session):
         # kept: 0 (head of a-run), 2 (b-run), 6 (a after b), 4 (user 2 head)
         assert list(out.event_id) == [0, 2, 4, 6], parts
         assert list(out.event_type) == ["a", "b", "a", "a"], parts
+
+
+def test_argmin_by_group_deterministic_ties(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import argmin_by_group
+
+    t = pa.table({
+        "p_partkey": pa.array([5, 3, 9, 1, 7], pa.int64()),
+        "p_brand": pa.array(["x", "x", "x", "y", "y"]),
+        # brand x: price tie 2.0 between keys 5 and 3 -> key 3 wins
+        "p_retailprice": pa.array([2.0, 2.0, 8.0, 4.0, 4.0]),
+    })
+    for parts in (1, 3):
+        out = (argmin_by_group(ray.data.from_arrow(t).repartition(parts),
+                               "p_brand", "p_retailprice", "p_partkey")
+               .to_pandas().sort_values("p_brand").reset_index(drop=True))
+        assert list(out.p_partkey) == [3, 1], parts
+        assert list(out.p_retailprice) == [2.0, 4.0], parts
+
+
+def test_cume_dist_by_group_tie_fractions(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import cume_dist_by_group
+
+    t = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "lang": pa.array(["en"] * 4 + ["fr"]),
+        "n_chars": pa.array([10, 10, 20, 5, 1], pa.int64()),
+    })
+    out = (cume_dist_by_group(ray.data.from_arrow(t).repartition(2),
+                              "lang", "n_chars", "doc_id")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # en: 5 -> 1/4; the two 10s share 3/4; 20 -> 4/4. fr singleton -> 1.
+    assert list(out.cd) == [0.75, 0.75, 1.0, 0.25, 1.0]
