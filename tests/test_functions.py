@@ -2695,3 +2695,47 @@ def test_cume_dist_by_group_tie_fractions(ray_session):
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
     # en: 5 -> 1/4; the two 10s share 3/4; 20 -> 4/4. fr singleton -> 1.
     assert list(out.cd) == [0.75, 0.75, 1.0, 0.25, 1.0]
+
+
+def test_dedup_consecutive_matches_duckdb_on_random(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (
+        collect_distinct_sorted, dedup_consecutive)
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    ev = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array((rng.integers(0, 10**7, n) * 1000)
+                       .astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["a", "b", "c", None], n, p=[0.45, 0.35, 0.15, 0.05])),
+    })
+    con = duckdb.connect()
+    con.register("events", ev)
+
+    out = (dedup_consecutive(ray.data.from_arrow(ev).repartition(5))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    want = con.execute("""
+        WITH e AS (SELECT * FROM events WHERE event_type IS NOT NULL),
+        w AS (SELECT *, lag(event_type) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM e)
+        SELECT event_id, event_type FROM w
+        WHERE prev IS NULL OR prev <> event_type
+        ORDER BY event_id""").df()
+    assert list(out.event_id) == list(want.event_id)
+    assert list(out.event_type) == list(want.event_type)
+
+    out2 = (collect_distinct_sorted(ray.data.from_arrow(ev).repartition(5),
+                                    "user_id", "event_type")
+            .to_pandas().sort_values("user_id").reset_index(drop=True))
+    want2 = con.execute("""
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                   AS vals
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY user_id ORDER BY user_id""").df()
+    assert list(out2.vals) == list(want2.vals)
