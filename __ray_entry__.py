@@ -1713,6 +1713,16 @@ def _q_dedup_consecutive_events(sf_dir: str):
     return dedup_consecutive(ds)
 
 
+def _q_conv_stats(sf_dir: str):
+    """Per-conversation transcript profile (flagship.conv_stats): turn /
+    tool-call counts, total text codepoints, max turn_idx — integer
+    partials per (batch, conv), one groupby exchange."""
+    from pdf_inspector_ray.pipelines.flagship import conv_stats
+    ds = _transcripts_ds(sf_dir,
+                         columns=["conv_id", "turn_idx", "text", "tool"])
+    return conv_stats(ds)
+
+
 def _q_cheapest_part_per_brand(sf_dir: str):
     """Deterministic ARG MIN (relational.argmin_by_group): one candidate
     row per (batch, brand) on the exchange; winning rows pass through
@@ -2081,6 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_consecutive_events": _q_dedup_consecutive_events,
         "cheapest_part_per_brand": _q_cheapest_part_per_brand,
         "docs_cume_dist": _q_docs_cume_dist,
+        "conv_stats": _q_conv_stats,
     }
 
 
@@ -3508,6 +3519,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND user_id IS NOT NULL
             GROUP BY user_id
+        """,
+        "conv_stats": f"""
+            SELECT conv_id,
+                   COUNT(*) AS n_turns,
+                   CAST(SUM(CASE WHEN coalesce(tool, '') <> ''
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+                   CAST(SUM(length(coalesce(text, ''))) AS BIGINT)
+                       AS sum_chars,
+                   CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx
+            FROM {corpus}
+            GROUP BY conv_id
         """,
         "cheapest_part_per_brand": """
             SELECT p_brand, p_retailprice, p_partkey FROM (

@@ -215,3 +215,48 @@ def run_to_partitioned_output(ds: ray.data.Dataset,
     metrics["partitions_written_this_run"] = written
     metrics["partitions_skipped_this_run"] = len(completed)
     return metrics
+
+
+def conv_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-conversation transcript profile: turn count, tool-call count,
+    total text codepoints, max turn_idx — the corpus-curation signals a
+    transcript pipeline filters on (conversation length caps, tool-heavy
+    sessions, truncated conversations).
+
+    Per-batch Arrow group_by partials shrink the exchange to one row per
+    (batch, conv_id); the final groupby sums/maxes the partials, so a
+    mega-conversation costs its partial count, never its rows. All
+    integer arithmetic (utf8_length == DuckDB length(): codepoints).
+
+    SQL twin: COUNT(*) / SUM(CASE tool<>'') / SUM(length(text)) /
+    MAX(turn_idx) GROUP BY conv_id."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(
+            pc.coalesce(batch["text"], pa.scalar(""))), pa.int64())
+        tool_call = pc.cast(pc.not_equal(
+            pc.coalesce(batch["tool"], pa.scalar("")), pa.scalar("")),
+            pa.int64())
+        t = pa.table({
+            "conv_id": batch["conv_id"],
+            "n_turns": pa.array(np.ones(len(batch), np.int64)),
+            "n_tool_calls": tool_call,
+            "sum_chars": n_chars,
+            "max_turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+        })
+        return (t.group_by(["conv_id"]).aggregate(
+            [("n_turns", "sum"), ("n_tool_calls", "sum"),
+             ("sum_chars", "sum"), ("max_turn_idx", "max")])
+            .rename_columns(["conv_id", "n_turns", "n_tool_calls",
+                             "sum_chars", "max_turn_idx"]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("conv_id")
+              .aggregate(Sum("n_turns", alias_name="n_turns"),
+                         Sum("n_tool_calls", alias_name="n_tool_calls"),
+                         Sum("sum_chars", alias_name="sum_chars"),
+                         Max("max_turn_idx", alias_name="max_turn_idx")))

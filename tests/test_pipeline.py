@@ -293,3 +293,22 @@ def test_salting_splits_mega_conversation():
     counts = collections.Counter(parts)
     assert len(counts) >= 3  # spread across buckets
     assert max(counts.values()) <= 2 * DEFAULT_STRIDE  # no hot reducer
+
+
+def test_conv_stats_partials(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdf_inspector_ray.pipelines.flagship import conv_stats
+
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "a", "b"]),
+        "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+        "text": pa.array(["héllo", "xy", None, "zzz"]),
+        "tool": pa.array(["", "pdf_reader", "pdf_reader", None]),
+    })
+    out = (conv_stats(ray.data.from_arrow(t).repartition(2))
+           .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    assert list(out.n_turns) == [3, 1]
+    assert list(out.n_tool_calls) == [2, 0]
+    assert list(out.sum_chars) == [7, 3]  # utf8 codepoints, null -> 0
+    assert list(out.max_turn_idx) == [2, 0]
