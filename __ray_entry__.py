@@ -1723,6 +1723,15 @@ def _q_conv_stats(sf_dir: str):
     return conv_stats(ds)
 
 
+def _q_conv_turn_gaps(sf_dir: str):
+    """Per-conversation inter-turn cadence (flagship.conv_turn_gaps):
+    argsort + diff per group, int64 end-to-end; single-turn convs get
+    NULL total/max like SQL over an empty LAG set."""
+    from pdf_inspector_ray.pipelines.flagship import conv_turn_gaps
+    ds = _transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "ts"])
+    return conv_turn_gaps(ds)
+
+
 def _q_cheapest_part_per_brand(sf_dir: str):
     """Deterministic ARG MIN (relational.argmin_by_group): one candidate
     row per (batch, brand) on the exchange; winning rows pass through
@@ -2092,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cheapest_part_per_brand": _q_cheapest_part_per_brand,
         "docs_cume_dist": _q_docs_cume_dist,
         "conv_stats": _q_conv_stats,
+        "conv_turn_gaps": _q_conv_turn_gaps,
     }
 
 
@@ -3530,6 +3540,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx
             FROM {corpus}
             GROUP BY conv_id
+        """,
+        "conv_turn_gaps": f"""
+            WITH t AS (
+                SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us
+                FROM {corpus}
+                WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                  AND ts IS NOT NULL
+            ), g AS (
+                SELECT conv_id,
+                       ts_us - lag(ts_us) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx) AS gap
+                FROM t
+            )
+            SELECT conv_id,
+                   COUNT(gap) AS n_gaps,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap_us
+            FROM g GROUP BY conv_id
         """,
         "cheapest_part_per_brand": """
             SELECT p_brand, p_retailprice, p_partkey FROM (

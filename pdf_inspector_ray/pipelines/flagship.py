@@ -260,3 +260,46 @@ def conv_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
                          Sum("n_tool_calls", alias_name="n_tool_calls"),
                          Sum("sum_chars", alias_name="sum_chars"),
                          Max("max_turn_idx", alias_name="max_turn_idx")))
+
+
+def conv_turn_gaps(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-conversation cadence: number of inter-turn gaps, their total
+    and max in microseconds, under turn_idx order — the signal used to
+    split stalled agent sessions and cap runaway tool loops.
+
+    One shuffle (groupby conv_id); the per-group pass is a numpy argsort
+    + diff — all int64, so the twin (SUM/MAX over LAG differences)
+    matches exactly. Single-turn conversations report 0 gaps with
+    NULL total/max, like SQL aggregates over an empty LAG set."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["conv_id"]),
+                       pc.and_(pc.is_valid(batch["turn_idx"]),
+                               pc.is_valid(batch["ts"])))
+        batch = batch.filter(keep)
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    def sweep(group: pa.Table) -> pa.Table:
+        idx = group["turn_idx"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        gaps = np.diff(ts[np.argsort(idx)])
+        n = len(gaps)
+        return pa.table({
+            "conv_id": group["conv_id"][:1],
+            "n_gaps": pa.array([n], pa.int64()),
+            "sum_gap_us": pa.array([int(gaps.sum()) if n else None],
+                                   pa.int64()),
+            "max_gap_us": pa.array([int(gaps.max()) if n else None],
+                                   pa.int64()),
+        })
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby("conv_id")
+              .map_groups(sweep, batch_format="pyarrow"))

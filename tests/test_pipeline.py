@@ -312,3 +312,25 @@ def test_conv_stats_partials(ray_session):
     assert list(out.n_tool_calls) == [2, 0]
     assert list(out.sum_chars) == [7, 3]  # utf8 codepoints, null -> 0
     assert list(out.max_turn_idx) == [2, 0]
+
+
+def test_conv_turn_gaps_single_turn_null(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from pdf_inspector_ray.pipelines.flagship import conv_turn_gaps
+
+    ts = pa.array([0, 5_000_000, 7_000_000, 99],
+                  pa.timestamp("us"))
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "a", "b"]),
+        # turn order deliberately scrambled vs row order
+        "turn_idx": pa.array([2, 0, 1, 0], pa.int32()),
+        "ts": ts,
+    })
+    out = (conv_turn_gaps(ray.data.from_arrow(t).repartition(2))
+           .to_pandas().sort_values("conv_id").reset_index(drop=True))
+    # conv a ordered by turn_idx: ts 5s, 7s, 0s -> gaps +2s, -7s
+    import pandas as pd
+    assert list(out.n_gaps) == [2, 0]
+    assert out.sum_gap_us[0] == -5_000_000 and pd.isna(out.sum_gap_us[1])
+    assert out.max_gap_us[0] == 2_000_000 and pd.isna(out.max_gap_us[1])
