@@ -1732,6 +1732,24 @@ def _q_conv_turn_gaps(sf_dir: str):
     return conv_turn_gaps(ds)
 
 
+def _q_neardup_edit_distances(sf_dir: str):
+    """Exact edit distance between each verified near-dup pair's first
+    64 codepoints (dedup.verify_pairs_levenshtein): byte-exact DuckDB
+    ``levenshtein`` twin; texts attached by reduce-side joins so the
+    corpus never pays the pair join."""
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import (
+        jaccard_prefix_candidates, verify_pairs_jaccard,
+        verify_pairs_levenshtein)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    cands = jaccard_prefix_candidates(ds, threshold=EXACT_JACCARD_T)
+    pairs = verify_pairs_jaccard(cands, _docs_lookup(sf_dir),
+                                 threshold=EXACT_JACCARD_T
+                                 ).select_columns(["doc_a", "doc_b"])
+    return verify_pairs_levenshtein(pairs, ds, cap=64)
+
+
 def _q_cheapest_part_per_brand(sf_dir: str):
     """Deterministic ARG MIN (relational.argmin_by_group): one candidate
     row per (batch, brand) on the exchange; winning rows pass through
@@ -2102,6 +2120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cume_dist": _q_docs_cume_dist,
         "conv_stats": _q_conv_stats,
         "conv_turn_gaps": _q_conv_turn_gaps,
+        "neardup_edit_distances": _q_neardup_edit_distances,
     }
 
 
@@ -3540,6 +3559,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx
             FROM {corpus}
             GROUP BY conv_id
+        """,
+        "neardup_edit_distances": f"""
+            WITH {_jaccard_ctes(EXACT_JACCARD_T)}
+            SELECT p.doc_a, p.doc_b,
+                   levenshtein(substr(da.text, 1, 64),
+                               substr(db.text, 1, 64)) AS lev
+            FROM jpairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

@@ -1348,3 +1348,57 @@ def jaccard_prefix_candidates(ds, threshold: float = 0.8, k: int = 3,
                  .groupby("part").map_groups(expand,
                                              batch_format="pyarrow"))
     return _dedupe_pairs(pairs)
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Unit-cost edit distance over UTF-8 BYTES — the same definition
+    as DuckDB's ``levenshtein()`` (probed empirically:
+    levenshtein('é','a') = 2, i.e. byte- not codepoint-based), so the
+    integer result is oracle-exact by construction. Row-DP with the
+    sequential insert chain closed in vector form: each row computes
+    the delete/substitute candidates in one numpy step, then resolves
+    cur[j] = min_k<=j (cand[k] + (j-k)) via ``np.minimum.accumulate`` on
+    (cand - j) — O(len(a)) numpy ops total, no per-cell Python."""
+    aa = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    bb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    la, lb = len(aa), len(bb)
+    if not la:
+        return lb
+    if not lb:
+        return la
+    steps = np.arange(lb + 1, dtype=np.int64)
+    prev = steps.copy()
+    for i in range(la):
+        cand = np.minimum(prev[1:] + 1, prev[:-1] + (bb != aa[i]))
+        seq = np.concatenate(([np.int64(i + 1)], cand)) - steps
+        prev = np.minimum.accumulate(seq) + steps
+    return int(prev[-1])
+
+
+def verify_pairs_levenshtein(pairs_ds, docs_ds, cap: int = 64,
+                             alias: str = "lev"):
+    """Attach the exact edit distance of the two docs' first ``cap``
+    codepoints to each candidate pair — the cheap lexical-proximity
+    check a near-dup pipeline runs between LSH candidacy and expensive
+    full-text verification. Texts are attached via the reduce-side
+    ``_attach_side_column`` joins (pairs pay the join, never the
+    corpus); the cap bounds the per-pair DP at O(cap²) regardless of
+    document length, and is mirrored by ``substr(text, 1, cap)`` in the
+    SQL twin (both sides slice codepoints)."""
+    import pyarrow.compute as pc
+
+    if pairs_ds.schema() is None:  # pair-free corpus (Ray empty-ds quirk)
+        return pairs_ds
+
+    with_a = _attach_side_column(pairs_ds, docs_ds, "doc_a", "__text_a")
+    with_b = _attach_side_column(with_a, docs_ds, "doc_b", "__text_b")
+
+    def compute(batch: pa.Table) -> pa.Table:
+        ta = batch["__text_a"].to_pylist()
+        tb = batch["__text_b"].to_pylist()
+        lev = [levenshtein((x or "")[:cap], (y or "")[:cap])
+               for x, y in zip(ta, tb)]
+        out = batch.drop_columns(["__text_a", "__text_b"])
+        return out.append_column(alias, pa.array(lev, pa.int64()))
+
+    return with_b.map_batches(compute, batch_format="pyarrow")

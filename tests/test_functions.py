@@ -2739,3 +2739,66 @@ def test_dedup_consecutive_matches_duckdb_on_random(ray_session):
         FROM events WHERE event_type IS NOT NULL
         GROUP BY user_id ORDER BY user_id""").df()
     assert list(out2.vals) == list(want2.vals)
+
+
+def test_levenshtein_matches_reference_dp_and_duckdb():
+    """The vectorized row-DP levenshtein equals a cell-by-cell reference
+    DP on random byte strings, handles empty/unicode edges, and agrees
+    with DuckDB's byte-based levenshtein() (the oracle twin)."""
+    import duckdb
+    import numpy as np
+
+    from pdf_inspector_ray.functions.dedup import levenshtein
+
+    def ref(a: str, b: str) -> int:
+        aa, bb = a.encode("utf-8"), b.encode("utf-8")
+        prev = list(range(len(bb) + 1))
+        for i, ca in enumerate(aa):
+            cur = [i + 1]
+            for j, cb in enumerate(bb):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                               prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    assert levenshtein("", "") == 0
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "") == 3
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("é", "a") == 2  # UTF-8 bytes, not codepoints
+
+    rng = np.random.default_rng(7)
+    alpha = "abcde é"
+    cases = []
+    for _ in range(60):
+        a = "".join(rng.choice(list(alpha), rng.integers(0, 20)))
+        b = "".join(rng.choice(list(alpha), rng.integers(0, 20)))
+        cases.append((a, b))
+        assert levenshtein(a, b) == ref(a, b)
+
+    con = duckdb.connect()
+    for a, b in cases[:20]:
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert levenshtein(a, b) == want, (a, b)
+
+
+def test_verify_pairs_levenshtein(ray_session):
+    """Pair texts attach via the reduce-side joins and the cap slices
+    codepoints on both sides before the DP."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_inspector_ray.functions.dedup import verify_pairs_levenshtein
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["hello world", "hello wurld", "x" * 100 + "tail"],
+    }))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([1, 3], pa.int64()),
+        "doc_b": pa.array([2, 3], pa.int64()),
+    }))
+    out = (verify_pairs_levenshtein(pairs, docs, cap=64)
+           .to_pandas().sort_values("doc_a").reset_index(drop=True))
+    assert list(out.columns) == ["doc_a", "doc_b", "lev"]
+    assert out.lev.tolist() == [1, 0]  # cap=64 hides the differing tail
