@@ -1988,6 +1988,80 @@ def _q_html_extract(sf_dir: str):
                                    _cast_markdown_str, batch_format="pyarrow")
 
 
+def _q_winsorized_chars_by_lang(sf_dir: str):
+    """Outlier-robust per-language size budget
+    (text_stats.winsorized_sum_by_group): n_chars clipped to the exact
+    per-lang [p10, p90] band then summed — value-count-sketch bounds
+    pass + one partial-sum pass, all integers so the DuckDB
+    least/greatest twin hashes exactly."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import winsorized_sum_by_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["lang", "n_chars"])
+    return winsorized_sum_by_group(ds, "lang", "n_chars")
+
+
+def _q_vocab_by_source(sf_dir: str):
+    """Vocabulary size per source (text_stats.vocab_size_by_group):
+    COUNT(DISTINCT whitespace-token) with per-batch distinct-pair
+    partials so the exchange is vocabulary-bounded."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import vocab_size_by_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "text"])
+    return vocab_size_by_group(ds, "source")
+
+
+def _q_event_trigrams(sf_dir: str):
+    """Behavioral trigram mining (relational.event_kgrams): counts of
+    each 3-step event_type run within a user's (ts, event_id)-ordered
+    stream, global count >= 2 — the LAG-compose twin."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import event_kgrams
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    return event_kgrams(ds, k=3, min_count=2)
+
+
+def _q_user_active_intervals(sf_dir: str):
+    """Interval union per user (relational.merge_intervals_by_group):
+    each event opens a [ts, ts + (event_id % 120 + 1) s] activity
+    window; overlapping windows merge and the islands + covered span
+    are reported — the gaps-and-islands MAX() OVER twin, all integer
+    microseconds."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from pdf_inspector_ray.functions.relational import merge_intervals_by_group
+
+    def to_intervals(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        s = pc.cast(batch["ts"], pa.int64())
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        dur = (eid % 120 + 1) * 1_000_000
+        e = s.to_numpy(zero_copy_only=False) + dur
+        return pa.table({"user_id": batch["user_id"], "s": s,
+                         "e": pa.array(e, pa.int64())})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id"])
+    iv = ds.map_batches(to_intervals, batch_format="pyarrow")
+    return merge_intervals_by_group(iv, "user_id", "s", "e")
+
+
+def _q_prefix_contained_docs(sf_dir: str):
+    """Strict prefix-containment dedup (dedup.prefix_contained_docs):
+    docs whose full text is a strict prefix of another doc's — bucketed
+    by the first 16 codepoints (exact candidate partition), sorted-
+    unique successor test within each bucket, never all-pairs."""
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import prefix_contained_docs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return prefix_contained_docs(ds, min_len=16)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order IS the driver-gate rotation policy (PARITY.md):
     the driver's CORRECTNESS gate checks only the first 50 entries, so
@@ -2121,6 +2195,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": _q_conv_stats,
         "conv_turn_gaps": _q_conv_turn_gaps,
         "neardup_edit_distances": _q_neardup_edit_distances,
+        "winsorized_chars_by_lang": _q_winsorized_chars_by_lang,
+        "vocab_by_source": _q_vocab_by_source,
+        "event_trigrams": _q_event_trigrams,
+        "user_active_intervals": _q_user_active_intervals,
+        "prefix_contained_docs": _q_prefix_contained_docs,
     }
 
 
@@ -3568,6 +3647,95 @@ def oracle_sql() -> dict[str, str]:
             FROM jpairs p
             JOIN documents da ON da.doc_id = p.doc_a
             JOIN documents db ON db.doc_id = p.doc_b
+        """,
+        "winsorized_chars_by_lang": """
+            WITH q AS (
+                SELECT lang,
+                       quantile_disc(n_chars, 0.1) AS lo,
+                       quantile_disc(n_chars, 0.9) AS hi
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                GROUP BY lang
+            )
+            SELECT d.lang, q.lo, q.hi,
+                   CAST(SUM(least(greatest(d.n_chars, q.lo), q.hi))
+                        AS BIGINT) AS winsorized_sum,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM documents d JOIN q USING (lang)
+            WHERE d.n_chars IS NOT NULL
+            GROUP BY d.lang, q.lo, q.hi
+        """,
+        "vocab_by_source": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           w -> w <> '')) AS term
+                FROM documents
+                WHERE source IS NOT NULL AND text IS NOT NULL
+            )
+            SELECT source, COUNT(DISTINCT term) AS n_terms
+            FROM toks GROUP BY source
+        """,
+        "event_trigrams": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                  AND user_id IS NOT NULL AND event_id IS NOT NULL
+            ),
+            w AS (
+                SELECT lag(event_type, 2) OVER win AS p2,
+                       lag(event_type, 1) OVER win AS p1,
+                       event_type AS cur
+                FROM e
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT p2 || '>' || p1 || '>' || cur AS gram,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM w WHERE p2 IS NOT NULL AND p1 IS NOT NULL
+            GROUP BY 1 HAVING COUNT(*) >= 2
+        """,
+        "user_active_intervals": """
+            WITH iv AS (
+                SELECT user_id, epoch_us(ts) AS s,
+                       epoch_us(ts) + (event_id % 120 + 1) * 1000000 AS e
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+                  AND event_id IS NOT NULL
+            ),
+            w AS (
+                SELECT user_id, s, e,
+                       MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+                FROM iv
+            ),
+            g AS (
+                SELECT user_id, s, e,
+                       SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS isl
+                FROM w
+            ),
+            m AS (
+                SELECT user_id, isl, MIN(s) AS ms, MAX(e) AS me
+                FROM g GROUP BY user_id, isl
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                   CAST(SUM(me - ms) AS BIGINT) AS covered
+            FROM m GROUP BY user_id
+        """,
+        "prefix_contained_docs": """
+            SELECT DISTINCT a.doc_id
+            FROM documents a
+            JOIN documents b
+              ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+             AND b.doc_id <> a.doc_id
+             AND len(b.text) > len(a.text)
+             AND substr(b.text, 1, len(a.text)) = a.text
+            WHERE len(a.text) >= 16
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

@@ -1402,3 +1402,58 @@ def verify_pairs_levenshtein(pairs_ds, docs_ds, cap: int = 64,
         return out.append_column(alias, pa.array(lev, pa.int64()))
 
     return with_b.map_batches(compute, batch_format="pyarrow")
+
+
+def prefix_contained_docs(ds, text_column: str = "text",
+                          id_column: str = "doc_id", min_len: int = 16):
+    """Docs whose full text is a STRICT prefix of another doc's text —
+    the cheap cousin of exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): truncated re-crawls
+    and stale partial snapshots are prefix-contained in their superset
+    document and should be dropped.
+
+    Dataflow: bucket by the first ``min_len`` codepoints (a strict
+    prefix pair necessarily shares them, so the bucket groupby is an
+    exact candidate partition — no recall loss); within each bucket,
+    sort the UNIQUE texts and test each against only its immediate
+    successor. That adjacency test is exact, not a heuristic: in any
+    lexicographic order, every string strictly between a prefix ``s``
+    and its superstring ``t`` itself starts with ``s``, so ``s`` is a
+    prefix of some bucket-mate iff it is a prefix of its immediate
+    sorted successor. Per-bucket work is O(u log u) on u unique texts,
+    vectorized (numpy unique + elementwise startswith), never all-pairs.
+
+    Docs shorter than ``min_len`` are out of scope (mirror the SQL twin
+    with ``len(text) >= min_len``; they're covered by ``exact_dedup``).
+    At corpus scale pick ``min_len`` long enough that boilerplate
+    headers don't pile into one hot bucket — the bucket key is the
+    partition key."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keep = pc.and_(pc.is_valid(batch[text_column]),
+                       pc.greater_equal(
+                           pc.utf8_length(batch[text_column]), min_len))
+        batch = batch.filter(keep)
+        bucket = pc.utf8_slice_codeunits(batch[text_column], 0, min_len)
+        return pa.table({"bucket": bucket,
+                         "doc_id": batch[id_column],
+                         "text": batch[text_column]})
+
+    def find(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        texts = group["text"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(texts, return_inverse=True)
+        if len(uniq) < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        u = uniq.astype(str)  # U-dtype for the vectorized char kernels
+        contained = np.zeros(len(u), dtype=bool)
+        lens = np.char.str_len(u)
+        contained[:-1] = (lens[1:] > lens[:-1]) & np.char.startswith(
+            u[1:], u[:-1])
+        out = ids[contained[inv]]
+        return pa.table({"doc_id": pa.array(np.sort(out), pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(find, batch_format="pyarrow"))

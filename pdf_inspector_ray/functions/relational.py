@@ -1788,3 +1788,123 @@ def cume_dist_by_group(ds, group_column: str, order_column: str,
     return (ds.map_batches(prefilter, batch_format="pyarrow")
               .groupby(group_column)
               .map_groups(rank, batch_format="pyarrow"))
+
+
+def event_kgrams(ds, k: int = 3, min_count: int = 2,
+                 group_column: str = "user_id",
+                 order_columns: tuple[str, str] = ("ts", "event_id"),
+                 value_column: str = "event_type"
+                 ) -> "ray.data.Dataset":
+    """Behavioral sequence mining: count each length-``k`` run of
+    consecutive event types within a user's (ts, id)-ordered stream —
+    the "what do users do next" n-gram table that feeds next-action
+    models and funnel discovery. Windows never cross users.
+
+    One shuffle co-locates each user; the per-group sweep is the
+    ``dedup_consecutive`` lexsort plus a vectorized shifted join (no
+    Python loop over events), folded to per-group (gram, count)
+    partials, so the second exchange is gram-vocabulary-bounded — at
+    most |event_types|^k distinct rows per group — never event-bounded.
+    Null values/keys are dropped up front (the SQL twin's WHERE; grams
+    are over the surviving sequence, matching ``lag`` over the filtered
+    stream). Grams with global count < ``min_count`` are dropped.
+
+    SQL twin: compose ``lag(v, k-1) || '>' || ... || v`` over
+    ``PARTITION BY grp ORDER BY ts, id`` on the null-filtered stream,
+    then GROUP BY having count >= min_count."""
+    ts_col, id_col = order_columns
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[value_column])
+        for c in (group_column, ts_col, id_col):
+            keep = pc.and_(keep, pc.is_valid(batch[c]))
+        return batch.filter(keep).select(
+            [id_col, group_column, ts_col, value_column])
+
+    def sweep(group: pa.Table) -> pa.Table:
+        ts = group[ts_col].to_numpy(zero_copy_only=False)
+        eid = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        n = len(order) - k + 1
+        if n <= 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        vals = (group[value_column].combine_chunks()
+                .take(pa.array(order)))
+        shifted = [vals.slice(j, n) for j in range(k)]
+        grams = pc.binary_join_element_wise(*shifted, ">")
+        return (pa.table({"gram": grams})
+                .group_by(["gram"]).aggregate([([], "count_all")])
+                .rename_columns(["gram", "cnt"]))
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(prefilter, batch_format="pyarrow")
+                .groupby(group_column)
+                .map_groups(sweep, batch_format="pyarrow")
+                .groupby("gram").aggregate(Sum("cnt", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = pa.table({"gram": batch["gram"],
+                      "n": pc.cast(batch["n"], pa.int64())})
+        return t.filter(pc.greater_equal(t["n"], min_count))
+
+    return counts.map_batches(finish, batch_format="pyarrow")
+
+
+def merge_intervals_by_group(ds, group_column: str = "user_id",
+                             start_column: str = "s",
+                             end_column: str = "e"
+                             ) -> "ray.data.Dataset":
+    """Interval union per group (gaps-and-islands): merge overlapping or
+    touching [s, e] intervals within each group and report how many
+    merged islands remain plus the total covered span — the activity-
+    coverage primitive behind "hours of audio after overlap removal" /
+    "distinct busy time per user" rollups.
+
+    One shuffle co-locates each group's intervals (a group carries its
+    interval count, not its raw event count, if the caller pre-reduces);
+    the per-group sweep is fully vectorized: lexsort by (s, e), running
+    ``np.maximum.accumulate`` of ends, an island starts where s exceeds
+    the previous running max (touching intervals s == prev_max MERGE,
+    matching the twin's ``s > prev_max`` island test), and per-island
+    spans fall out of ``np.maximum.accumulate`` at island boundaries.
+    Integer microseconds in, int64 out — hash-exact against the classic
+    MAX() OVER (... ROWS ... 1 PRECEDING) gaps-and-islands SQL.
+
+    Rows with a null key or endpoint are dropped up front (the twin's
+    WHERE); intervals with e < s are kept as zero-length points at s
+    (twin mirrors with greatest(e, s))."""
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[group_column])
+        for c in (start_column, end_column):
+            keep = pc.and_(keep, pc.is_valid(batch[c]))
+        batch = batch.filter(keep)
+        s = pc.cast(batch[start_column], pa.int64())
+        e = pc.max_element_wise(pc.cast(batch[end_column], pa.int64()), s)
+        return pa.table({"grp": batch[group_column], "s": s, "e": e})
+
+    def sweep(group: pa.Table) -> pa.Table:
+        s = group["s"].to_numpy(zero_copy_only=False)
+        e = group["e"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((e, s))
+        s, e = s[order], e[order]
+        run_max = np.maximum.accumulate(e)
+        new_island = np.empty(len(s), dtype=bool)
+        new_island[0] = True
+        new_island[1:] = s[1:] > run_max[:-1]
+        starts = np.flatnonzero(new_island)
+        island_end = np.empty(len(starts), np.int64)
+        island_end[:-1] = run_max[starts[1:] - 1]
+        island_end[-1] = run_max[-1]
+        covered = int((island_end - s[starts]).sum())
+        return pa.table({
+            group_column: group["grp"][:1],
+            "n_intervals": pa.array([len(starts)], pa.int64()),
+            "covered": pa.array([covered], pa.int64()),
+        })
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby("grp")
+              .map_groups(sweep, batch_format="pyarrow"))

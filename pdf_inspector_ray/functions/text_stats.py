@@ -1096,3 +1096,107 @@ def approx_quantiles(ds, column: str,
         out[f"q{int(q * 100)}"] = edge
     return pa.table({k2: pa.array([v], pa.float64())
                      for k2, v in out.items()})
+
+
+def winsorized_sum_by_group(ds, group_column: str, value_column: str,
+                            q_lo: float = 0.1, q_hi: float = 0.9):
+    """Outlier-robust grouped sum: clip each value to its group's exact
+    ``[quantile_disc(q_lo), quantile_disc(q_hi)]`` band, then sum — the
+    winsorized statistic corpus reports use so a handful of pathological
+    documents can't dominate a per-language size budget.
+
+    Two streaming passes (the unavoidable data dependency: clipping
+    needs the bounds). Pass 1 is the ``grouped_quantiles`` value-count
+    sketch (exchange bounded by groups × distinct values — pre-bin
+    continuous columns at corpus scale); the tiny (group, lo, hi) table
+    is broadcast via ``ray.put``. Pass 2 clips vectorized per batch and
+    ships ONE partial (sum, count) row per (batch, group) into the final
+    groupby. Integer in, integer out: the sum of clipped int64 is exact,
+    so the DuckDB ``least(greatest(v, lo), hi)`` twin hash-matches.
+
+    Null group or value rows are dropped (they carry no quantile
+    information in pass 1, and SQL SUM/COUNT(value) ignores them)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lohi = int(q_lo * 100), int(q_hi * 100)
+    bt = grouped_quantiles(ds, group_column, value_column, qs=(q_lo, q_hi))
+    bounds = {g: (lo, hi) for g, lo, hi in zip(
+        bt[group_column].to_pylist(),
+        bt[f"q{lohi[0]}"].to_pylist(), bt[f"q{lohi[1]}"].to_pylist())}
+    bounds_ref = ray.put(bounds)
+
+    def clip_partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_column]),
+                                     pc.is_valid(batch[value_column])))
+        grp = batch[group_column]
+        # dictionary-encode the group column so the dict lookup runs once
+        # per distinct group per batch, not once per row
+        enc = pc.dictionary_encode(grp.combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        lo = np.asarray([b[g][0] for g in uniq], np.int64)[codes]
+        hi = np.asarray([b[g][1] for g in uniq], np.int64)[codes]
+        x = pc.cast(batch[value_column], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        clipped = np.minimum(np.maximum(x, lo), hi)
+        return (pa.table({"grp": grp,
+                          "wsum": pa.array(clipped, pa.int64()),
+                          "n": pa.array(np.ones(len(clipped), np.int64))})
+                .group_by(["grp"]).aggregate([("wsum", "sum"), ("n", "sum")])
+                .rename_columns(["grp", "wsum", "n"]))
+
+    agg = (ds.map_batches(clip_partial, batch_format="pyarrow")
+             .groupby("grp")
+             .aggregate(Sum("wsum", alias_name="winsorized_sum"),
+                        Sum("n", alias_name="n_rows")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        grps = batch["grp"].to_pylist()
+        return pa.table({
+            group_column: batch["grp"],
+            "lo": pa.array([b[g][0] for g in grps], pa.int64()),
+            "hi": pa.array([b[g][1] for g in grps], pa.int64()),
+            "winsorized_sum": pc.cast(batch["winsorized_sum"], pa.int64()),
+            "n_rows": pc.cast(batch["n_rows"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def vocab_size_by_group(ds, group_column: str = "source",
+                        text_column: str = "text",
+                        alias: str = "n_terms"):
+    """Vocabulary size per group: COUNT(DISTINCT whitespace-token) — the
+    Heaps'-law curve input and the first sanity check on a new corpus
+    slice (a source whose vocabulary stops growing is template spam).
+
+    Per-batch tokenize + local distinct (group, term) pairs shrink the
+    exchange to unique pairs per batch — vocabulary- not corpus-bounded —
+    then one groupby co-locates each group and counts its unique terms
+    vectorized (the ``distinct_count`` dataflow over exploded tokens).
+    Tokenizer is the corpus-wide whitespace rule shared with the
+    ``regexp_split_to_array(text, '\\s+')`` SQL twin."""
+    from pdf_inspector_ray.functions.decontam import _gram_rows
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_column]),
+                                     pc.is_valid(batch[text_column])))
+        idx, terms = _gram_rows(batch[text_column], 1)
+        grp = batch[group_column].combine_chunks().take(
+            pa.array(idx, pa.int64()))
+        return (pa.table({"grp": grp, "term": terms})
+                .group_by(["grp", "term"]).aggregate([])
+                .rename_columns(["grp", "term"]))
+
+    def count_group(group: pa.Table) -> pa.Table:
+        return pa.table({
+            group_column: group["grp"][:1],
+            alias: pa.array([len(pc.unique(group["term"]))], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("grp")
+              .map_groups(count_group, batch_format="pyarrow"))

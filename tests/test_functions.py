@@ -2802,3 +2802,132 @@ def test_verify_pairs_levenshtein(ray_session):
            .to_pandas().sort_values("doc_a").reset_index(drop=True))
     assert list(out.columns) == ["doc_a", "doc_b", "lev"]
     assert out.lev.tolist() == [1, 0]  # cap=64 hides the differing tail
+
+
+def test_winsorized_sum_by_group_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import winsorized_sum_by_group
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    t = pa.table({
+        "lang": pa.array(rng.choice(["en", "fr", "zh", None], n,
+                                    p=[0.5, 0.3, 0.15, 0.05])),
+        "n_chars": pa.array(rng.integers(1, 1000, n), pa.int64()),
+    })
+    out = (winsorized_sum_by_group(
+               ray.data.from_arrow(t).repartition(5), "lang", "n_chars")
+           .to_pandas().sort_values("lang").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute("""
+        WITH q AS (
+            SELECT lang, quantile_disc(n_chars, 0.1) AS lo,
+                   quantile_disc(n_chars, 0.9) AS hi
+            FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+        SELECT d.lang, q.lo, q.hi,
+               CAST(SUM(least(greatest(d.n_chars, q.lo), q.hi)) AS BIGINT)
+                   AS winsorized_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM documents d JOIN q USING (lang)
+        GROUP BY d.lang, q.lo, q.hi ORDER BY d.lang""").df()
+    assert out.lang.tolist() == want.lang.tolist()
+    assert out.lo.tolist() == want.lo.tolist()
+    assert out.hi.tolist() == want.hi.tolist()
+    assert out.winsorized_sum.tolist() == want.winsorized_sum.tolist()
+    assert out.n_rows.tolist() == want.n_rows.tolist()
+
+
+def test_vocab_size_by_group_partition_invariant(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import vocab_size_by_group
+
+    t = pa.table({
+        "source": pa.array(["web", "web", "pdf", "pdf", None]),
+        "text": pa.array(["a b  c", "b c d", "x", None, "zz"]),
+    })
+    for parts in (1, 4):
+        out = (vocab_size_by_group(ray.data.from_arrow(t).repartition(parts))
+               .to_pandas().sort_values("source").reset_index(drop=True))
+        # pdf: {x}; web: {a,b,c,d}; null source / null text dropped
+        assert out.source.tolist() == ["pdf", "web"], parts
+        assert out.n_terms.tolist() == [1, 4], parts
+
+
+def test_event_kgrams_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import event_kgrams
+
+    rng = np.random.default_rng(47)
+    n = 3000
+    ev = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array((rng.integers(0, 10**6, n) * 1000)
+                       .astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["a", "b", "c", None], n, p=[0.4, 0.35, 0.2, 0.05])),
+    })
+    out = (event_kgrams(ray.data.from_arrow(ev).repartition(5),
+                        k=3, min_count=2)
+           .to_pandas().sort_values("gram").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute("""
+        WITH e AS (SELECT * FROM events WHERE event_type IS NOT NULL),
+        w AS (SELECT lag(event_type, 2) OVER win AS p2,
+                     lag(event_type, 1) OVER win AS p1,
+                     event_type AS cur
+              FROM e WINDOW win AS (
+                  PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT p2 || '>' || p1 || '>' || cur AS gram,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM w WHERE p2 IS NOT NULL
+        GROUP BY 1 HAVING COUNT(*) >= 2 ORDER BY gram""").df()
+    assert out.gram.tolist() == want.gram.tolist()
+    assert out.n.tolist() == want.n.tolist()
+
+
+def test_merge_intervals_by_group_islands(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import merge_intervals_by_group
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        # user 1: [0,10] [5,8] (nested) [10,20] (touching -> merges)
+        #         [30,40] -> 2 islands covering 20 + 10 = 30
+        # user 2: [0,5] [6,7] -> 2 islands covering 5 + 1 = 6
+        "s": pa.array([0, 5, 10, 30, 0, 6], pa.int64()),
+        "e": pa.array([10, 8, 20, 40, 5, 7], pa.int64()),
+    })
+    for parts in (1, 3):
+        out = (merge_intervals_by_group(
+                   ray.data.from_arrow(t).repartition(parts))
+               .to_pandas().sort_values("user_id").reset_index(drop=True))
+        assert out.n_intervals.tolist() == [2, 2], parts
+        assert out.covered.tolist() == [30, 6], parts
+
+
+def test_prefix_contained_docs_exact(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.dedup import prefix_contained_docs
+
+    base = "alpha beta gamma delta "  # > 16 chars
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            base,                     # 0: prefix of 1 and 2 -> contained
+            base + "epsilon",         # 1: prefix of 2 -> contained
+            base + "epsilon zeta",    # 2: maximal
+            base[:10],                # 3: < min_len -> out of scope
+            "unrelated text entirely here",  # 4: different bucket
+            base,                     # 5: duplicate of 0 -> contained
+        ]),
+    })
+    for parts in (1, 3):
+        out = (prefix_contained_docs(
+                   ray.data.from_arrow(t).repartition(parts))
+               .to_pandas())
+        assert sorted(out.doc_id.tolist()) == [0, 1, 5], parts
