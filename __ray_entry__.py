@@ -2062,6 +2062,72 @@ def _q_prefix_contained_docs(sf_dir: str):
     return prefix_contained_docs(ds, min_len=16)
 
 
+def _q_late_orders_by_priority(sf_dir: str):
+    """TPC-H-Q4-flavored correlated EXISTS
+    (relational.late_orders_by_priority): orders with any line shipped
+    after the order date, counted per priority. EXISTS rewritten as
+    MAX(l_shipdate) > o_orderdate so lineitem collapses to one row per
+    order before the hash join; int64-microsecond comparisons keep the
+    twin exact."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import late_orders_by_priority
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    lineitem = ray.data.read_parquet(
+        li_path, columns=["l_orderkey", "l_shipdate"])
+    return late_orders_by_priority(
+        orders, lineitem,
+        num_partitions=_exchange_parts(_footer_rows(li_path)))
+
+
+def _q_priority_by_linestatus(sf_dir: str):
+    """TPC-H-Q12-flavored conditional aggregation
+    (relational.priority_counts_by_linestatus): per line status, line
+    counts split into high-priority (1-URGENT/2-HIGH) vs low-priority
+    orders. Count partials pre-aggregated per (orderkey, linestatus)
+    before the join; all-integer CASE-WHEN twin."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (
+        priority_counts_by_linestatus)
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"])
+    lineitem = ray.data.read_parquet(
+        li_path, columns=["l_orderkey", "l_linestatus"])
+    return priority_counts_by_linestatus(
+        orders, lineitem,
+        num_partitions=_exchange_parts(_footer_rows(li_path)))
+
+
+def _q_longest_event_runs(sf_dir: str):
+    """Run-length profile per user (relational.longest_run_by_group):
+    number of maximal same-event-type runs and the longest run in each
+    user's (ts, event_id)-ordered stream — vectorized run-length encode
+    per group, gaps-and-islands twin."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import longest_run_by_group
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    return longest_run_by_group(ds)
+
+
+def _q_doc_outliers_iqr(sf_dir: str):
+    """Per-language IQR outlier quarantine (text_stats.iqr_outlier_docs):
+    docs whose n_chars falls outside [q1 - IQR/2, q3 + IQR/2] of their
+    language — half-IQR fences doubled into integer comparisons
+    (2v < 2·q1 - IQR) so no 0.5 float ever materializes and the twin
+    hashes exactly."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import iqr_outlier_docs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang", "n_chars"])
+    return iqr_outlier_docs(ds, "lang", "n_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order IS the driver-gate rotation policy (PARITY.md):
     the driver's CORRECTNESS gate checks only the first 50 entries, so
@@ -2200,6 +2266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": _q_event_trigrams,
         "user_active_intervals": _q_user_active_intervals,
         "prefix_contained_docs": _q_prefix_contained_docs,
+        "late_orders_by_priority": _q_late_orders_by_priority,
+        "priority_by_linestatus": _q_priority_by_linestatus,
+        "longest_event_runs": _q_longest_event_runs,
+        "doc_outliers_iqr": _q_doc_outliers_iqr,
     }
 
 
@@ -3736,6 +3806,76 @@ def oracle_sql() -> dict[str, str]:
              AND len(b.text) > len(a.text)
              AND substr(b.text, 1, len(a.text)) = a.text
             WHERE len(a.text) >= 16
+        """,
+        "late_orders_by_priority": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS late_order_count
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "priority_by_linestatus": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_linestatus
+        """,
+        "longest_event_runs": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                  AND user_id IS NOT NULL AND event_id IS NOT NULL
+            ),
+            w AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN lag(event_type) OVER win
+                                 IS DISTINCT FROM event_type
+                            THEN 1 ELSE 0 END AS brk
+                FROM e
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            g AS (
+                SELECT user_id,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS run_id
+                FROM w
+            ),
+            r AS (
+                SELECT user_id, run_id, COUNT(*) AS run_len
+                FROM g GROUP BY user_id, run_id
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+                   CAST(MAX(run_len) AS BIGINT) AS max_run
+            FROM r GROUP BY user_id
+        """,
+        "doc_outliers_iqr": """
+            WITH q AS (
+                SELECT lang,
+                       quantile_disc(n_chars, 0.25) AS q1,
+                       quantile_disc(n_chars, 0.75) AS q3
+                FROM documents
+                WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   CASE WHEN 2 * d.n_chars < 2 * q.q1 - (q.q3 - q.q1)
+                        THEN 'low' ELSE 'high' END AS side
+            FROM documents d JOIN q USING (lang)
+            WHERE d.n_chars IS NOT NULL
+              AND (2 * d.n_chars < 2 * q.q1 - (q.q3 - q.q1)
+                   OR 2 * d.n_chars > 2 * q.q3 + (q.q3 - q.q1))
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

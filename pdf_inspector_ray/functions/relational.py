@@ -1908,3 +1908,156 @@ def merge_intervals_by_group(ds, group_column: str = "user_id",
     return (ds.map_batches(prefilter, batch_format="pyarrow")
               .groupby("grp")
               .map_groups(sweep, batch_format="pyarrow"))
+
+
+def late_orders_by_priority(orders_ds, lineitem_ds,
+                            num_partitions: int = JOIN_PARTITIONS
+                            ) -> "ray.data.Dataset":
+    """Orders with at least one line shipped AFTER the order date,
+    counted per priority — the correlated-EXISTS shape of TPC-H Q4
+    (reference parity family: order_priority_revenue) rewritten as an
+    aggregate: EXISTS(l_shipdate > o_orderdate) ⟺
+    MAX(l_shipdate) > o_orderdate, so lineitem collapses to one
+    (orderkey, max_ship) row BEFORE the join instead of probing per
+    line. Per-batch max partials shrink the first exchange ~4×; the
+    exact per-order max is one keyed groupby; one large×large hash
+    join; the priority rollup is partial-merged (tiny final exchange).
+    All comparisons are int64 microseconds — the SQL twin hashes
+    exactly."""
+    from ray.data.aggregate import Max, Sum
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "ship_us": pc.cast(batch["l_shipdate"], pa.int64())})
+        return (t.group_by(["l_orderkey"]).aggregate([("ship_us", "max")])
+                 .rename_columns(["l_orderkey", "ship_us"]))
+
+    last_ship = (lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+                 .groupby("l_orderkey")
+                 .aggregate(Max("ship_us", alias_name="max_ship")))
+    joined = hash_join(
+        orders_ds, last_ship, on="o_orderkey", right_on="l_orderkey",
+        num_partitions=num_partitions,
+        left_schema=[("o_orderkey", pa.int64()),
+                     ("o_orderdate", pa.timestamp("us")),
+                     ("o_orderpriority", pa.string())],
+        right_schema=[("l_orderkey", pa.int64()),
+                      ("max_ship", pa.int64())])
+
+    def late_partial(batch: pa.Table) -> pa.Table:
+        late = pc.greater(batch["max_ship"],
+                          pc.cast(batch["o_orderdate"], pa.int64()))
+        t = pa.table({"o_orderpriority": batch["o_orderpriority"]}
+                     ).filter(late)
+        return (t.group_by(["o_orderpriority"])
+                 .aggregate([([], "count_all")])
+                 .rename_columns(["o_orderpriority", "n"]))
+
+    counts = (joined.map_batches(late_partial, batch_format="pyarrow")
+                    .groupby("o_orderpriority")
+                    .aggregate(Sum("n", alias_name="late_order_count")))
+    return counts.map_batches(
+        lambda b: pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "late_order_count": pc.cast(b["late_order_count"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def priority_counts_by_linestatus(orders_ds, lineitem_ds,
+                                  num_partitions: int = JOIN_PARTITIONS
+                                  ) -> "ray.data.Dataset":
+    """TPC-H-Q12-flavored conditional aggregation: per line status, how
+    many lineitems belong to high-priority (1-URGENT / 2-HIGH) orders
+    vs everything else. Lineitem pre-aggregates (orderkey, linestatus)
+    COUNT partials inside map_batches (count is distributive — partials
+    need no reduce before the join), one large×large hash join carries
+    the tiny count column, then per-batch CASE-WHEN partials fold into
+    a 2-row final groupby. All-integer, so the SQL twin's
+    SUM(CASE WHEN ...) hashes exactly."""
+    from ray.data.aggregate import Sum
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["l_orderkey", "l_linestatus"])
+        return (t.group_by(["l_orderkey", "l_linestatus"])
+                 .aggregate([([], "count_all")])
+                 .rename_columns(["l_orderkey", "l_linestatus", "cnt"]))
+
+    li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(
+        orders_ds, li, on="o_orderkey", right_on="l_orderkey",
+        num_partitions=num_partitions,
+        left_schema=[("o_orderkey", pa.int64()),
+                     ("o_orderpriority", pa.string())],
+        right_schema=[("l_orderkey", pa.int64()),
+                      ("l_linestatus", pa.string()),
+                      ("cnt", pa.int64())])
+
+    def case_partial(batch: pa.Table) -> pa.Table:
+        hi = pc.is_in(batch["o_orderpriority"],
+                      value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False)
+        him = hi.to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "l_linestatus": batch["l_linestatus"],
+            "hi": pa.array(np.where(him, cnt, 0), pa.int64()),
+            "lo": pa.array(np.where(him, 0, cnt), pa.int64()),
+        })
+        return (t.group_by(["l_linestatus"])
+                 .aggregate([("hi", "sum"), ("lo", "sum")])
+                 .rename_columns(["l_linestatus", "hi", "lo"]))
+
+    agg = (joined.map_batches(case_partial, batch_format="pyarrow")
+                 .groupby("l_linestatus")
+                 .aggregate(Sum("hi", alias_name="high_line_count"),
+                            Sum("lo", alias_name="low_line_count")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "l_linestatus": b["l_linestatus"],
+            "high_line_count": pc.cast(b["high_line_count"], pa.int64()),
+            "low_line_count": pc.cast(b["low_line_count"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def longest_run_by_group(ds, group_column: str = "user_id",
+                         order_columns: tuple[str, str] = ("ts", "event_id"),
+                         value_column: str = "event_type"
+                         ) -> "ray.data.Dataset":
+    """Run-length profile per group: number of maximal same-value runs
+    and the longest run length in each group's (ts, id)-ordered stream —
+    the "is this user stuck in a retry loop / is this doc a repeated
+    template" signal (the grouped cousin of ``repetition_stats``).
+
+    One shuffle co-locates each group; the per-group sweep is a
+    vectorized run-length encode (lexsort + shifted inequality +
+    ``np.flatnonzero`` / ``np.diff``), no Python loop over events.
+    Null keys/values are dropped up front; runs are over the surviving
+    sequence, matching the SQL twin's LAG over the filtered stream.
+    Output is int64 — hash-exact against the gaps-and-islands twin."""
+    ts_col, id_col = order_columns
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[value_column])
+        for c in (group_column, ts_col, id_col):
+            keep = pc.and_(keep, pc.is_valid(batch[c]))
+        return batch.filter(keep).select(
+            [id_col, group_column, ts_col, value_column])
+
+    def sweep(group: pa.Table) -> pa.Table:
+        ts = group[ts_col].to_numpy(zero_copy_only=False)
+        eid = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        v = group[value_column].to_numpy(zero_copy_only=False)[order]
+        brk = np.empty(len(v), dtype=bool)
+        brk[0] = True
+        brk[1:] = v[1:] != v[:-1]
+        starts = np.flatnonzero(brk)
+        run_lens = np.diff(np.append(starts, len(v)))
+        return pa.table({
+            group_column: group[group_column][:1],
+            "n_runs": pa.array([len(starts)], pa.int64()),
+            "max_run": pa.array([int(run_lens.max())], pa.int64()),
+        })
+
+    return (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby(group_column)
+              .map_groups(sweep, batch_format="pyarrow"))

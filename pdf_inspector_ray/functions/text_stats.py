@@ -1200,3 +1200,49 @@ def vocab_size_by_group(ds, group_column: str = "source",
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("grp")
               .map_groups(count_group, batch_format="pyarrow"))
+
+
+def iqr_outlier_docs(ds, group_column: str, value_column: str,
+                     id_column: str = "doc_id", k_halves: int = 1):
+    """Per-group IQR outlier filter: rows whose value falls outside
+    ``[q1 - (k_halves/2)·IQR, q3 + (k_halves/2)·IQR]`` of their group —
+    the classic box-plot fence used to quarantine pathological documents
+    before training. ``k_halves`` counts HALF-IQRs so every comparison
+    stays in integers: ``v < q1 - (k/2)·IQR ⟺ 2v < 2·q1 - k·IQR``
+    (exact for int64 — no 0.5 float ever materializes, so the SQL twin
+    with the same doubled inequality hashes exactly).
+
+    Same two-pass dataflow as ``winsorized_sum_by_group``: exact
+    per-group q1/q3 from the value-count sketch (pass 1, exchange
+    bounded by groups × distinct values), bounds broadcast via
+    ``ray.put``, then a streaming vectorized filter pass that only emits
+    the outliers (output is outlier-bounded, not corpus-bounded)."""
+    import ray
+
+    bt = grouped_quantiles(ds, group_column, value_column, qs=(0.25, 0.75))
+    bounds = {g: (q1, q3) for g, q1, q3 in zip(
+        bt[group_column].to_pylist(),
+        bt["q25"].to_pylist(), bt["q75"].to_pylist())}
+    bounds_ref = ray.put(bounds)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        b = ray.get(bounds_ref)
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_column]),
+                                     pc.is_valid(batch[value_column])))
+        enc = pc.dictionary_encode(batch[group_column].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        q1 = np.asarray([b[g][0] for g in uniq], np.int64)[codes]
+        q3 = np.asarray([b[g][1] for g in uniq], np.int64)[codes]
+        iqr = q3 - q1
+        v2 = 2 * pc.cast(batch[value_column], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        low = v2 < 2 * q1 - k_halves * iqr
+        high = v2 > 2 * q3 + k_halves * iqr
+        keep = low | high
+        out = batch.select([id_column, group_column, value_column]) \
+                   .filter(pa.array(keep))
+        side = np.where(low[keep], "low", "high")
+        return out.append_column("side", pa.array(side, pa.string()))
+
+    return ds.map_batches(flag, batch_format="pyarrow")

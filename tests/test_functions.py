@@ -2931,3 +2931,127 @@ def test_prefix_contained_docs_exact(ray_session):
                    ray.data.from_arrow(t).repartition(parts))
                .to_pandas())
         assert sorted(out.doc_id.tolist()) == [0, 1, 5], parts
+
+
+def test_late_orders_by_priority_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import late_orders_by_priority
+
+    rng = np.random.default_rng(53)
+    n_orders, n_lines = 300, 1200
+    orders = pa.table({
+        "o_orderkey": pa.array(range(n_orders), pa.int64()),
+        "o_orderdate": pa.array((rng.integers(0, 10**6, n_orders)
+                                 * 1_000_000).astype("datetime64[us]")),
+        "o_orderpriority": pa.array(rng.choice(
+            ["1-URGENT", "2-HIGH", "5-LOW"], n_orders)),
+    })
+    lineitem = pa.table({
+        "l_orderkey": pa.array(rng.integers(0, n_orders, n_lines),
+                               pa.int64()),
+        "l_shipdate": pa.array((rng.integers(0, 10**6, n_lines)
+                                * 1_000_000).astype("datetime64[us]")),
+    })
+    out = (late_orders_by_priority(
+               ray.data.from_arrow(orders).repartition(3),
+               ray.data.from_arrow(lineitem).repartition(4),
+               num_partitions=5)
+           .to_pandas().sort_values("o_orderpriority")
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("orders", orders)
+    con.register("lineitem", lineitem)
+    want = con.execute("""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders o WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""").df()
+    assert out.o_orderpriority.tolist() == want.o_orderpriority.tolist()
+    assert out.late_order_count.tolist() == want.n.tolist()
+
+
+def test_priority_counts_by_linestatus_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (
+        priority_counts_by_linestatus)
+
+    rng = np.random.default_rng(59)
+    n_orders, n_lines = 200, 900
+    orders = pa.table({
+        "o_orderkey": pa.array(range(n_orders), pa.int64()),
+        "o_orderpriority": pa.array(rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"], n_orders)),
+    })
+    lineitem = pa.table({
+        "l_orderkey": pa.array(rng.integers(0, n_orders, n_lines),
+                               pa.int64()),
+        "l_linestatus": pa.array(rng.choice(["O", "F"], n_lines)),
+    })
+    out = (priority_counts_by_linestatus(
+               ray.data.from_arrow(orders).repartition(3),
+               ray.data.from_arrow(lineitem).repartition(4),
+               num_partitions=5)
+           .to_pandas().sort_values("l_linestatus").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("orders", orders)
+    con.register("lineitem", lineitem)
+    want = con.execute("""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS hi,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                             ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS lo
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_linestatus ORDER BY l_linestatus""").df()
+    assert out.l_linestatus.tolist() == want.l_linestatus.tolist()
+    assert out.high_line_count.tolist() == want.hi.tolist()
+    assert out.low_line_count.tolist() == want.lo.tolist()
+
+
+def test_longest_run_by_group_hand_case(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import longest_run_by_group
+
+    ts = pa.array(np.arange(8).astype("datetime64[s]").astype(
+        "datetime64[us]"))
+    t = pa.table({
+        "event_id": pa.array(range(8), pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2, 2], pa.int64()),
+        # user 1: a a a b a -> runs (3,1,1), 3 runs, max 3
+        # user 2: b b None -> null dropped -> 1 run of 2
+        "event_type": pa.array(["a", "a", "a", "b", "a",
+                                "b", "b", None]),
+    })
+    for parts in (1, 3):
+        out = (longest_run_by_group(
+                   ray.data.from_arrow(t).repartition(parts))
+               .to_pandas().sort_values("user_id").reset_index(drop=True))
+        assert out.n_runs.tolist() == [3, 1], parts
+        assert out.max_run.tolist() == [3, 2], parts
+
+
+def test_iqr_outlier_docs_integer_fences(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import iqr_outlier_docs
+
+    # n=7 -> quantile_disc ranks ceil(0.25*7)-1=1 and ceil(0.75*7)-1=5:
+    # q1=100, q3=104, IQR=4 -> half-IQR fences (2v < 196 | 2v > 212),
+    # i.e. v < 98 or v > 106: 10 is low, 200 is high, the rest inside
+    t = pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "lang": pa.array(["en"] * 7),
+        "n_chars": pa.array([10, 100, 101, 102, 103, 104, 200],
+                            pa.int64()),
+    })
+    for parts in (1, 3):
+        out = (iqr_outlier_docs(ray.data.from_arrow(t).repartition(parts),
+                                "lang", "n_chars")
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        assert out.doc_id.tolist() == [0, 6], parts
+        assert out.side.tolist() == ["low", "high"], parts
