@@ -2128,6 +2128,31 @@ def _q_doc_outliers_iqr(sf_dir: str):
     return iqr_outlier_docs(ds, "lang", "n_chars")
 
 
+def _q_rolling_active_users(sf_dir: str):
+    """Trailing 7-day active users per event day
+    (relational.rolling_active_users): distinct (day, user) pairs
+    expanded ×7 into their window days (pair-bounded fan-out, never
+    event-bounded), one groupby counts unique users; non-event days are
+    dropped by the offset-0 marker inside the same sweep."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import rolling_active_users
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id"])
+    return rolling_active_users(ds, window_days=7)
+
+
+def _q_source_vocab_jaccard(sf_dir: str):
+    """Vocabulary Jaccard between sources
+    (text_stats.source_vocab_jaccard): one term-keyed exchange feeds
+    both pair intersections and per-source vocab sizes; jaccard is a
+    single int/int float64 division (exact < 2^53)."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import source_vocab_jaccard
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "text"])
+    return source_vocab_jaccard(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order IS the driver-gate rotation policy (PARITY.md):
     the driver's CORRECTNESS gate checks only the first 50 entries, so
@@ -2270,6 +2295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_by_linestatus": _q_priority_by_linestatus,
         "longest_event_runs": _q_longest_event_runs,
         "doc_outliers_iqr": _q_doc_outliers_iqr,
+        "rolling_active_users": _q_rolling_active_users,
+        "source_vocab_jaccard": _q_source_vocab_jaccard,
     }
 
 
@@ -3876,6 +3903,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.n_chars IS NOT NULL
               AND (2 * d.n_chars < 2 * q.q1 - (q.q3 - q.q1)
                    OR 2 * d.n_chars > 2 * q.q3 + (q.q3 - q.q1))
+        """,
+        "rolling_active_users": """
+            WITH du AS (
+                SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                       user_id
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ),
+            days AS (SELECT DISTINCT day FROM du)
+            SELECT d.day,
+                   CAST(COUNT(DISTINCT u.user_id) AS BIGINT)
+                       AS active_users
+            FROM days d
+            JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+            GROUP BY d.day
+        """,
+        "source_vocab_jaccard": r"""
+            WITH pairs AS (
+                SELECT DISTINCT source,
+                       unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           w -> w <> '')) AS term
+                FROM documents
+                WHERE source IS NOT NULL AND text IS NOT NULL
+            ),
+            j AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(COUNT(*) AS BIGINT) AS inter_terms
+                FROM pairs a
+                JOIN pairs b ON a.term = b.term AND a.source < b.source
+                GROUP BY 1, 2
+            ),
+            v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM pairs GROUP BY source)
+            SELECT source_a, source_b, inter_terms,
+                   va.n + vb.n - inter_terms AS union_terms,
+                   CAST(inter_terms AS DOUBLE)
+                       / (va.n + vb.n - inter_terms) AS jaccard
+            FROM j
+            JOIN v va ON va.source = source_a
+            JOIN v vb ON vb.source = source_b
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

@@ -2061,3 +2061,61 @@ def longest_run_by_group(ds, group_column: str = "user_id",
     return (ds.map_batches(prefilter, batch_format="pyarrow")
               .groupby(group_column)
               .map_groups(sweep, batch_format="pyarrow"))
+
+
+def rolling_active_users(ds, window_days: int = 7,
+                         ts_column: str = "ts",
+                         user_column: str = "user_id"
+                         ) -> "ray.data.Dataset":
+    """Trailing-window active users (the WAU/MAU curve): for every day
+    that has at least one event, the count of DISTINCT users active in
+    the ``window_days``-day window ending that day.
+
+    A windowed COUNT(DISTINCT) doesn't decompose into partials, so the
+    classic trick: collapse events to distinct (day, user) pairs per
+    batch (day-cardinality-bounded, not event-bounded), EXPAND each
+    pair to the ``window_days`` window days it contributes to (a
+    bounded ×W fan-out of the tiny pair stream — W=7 here, never the
+    raw events), then one groupby(window_day) counts unique users
+    vectorized. A pair expanded with offset 0 marks its window day as a
+    real event day; windows whose day saw no events are dropped in the
+    same group sweep (no driver-side day list, no second pass).
+    Day = floor(epoch_us / 86_400_000_000) as int64, matching the SQL
+    twin's integer division."""
+    US_PER_DAY = 86_400_000_000
+
+    def expand(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[ts_column]),
+                                     pc.is_valid(batch[user_column])))
+        day = (pc.cast(batch[ts_column], pa.int64()).to_numpy(
+            zero_copy_only=False) // US_PER_DAY)
+        user = batch[user_column].to_numpy(zero_copy_only=False)
+        pairs = np.unique(np.stack([day, user], axis=1), axis=0)
+        if len(pairs) == 0:
+            return pa.table({"wday": pa.array([], pa.int64()),
+                             "user": pa.array([], pa.int64()),
+                             "is_event_day": pa.array([], pa.bool_())})
+        offs = np.arange(window_days, dtype=np.int64)
+        wday = (pairs[:, 0][:, None] + offs[None, :]).ravel()
+        user = np.repeat(pairs[:, 1], window_days)
+        is_event_day = np.tile(offs == 0, len(pairs))
+        t = pa.table({"wday": pa.array(wday, pa.int64()),
+                      "user": pa.array(user, pa.int64()),
+                      "is_event_day": pa.array(is_event_day)})
+        # local distinct: different days' windows overlap, so the same
+        # (wday, user) appears up to W times — fold before the exchange
+        return (t.group_by(["wday", "user"])
+                 .aggregate([("is_event_day", "max")])
+                 .rename_columns(["wday", "user", "is_event_day"]))
+
+    def count_window(group: pa.Table) -> pa.Table:
+        if not pc.any(group["is_event_day"]).as_py():
+            return pa.table({"day": pa.array([], pa.int64()),
+                             "active_users": pa.array([], pa.int64())})
+        n = len(pc.unique(group["user"]))
+        return pa.table({"day": group["wday"][:1],
+                         "active_users": pa.array([n], pa.int64())})
+
+    return (ds.map_batches(expand, batch_format="pyarrow")
+              .groupby("wday")
+              .map_groups(count_window, batch_format="pyarrow"))

@@ -1246,3 +1246,88 @@ def iqr_outlier_docs(ds, group_column: str, value_column: str,
         return out.append_column("side", pa.array(side, pa.string()))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def source_vocab_jaccard(ds, group_column: str = "source",
+                         text_column: str = "text"):
+    """Vocabulary overlap between corpus slices: Jaccard similarity of
+    the whitespace-token vocabularies of every pair of sources — the
+    "is this new crawl actually new material" check run before merging
+    a source into the training mix.
+
+    Dataflow: per-batch distinct (source, term) pairs (vocabulary-
+    bounded, like ``vocab_size_by_group``), one groupby(term) co-locates
+    each term's source set and emits its C(k,2) source pairs (k = #
+    sources containing the term — tiny), per-batch pair-count partials,
+    one final groupby over the ~|sources|² pair table. Vocab sizes ride
+    the same term groups (a (source, NULL-pair) marker row per source
+    per term is wasteful — instead each term group emits one singleton
+    row per member source and the final sweep sums them), so ONE term
+    exchange feeds both the intersection and the union. jaccard =
+    inter / union is a single int/int float64 division (exact for
+    < 2^53 — hash-matches DuckDB's BIGINT ``/``)."""
+    from pdf_inspector_ray.functions.decontam import _gram_rows
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_column]),
+                                     pc.is_valid(batch[text_column])))
+        idx, terms = _gram_rows(batch[text_column], 1)
+        grp = batch[group_column].combine_chunks().take(
+            pa.array(idx, pa.int64()))
+        return (pa.table({"term": terms, "src": grp})
+                .group_by(["term", "src"]).aggregate([])
+                .rename_columns(["term", "src"]))
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        srcs = sorted(set(group["src"].to_pylist()))
+        a, b, n = [], [], len(srcs)
+        for i in range(n):
+            for j in range(i + 1, n):
+                a.append(srcs[i])
+                b.append(srcs[j])
+        # singleton rows (src, "") carry the per-source vocab tally —
+        # "" not NULL because Ray's sort-based groupby can't order null
+        # keys (and no real source name is empty)
+        a.extend(srcs)
+        b.extend([""] * n)
+        return pa.table({"source_a": pa.array(a, pa.string()),
+                         "source_b": pa.array(b, pa.string())})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return (batch.group_by(["source_a", "source_b"])
+                     .aggregate([([], "count_all")])
+                     .rename_columns(["source_a", "source_b", "n"]))
+
+    from ray.data.aggregate import Sum
+
+    counts = (ds.map_batches(pairs_partial, batch_format="pyarrow")
+                .groupby("term")
+                .map_groups(emit_pairs, batch_format="pyarrow")
+                .map_batches(count_partial, batch_format="pyarrow")
+                .groupby(["source_a", "source_b"])
+                .aggregate(Sum("n", alias_name="n")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.to_pandas()
+        mark = t.source_b == ""
+        sizes = dict(zip(t.loc[mark, "source_a"], t.loc[mark, "n"]))
+        p = t[~mark]
+        inter = p.n.to_numpy(dtype=np.int64)
+        union = (p.source_a.map(sizes).to_numpy(dtype=np.int64)
+                 + p.source_b.map(sizes).to_numpy(dtype=np.int64) - inter)
+        return pa.table({
+            "source_a": pa.array(p.source_a, pa.string()),
+            "source_b": pa.array(p.source_b, pa.string()),
+            "inter_terms": pa.array(inter, pa.int64()),
+            "union_terms": pa.array(union, pa.int64()),
+            "jaccard": pa.array(inter.astype(np.float64) / union,
+                                pa.float64()),
+        })
+
+    # the pair table is |sources|²-bounded (tiny) — one driver-side
+    # finish fold is the whole materialization
+    import pyarrow as _pa
+    merged = _pa.concat_tables(
+        list(counts.iter_batches(batch_format="pyarrow")),
+        promote_options="default")
+    return finish(merged)

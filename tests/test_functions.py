@@ -3055,3 +3055,52 @@ def test_iqr_outlier_docs_integer_fences(ray_session):
                .to_pandas().sort_values("doc_id").reset_index(drop=True))
         assert out.doc_id.tolist() == [0, 6], parts
         assert out.side.tolist() == ["low", "high"], parts
+
+
+def test_rolling_active_users_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import rolling_active_users
+
+    rng = np.random.default_rng(61)
+    n = 2000
+    ev = pa.table({
+        "ts": pa.array((rng.integers(0, 40 * 86_400, n) * 1_000_000)
+                       .astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+    })
+    out = (rolling_active_users(ray.data.from_arrow(ev).repartition(4))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute("""
+        WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+                           user_id FROM events),
+        days AS (SELECT DISTINCT day FROM du)
+        SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n
+        FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day ORDER BY d.day""").df()
+    assert out.day.tolist() == want.day.tolist()
+    assert out.active_users.tolist() == want.n.tolist()
+
+
+def test_source_vocab_jaccard_hand_case(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import source_vocab_jaccard
+
+    t = pa.table({
+        "source": pa.array(["web", "web", "pdf", "book"]),
+        # vocab: web={a,b,c}, pdf={b,c,d}, book={x}
+        "text": pa.array(["a b", "b c", "b c d", "x"]),
+    })
+    for parts in (1, 4):
+        out = (source_vocab_jaccard(ray.data.from_arrow(t)
+                                    .repartition(parts))
+               .to_pandas().sort_values(["source_a", "source_b"])
+               .reset_index(drop=True))
+        rows = {(r.source_a, r.source_b): (r.inter_terms, r.union_terms,
+                                           r.jaccard)
+                for r in out.itertuples()}
+        assert rows[("pdf", "web")] == (2, 4, 0.5), parts
+        assert ("book", "pdf") not in rows  # disjoint pairs never meet
+        assert len(rows) == 1, parts
