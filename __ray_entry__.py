@@ -2153,6 +2153,48 @@ def _q_source_vocab_jaccard(sf_dir: str):
     return source_vocab_jaccard(ds)
 
 
+def _q_funnel3_counts(sf_dir: str):
+    """Three-stage sequential funnel (relational.funnel_steps): users
+    reaching signup → first view strictly after it → first purchase
+    strictly after that. Per-user sweep folds to a 3-row cumulative
+    histogram; MIN-chain twin."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import funnel_steps
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id", "event_type"])
+    return funnel_steps(ds, steps=("signup", "view", "purchase"))
+
+
+def _q_event_type_cooccurrence(sf_dir: str):
+    """Same-day event-type co-occurrence supports
+    (relational.event_type_cooccurrence): distinct (user, day, type)
+    baskets emit their C(k,2) pairs; self-join twin on the distinct
+    basket table."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (
+        event_type_cooccurrence)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id", "event_type"])
+    return event_type_cooccurrence(ds)
+
+
+def _q_revenue_by_brand(sf_dir: str):
+    """Revenue per part brand (relational.revenue_by_brand): the
+    partkey join edge — integer-cents partials per partkey before the
+    lineitem×part hash join, 25-row brand rollup."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import revenue_by_brand
+    li_path = os.path.join(sf_dir, "lineitem.parquet")
+    lineitem = ray.data.read_parquet(
+        li_path, columns=["l_partkey", "l_extendedprice", "l_discount"])
+    part = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"])
+    return revenue_by_brand(
+        lineitem, part,
+        num_partitions=_exchange_parts(_footer_rows(li_path)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order IS the driver-gate rotation policy (PARITY.md):
     the driver's CORRECTNESS gate checks only the first 50 entries, so
@@ -2297,6 +2339,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_outliers_iqr": _q_doc_outliers_iqr,
         "rolling_active_users": _q_rolling_active_users,
         "source_vocab_jaccard": _q_source_vocab_jaccard,
+        "funnel3_counts": _q_funnel3_counts,
+        "event_type_cooccurrence": _q_event_type_cooccurrence,
+        "revenue_by_brand": _q_revenue_by_brand,
     }
 
 
@@ -3944,6 +3989,57 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             JOIN v va ON va.source = source_a
             JOIN v vb ON vb.source = source_b
+        """,
+        "funnel3_counts": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'signup' AND user_id IS NOT NULL
+                  AND ts IS NOT NULL
+                GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN s1 USING (user_id)
+                WHERE e.event_type = 'view' AND e.ts > s1.t
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS stage_idx, 'signup' AS stage,
+                   CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 2, 'view', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT 3, 'purchase',
+                   CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+        """,
+        "event_type_cooccurrence": """
+            WITH b AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day, event_type
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                  AND ts IS NOT NULL
+            )
+            SELECT a.event_type AS type_a, c.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS support
+            FROM b a
+            JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                    AND a.event_type < c.event_type
+            GROUP BY 1, 2
+        """,
+        "revenue_by_brand": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

@@ -2119,3 +2119,172 @@ def rolling_active_users(ds, window_days: int = 7,
     return (ds.map_batches(expand, batch_format="pyarrow")
               .groupby("wday")
               .map_groups(count_window, batch_format="pyarrow"))
+
+
+def funnel_steps(ds, steps: tuple[str, ...] = ("signup", "view",
+                                               "purchase")) -> pa.Table:
+    """Multi-step sequential funnel: how many users reach each stage,
+    where stage k requires an event of type ``steps[k]`` STRICTLY after
+    the user's first-qualifying event of stage k-1 (the classic
+    first-touch funnel — repeat purchases before the first view don't
+    count). Generalizes ``funnel_conversion`` (one edge, per-event) to
+    the N-stage per-user rollup.
+
+    One shuffle co-locates each user's step-typed events (non-step
+    types are dropped at the scan side); the per-group sweep walks the
+    ≤len(steps) stages over numpy masks. Per-user output is ONE int
+    (deepest stage reached), folded through per-batch count partials
+    into a len(steps)-row cumulative table — the driver never sees
+    per-user rows, only the ≤(len(steps)+1)-row reached histogram."""
+    from ray.data.aggregate import Sum
+
+    step_list = list(steps)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_in(batch["event_type"],
+                                value_set=pa.array(step_list)),
+                       pc.and_(pc.is_valid(batch["user_id"]),
+                               pc.is_valid(batch["ts"])))
+        return pa.table({"user_id": batch["user_id"],
+                         "ts": pc.cast(batch["ts"], pa.int64()),
+                         "event_type": batch["event_type"]}).filter(keep)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        t = np.iinfo(np.int64).min
+        reached = 0
+        for step in step_list:
+            m = (et == step) & (ts > t)
+            if not m.any():
+                break
+            t = ts[m].min()
+            reached += 1
+        return pa.table({"reached": pa.array([reached], pa.int64()),
+                         "n": pa.array([1], pa.int64())})
+
+    def fold_partial(batch: pa.Table) -> pa.Table:
+        return (batch.group_by(["reached"]).aggregate([("n", "sum")])
+                     .rename_columns(["reached", "n"]))
+
+    hist = (ds.map_batches(prefilter, batch_format="pyarrow")
+              .groupby("user_id")
+              .map_groups(per_user, batch_format="pyarrow")
+              .map_batches(fold_partial, batch_format="pyarrow")
+              .groupby("reached").aggregate(Sum("n", alias_name="n")))
+    t = pa.concat_tables(list(hist.iter_batches(batch_format="pyarrow")),
+                         promote_options="default")
+    reached = t["reached"].to_numpy(zero_copy_only=False)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_users = [int(n[reached >= k].sum()) for k in range(1, len(step_list) + 1)]
+    return pa.table({
+        "stage_idx": pa.array(range(1, len(step_list) + 1), pa.int64()),
+        "stage": pa.array(step_list, pa.string()),
+        "n_users": pa.array(n_users, pa.int64()),
+    })
+
+
+def event_type_cooccurrence(ds, ts_column: str = "ts",
+                            user_column: str = "user_id",
+                            value_column: str = "event_type"
+                            ) -> "ray.data.Dataset":
+    """Basket-style co-occurrence mining: for every unordered pair of
+    event types, in how many (user, day) baskets do both occur — the
+    association-rule support table ("users who error also purchase,
+    same day") behind next-action and anomaly features.
+
+    Per-batch distinct (user, day, type) triples bound the exchange by
+    baskets × types, not events; one (user, day) groupby emits each
+    basket's C(k,2) pairs (k ≤ #event types — single digits); per-batch
+    pair-count partials collapse into a ~|types|²-row final groupby.
+    Day = floor(epoch_us / 86_400_000_000), matching the twin."""
+    from ray.data.aggregate import Sum
+    US_PER_DAY = 86_400_000_000
+
+    def triples(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch[value_column]),
+                       pc.and_(pc.is_valid(batch[user_column]),
+                               pc.is_valid(batch[ts_column])))
+        batch = batch.filter(keep)
+        day = pc.divide(pc.cast(batch[ts_column], pa.int64()),
+                        pa.scalar(US_PER_DAY, pa.int64()))
+        t = pa.table({"user": batch[user_column], "day": day,
+                      "etype": batch[value_column]})
+        return (t.group_by(["user", "day", "etype"]).aggregate([])
+                 .rename_columns(["user", "day", "etype"]))
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        types = sorted(set(group["etype"].to_pylist()))
+        a = [types[i] for i in range(len(types))
+             for _ in range(len(types) - i - 1)]
+        b = [types[j] for i in range(len(types))
+             for j in range(i + 1, len(types))]
+        return pa.table({"type_a": pa.array(a, pa.string()),
+                         "type_b": pa.array(b, pa.string())})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return (batch.group_by(["type_a", "type_b"])
+                     .aggregate([([], "count_all")])
+                     .rename_columns(["type_a", "type_b", "n"]))
+
+    agg = (ds.map_batches(triples, batch_format="pyarrow")
+             .groupby(["user", "day"])
+             .map_groups(emit_pairs, batch_format="pyarrow")
+             .map_batches(count_partial, batch_format="pyarrow")
+             .groupby(["type_a", "type_b"])
+             .aggregate(Sum("n", alias_name="support")))
+    return agg.map_batches(
+        lambda b: pa.table({"type_a": b["type_a"], "type_b": b["type_b"],
+                            "support": pc.cast(b["support"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def revenue_by_brand(lineitem_ds, part_ds,
+                     num_partitions: int = JOIN_PARTITIONS
+                     ) -> "ray.data.Dataset":
+    """Discounted revenue per part brand — the lineitem×part join
+    family (every other join query here keys on orderkey/custkey;
+    partkey exercises the third fact-to-dimension edge). Integer cents
+    (floor(price·(1−disc)·100 + 0.5), the repo-wide recipe) partial-
+    summed per partkey inside map_batches BEFORE the hash join, so the
+    exchange carries one row per (batch, partkey); the brand rollup is
+    a tiny 25-row final groupby."""
+    from ray.data.aggregate import Sum
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"])),
+            100.0), 0.5)), pa.int64())
+        t = pa.table({"l_partkey": batch["l_partkey"], "cents": cents,
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        return (t.group_by(["l_partkey"])
+                 .aggregate([("cents", "sum"), ("one", "sum")])
+                 .rename_columns(["l_partkey", "cents", "n_lines"]))
+
+    li = lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+    joined = hash_join(
+        li, part_ds, on="l_partkey", right_on="p_partkey",
+        num_partitions=num_partitions,
+        left_schema=[("l_partkey", pa.int64()),
+                     ("cents", pa.int64()),
+                     ("n_lines", pa.int64())],
+        right_schema=[("p_partkey", pa.int64()),
+                      ("p_brand", pa.string())])
+
+    def brand_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["p_brand", "cents", "n_lines"])
+        return (t.group_by(["p_brand"])
+                 .aggregate([("cents", "sum"), ("n_lines", "sum")])
+                 .rename_columns(["p_brand", "cents", "n_lines"]))
+
+    agg = (joined.map_batches(brand_partial, batch_format="pyarrow")
+                 .groupby("p_brand")
+                 .aggregate(Sum("cents", alias_name="revenue_cents"),
+                            Sum("n_lines", alias_name="n_lines")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "p_brand": b["p_brand"],
+            "revenue_cents": pc.cast(b["revenue_cents"], pa.int64()),
+            "n_lines": pc.cast(b["n_lines"], pa.int64()),
+        }), batch_format="pyarrow")

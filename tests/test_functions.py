@@ -3104,3 +3104,104 @@ def test_source_vocab_jaccard_hand_case(ray_session):
         assert rows[("pdf", "web")] == (2, 4, 0.5), parts
         assert ("book", "pdf") not in rows  # disjoint pairs never meet
         assert len(rows) == 1, parts
+
+
+def test_funnel_steps_strict_order(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import funnel_steps
+
+    def ev(uid, sec, typ):
+        return (uid, np.datetime64(sec, "s").astype("datetime64[us]"), typ)
+
+    rows = [
+        # user 1: full funnel in order
+        ev(1, 0, "signup"), ev(1, 10, "view"), ev(1, 20, "purchase"),
+        # user 2: purchase BEFORE view -> stops at view
+        ev(2, 0, "signup"), ev(2, 5, "purchase"), ev(2, 10, "view"),
+        # user 3: view only, no signup -> reaches nothing
+        ev(3, 0, "view"),
+        # user 4: view at SAME ts as signup -> strict > rejects it
+        ev(4, 0, "signup"), ev(4, 0, "view"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    for parts in (1, 3):
+        out = funnel_steps(ray.data.from_arrow(t).repartition(parts))
+        assert out["stage"].to_pylist() == ["signup", "view", "purchase"]
+        # signup: users 1,2,4; view: 1,2; purchase: 1
+        assert out["n_users"].to_pylist() == [3, 2, 1], parts
+
+
+def test_event_type_cooccurrence_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (
+        event_type_cooccurrence)
+
+    rng = np.random.default_rng(67)
+    n = 2500
+    ev = pa.table({
+        "ts": pa.array((rng.integers(0, 20 * 86_400, n) * 1_000_000)
+                       .astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["click", "view", "purchase", "error"], n)),
+    })
+    out = (event_type_cooccurrence(ray.data.from_arrow(ev).repartition(4))
+           .to_pandas().sort_values(["type_a", "type_b"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute("""
+        WITH b AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS day, event_type
+                   FROM events)
+        SELECT a.event_type AS type_a, c.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                         AND a.event_type < c.event_type
+        GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    assert out.type_a.tolist() == want.type_a.tolist()
+    assert out.type_b.tolist() == want.type_b.tolist()
+    assert out.support.tolist() == want.support.tolist()
+
+
+def test_revenue_by_brand_cents_exact(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import revenue_by_brand
+
+    rng = np.random.default_rng(71)
+    n_parts, n_lines = 50, 800
+    part = pa.table({
+        "p_partkey": pa.array(range(n_parts), pa.int64()),
+        "p_brand": pa.array([f"B{int(k) % 5}" for k in range(n_parts)]),
+    })
+    lineitem = pa.table({
+        "l_partkey": pa.array(rng.integers(0, n_parts, n_lines),
+                              pa.int64()),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(1, 1000, n_lines), 2)),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_lines), 2)),
+    })
+    out = (revenue_by_brand(ray.data.from_arrow(lineitem).repartition(4),
+                            ray.data.from_arrow(part).repartition(2),
+                            num_partitions=5)
+           .to_pandas().sort_values("p_brand").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("part", part)
+    con.register("lineitem", lineitem)
+    want = con.execute("""
+        SELECT p_brand,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand""").df()
+    assert out.p_brand.tolist() == want.p_brand.tolist()
+    assert out.revenue_cents.tolist() == want.cents.tolist()
+    assert out.n_lines.tolist() == want.n.tolist()
