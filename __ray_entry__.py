@@ -2195,6 +2195,25 @@ def _q_revenue_by_brand(sf_dir: str):
         num_partitions=_exchange_parts(_footer_rows(li_path)))
 
 
+def _q_supplier_revenue(sf_dir: str):
+    """TPC-H-Q15-flavored per-supplier revenue
+    (relational.supplier_revenue): the l_suppkey fact edge with both
+    dimensions (supplier, nation) broadcast driver-side — the only
+    exchange is the supplier-bounded cents groupby."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from pdf_inspector_ray.functions.relational import supplier_revenue
+    lineitem = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    return supplier_revenue(lineitem, supplier, nation)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order IS the driver-gate rotation policy (PARITY.md):
     the driver's CORRECTNESS gate checks only the first 50 entries, so
@@ -2342,6 +2361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel3_counts": _q_funnel3_counts,
         "event_type_cooccurrence": _q_event_type_cooccurrence,
         "revenue_by_brand": _q_revenue_by_brand,
+        "supplier_revenue": _q_supplier_revenue,
     }
 
 
@@ -4040,6 +4060,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_lines
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "supplier_revenue": """
+            SELECT s.s_suppkey, s.s_name, n.n_name,
+                   CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                       * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2, 3
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

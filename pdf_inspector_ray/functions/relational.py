@@ -2288,3 +2288,59 @@ def revenue_by_brand(lineitem_ds, part_ds,
             "revenue_cents": pc.cast(b["revenue_cents"], pa.int64()),
             "n_lines": pc.cast(b["n_lines"], pa.int64()),
         }), batch_format="pyarrow")
+
+
+def supplier_revenue(lineitem_ds, supplier_table: pa.Table,
+                     nation_table: pa.Table) -> "ray.data.Dataset":
+    """Discounted revenue per supplier with nation enrichment — the
+    TPC-H-Q15 revenue view over the one fact edge no other query here
+    exercises (l_suppkey), with BOTH dimensions (supplier, nation)
+    attached broadcast-side instead of shuffled: the suppkey →
+    (name, nation) map is built driver-side from the two dimension
+    tables (supplier is dimension-small even at warehouse scale;
+    nation is 25 rows), shipped ONCE via ``ray.put``, and applied
+    vectorized after the per-suppkey cents groupby — so the only
+    exchange is supplier-cardinality-bounded partial sums, never a
+    fact-side join shuffle. Integer cents, exact twin."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nations = dict(zip(nation_table["n_nationkey"].to_pylist(),
+                       nation_table["n_name"].to_pylist()))
+    supp = {k: (nm, nations.get(nk)) for k, nm, nk in zip(
+        supplier_table["s_suppkey"].to_pylist(),
+        supplier_table["s_name"].to_pylist(),
+        supplier_table["s_nationkey"].to_pylist())}
+    supp_ref = ray.put(supp)
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            pc.multiply(batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"])),
+            100.0), 0.5)), pa.int64())
+        t = pa.table({"l_suppkey": batch["l_suppkey"], "cents": cents,
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        return (t.group_by(["l_suppkey"])
+                 .aggregate([("cents", "sum"), ("one", "sum")])
+                 .rename_columns(["l_suppkey", "cents", "n_lines"]))
+
+    agg = (lineitem_ds.map_batches(li_partial, batch_format="pyarrow")
+                      .groupby("l_suppkey")
+                      .aggregate(Sum("cents", alias_name="revenue_cents"),
+                                 Sum("n_lines", alias_name="n_lines")))
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        s = ray.get(supp_ref)
+        keys = batch["l_suppkey"].to_pylist()
+        names = [s[k][0] if k in s else None for k in keys]
+        nats = [s[k][1] if k in s else None for k in keys]
+        keep = pa.array([k in s for k in keys])
+        return pa.table({
+            "s_suppkey": batch["l_suppkey"],
+            "s_name": pa.array(names, pa.string()),
+            "n_name": pa.array(nats, pa.string()),
+            "revenue_cents": pc.cast(batch["revenue_cents"], pa.int64()),
+            "n_lines": pc.cast(batch["n_lines"], pa.int64()),
+        }).filter(keep)
+
+    return agg.map_batches(enrich, batch_format="pyarrow")

@@ -3205,3 +3205,49 @@ def test_revenue_by_brand_cents_exact(ray_session):
     assert out.p_brand.tolist() == want.p_brand.tolist()
     assert out.revenue_cents.tolist() == want.cents.tolist()
     assert out.n_lines.tolist() == want.n.tolist()
+
+
+def test_supplier_revenue_broadcast_dims(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import supplier_revenue
+
+    rng = np.random.default_rng(73)
+    n_lines = 600
+    supplier = pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s-one", "s-two", "s-three"]),
+        "s_nationkey": pa.array([0, 0, 1], pa.int64()),
+    })
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["FRANCE", "KENYA"]),
+    })
+    lineitem = pa.table({
+        "l_suppkey": pa.array(rng.integers(1, 4, n_lines), pa.int64()),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(1, 500, n_lines), 2)),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_lines), 2)),
+    })
+    out = (supplier_revenue(ray.data.from_arrow(lineitem).repartition(4),
+                            supplier, nation)
+           .to_pandas().sort_values("s_suppkey").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("supplier", supplier)
+    con.register("nation", nation)
+    con.register("lineitem", lineitem)
+    want = con.execute("""
+        SELECT s.s_suppkey, s.s_name, n.n_name,
+               CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1, 2, 3 ORDER BY 1""").df()
+    assert out.s_suppkey.tolist() == want.s_suppkey.tolist()
+    assert out.s_name.tolist() == want.s_name.tolist()
+    assert out.n_name.tolist() == want.n_name.tolist()
+    assert out.revenue_cents.tolist() == want.cents.tolist()
+    assert out.n_lines.tolist() == want.n.tolist()
