@@ -2214,6 +2214,29 @@ def _q_supplier_revenue(sf_dir: str):
     return supplier_revenue(lineitem, supplier, nation)
 
 
+def _q_daily_event_deltas(sf_dir: str):
+    """Day-over-day change per event type
+    (relational.daily_event_deltas): the dense resample grid plus a
+    vectorized driver-side LAG delta (grid is days × types bounded);
+    first day per type is NULL like the twin's LAG."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import daily_event_deltas
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type"])
+    return daily_event_deltas(ds)
+
+
+def _q_hourly_top_event(sf_dir: str):
+    """Windowed argmax (relational.hourly_top_event): most frequent
+    event type per hour bucket, ties to the lexicographically smallest
+    type; (hour, type) count partials bound the exchange."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import hourly_top_event
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type"])
+    return hourly_top_event(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order IS the driver-gate rotation policy (PARITY.md):
     the driver's CORRECTNESS gate checks only the first 50 entries, so
@@ -2362,6 +2385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_cooccurrence": _q_event_type_cooccurrence,
         "revenue_by_brand": _q_revenue_by_brand,
         "supplier_revenue": _q_supplier_revenue,
+        "daily_event_deltas": _q_daily_event_deltas,
+        "hourly_top_event": _q_hourly_top_event,
     }
 
 
@@ -4071,6 +4096,52 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier s ON l.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             GROUP BY 1, 2, 3
+        """,
+        "daily_event_deltas": """
+            WITH c AS (
+                SELECT date_trunc('day', ts) AS day, event_type,
+                       COUNT(*) AS n
+                FROM events WHERE event_type IS NOT NULL
+                GROUP BY 1, 2
+            ), days AS (
+                SELECT unnest(generate_series(
+                    (SELECT CAST(min(day) AS TIMESTAMP) FROM c),
+                    (SELECT CAST(max(day) AS TIMESTAMP) FROM c),
+                    INTERVAL 1 DAY)) AS day
+            ), types AS (
+                SELECT DISTINCT event_type FROM events
+                WHERE event_type IS NOT NULL
+            ), g AS (
+                SELECT CAST(d.day AS TIMESTAMP) AS day, t.event_type,
+                       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+                FROM days d CROSS JOIN types t
+                LEFT JOIN c ON c.day = d.day
+                           AND c.event_type = t.event_type
+            )
+            SELECT day, event_type, n_events,
+                   CAST(n_events - lag(n_events) OVER (
+                       PARTITION BY event_type ORDER BY day) AS BIGINT)
+                       AS delta
+            FROM g
+        """,
+        "hourly_top_event": """
+            WITH c AS (
+                SELECT epoch_us(ts) // 3600000000 AS hour, event_type,
+                       COUNT(*) AS n
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT hour, event_type, n,
+                       ROW_NUMBER() OVER (PARTITION BY hour
+                                          ORDER BY n DESC, event_type)
+                           AS rk
+                FROM c
+            )
+            SELECT hour, event_type AS top_type,
+                   CAST(n AS BIGINT) AS n
+            FROM r WHERE rk = 1
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

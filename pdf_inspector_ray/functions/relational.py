@@ -2344,3 +2344,67 @@ def supplier_revenue(lineitem_ds, supplier_table: pa.Table,
         }).filter(keep)
 
     return agg.map_batches(enrich, batch_format="pyarrow")
+
+
+def daily_event_deltas(ds) -> pa.Table:
+    """Day-over-day change per event type: the dense gap-filled
+    (day × type) grid of ``resample_daily_counts`` with each cell's
+    delta vs the previous day — the trend/alerting view (a zero-filled
+    gap day shows as a real drop, which is exactly what an alert
+    should see). The distributed work is the same single pre-combined
+    count exchange; the delta is a vectorized driver-side shift on the
+    days × types grid (bounded, never row-scaled). First day per type
+    has a NULL delta, matching the SQL twin's LAG."""
+    grid = resample_daily_counts(ds)
+    if grid.num_rows == 0:
+        return grid.append_column("delta", pa.array([], pa.int64()))
+    t = grid.to_pandas().sort_values(["event_type", "day"])
+    n = t.n_events.to_numpy(dtype=np.int64)
+    delta = n.astype(np.float64) - np.roll(n, 1)
+    first = ~(t.event_type.to_numpy() == np.roll(t.event_type.to_numpy(), 1))
+    delta_arr = pa.array(
+        [None if f else int(d) for d, f in zip(delta, first)], pa.int64())
+    return pa.table({
+        "day": pa.array(t.day).cast(pa.timestamp("us")),
+        "event_type": pa.array(t.event_type, pa.string()),
+        "n_events": pa.array(n, pa.int64()),
+        "delta": delta_arr,
+    })
+
+
+def hourly_top_event(ds) -> "ray.data.Dataset":
+    """Windowed argmax: for every hour bucket, the most frequent event
+    type (ties broken by lexicographically smallest type — the
+    deterministic ROW_NUMBER rule, same policy as ``argmin_by_group``).
+    Per-batch (hour, type) count partials bound the exchange by
+    hours × types; one groupby(hour) folds partials and takes the
+    argmax vectorized inside the group sweep."""
+    _HOUR = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["ts"]),
+                                     pc.is_valid(batch["event_type"])))
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"hour": pa.array(ts // _HOUR, pa.int64()),
+                      "etype": batch["event_type"]})
+        return (t.group_by(["hour", "etype"])
+                 .aggregate([([], "count_all")])
+                 .rename_columns(["hour", "etype", "n"]))
+
+    def argmax(group: pa.Table) -> pa.Table:
+        folded = (group.select(["etype", "n"]).group_by(["etype"])
+                       .aggregate([("n", "sum")])
+                       .rename_columns(["etype", "n"]))
+        et = folded["etype"].to_numpy(zero_copy_only=False)
+        n = folded["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, -n))  # max count, then smallest type
+        i = order[0]
+        return pa.table({
+            "hour": group["hour"][:1],
+            "top_type": pa.array([et[i]], pa.string()),
+            "n": pa.array([int(n[i])], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("hour")
+              .map_groups(argmax, batch_format="pyarrow"))

@@ -3251,3 +3251,41 @@ def test_supplier_revenue_broadcast_dims(ray_session):
     assert out.n_name.tolist() == want.n_name.tolist()
     assert out.revenue_cents.tolist() == want.cents.tolist()
     assert out.n_lines.tolist() == want.n.tolist()
+
+
+def test_daily_event_deltas_gap_is_a_drop(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import daily_event_deltas
+
+    day = 86_400_000_000
+    ts = pa.array(np.array([0, 0, 0, 2 * day, 2 * day], np.int64)
+                  .astype("datetime64[us]"))
+    t = pa.table({"ts": ts,
+                  "event_type": pa.array(["a", "a", "b", "a", "b"])})
+    out = (daily_event_deltas(ray.data.from_arrow(t).repartition(2))
+           .to_pandas().sort_values(["event_type", "day"])
+           .reset_index(drop=True))
+    # dense grid: 3 days x 2 types; day1 is zero-filled
+    assert out.n_events.tolist() == [2, 0, 1, 1, 0, 1]
+    d = out.delta.tolist()
+    assert np.isnan(d[0]) and np.isnan(d[3])  # first day per type: NULL
+    assert d[1:3] == [-2.0, 1.0] and d[4:] == [-1.0, 1.0]
+
+
+def test_hourly_top_event_tie_break(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import hourly_top_event
+
+    hour = 3_600_000_000
+    ts = pa.array(np.array([0, 1, 2, hour, hour + 1, hour + 2],
+                           np.int64).astype("datetime64[us]"))
+    t = pa.table({
+        "ts": ts,
+        # hour 0: b,b,a -> b wins on count; hour 1: a,b tie +c -> a wins
+        "event_type": pa.array(["b", "b", "a", "b", "a", "c"]),
+    })
+    for parts in (1, 3):
+        out = (hourly_top_event(ray.data.from_arrow(t).repartition(parts))
+               .to_pandas().sort_values("hour").reset_index(drop=True))
+        assert out.top_type.tolist() == ["b", "a"], parts
+        assert out.n.tolist() == [2, 1], parts
