@@ -2237,6 +2237,31 @@ def _q_hourly_top_event(sf_dir: str):
     return hourly_top_event(ds)
 
 
+def _q_conversion_latency(sf_dir: str):
+    """Signup→purchase time-to-convert distribution
+    (relational.conversion_latency_quantiles): per-user first-pair
+    latency floored to whole seconds (corpus-safe quantile bins), exact
+    disc quantiles; MIN-chain + quantile_disc twin."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (
+        conversion_latency_quantiles)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id", "event_type"])
+    return conversion_latency_quantiles(ds)
+
+
+def _q_event_pair_lift(sf_dir: str):
+    """Association lift over same-day event-type baskets
+    (relational.event_pair_lift): one basket exchange emits pairs,
+    singletons and the basket total via sentinel rows; lift is one
+    mirrored BIGINT-product float64 division."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import event_pair_lift
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "user_id", "event_type"])
+    return event_pair_lift(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order IS the driver-gate rotation policy (PARITY.md):
     the driver's CORRECTNESS gate checks only the first 50 entries, so
@@ -2387,6 +2412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_revenue": _q_supplier_revenue,
         "daily_event_deltas": _q_daily_event_deltas,
         "hourly_top_event": _q_hourly_top_event,
+        "conversion_latency": _q_conversion_latency,
+        "event_pair_lift": _q_event_pair_lift,
     }
 
 
@@ -4142,6 +4169,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT hour, event_type AS top_type,
                    CAST(n AS BIGINT) AS n
             FROM r WHERE rk = 1
+        """,
+        "conversion_latency": """
+            WITH s AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'signup' AND user_id IS NOT NULL
+                  AND ts IS NOT NULL
+                GROUP BY user_id
+            ),
+            p AS (
+                SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN s USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s.t
+                GROUP BY e.user_id
+            ),
+            l AS (
+                SELECT (epoch_us(p.t) - epoch_us(s.t)) // 1000000
+                           AS lat_s
+                FROM p JOIN s USING (user_id)
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+                   CAST(quantile_disc(lat_s, 0.5) AS BIGINT) AS p50_s,
+                   CAST(quantile_disc(lat_s, 0.9) AS BIGINT) AS p90_s
+            FROM l
+        """,
+        "event_pair_lift": """
+            WITH b AS (
+                SELECT DISTINCT user_id,
+                       epoch_us(ts) // 86400000000 AS day, event_type
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                  AND ts IS NOT NULL
+            ),
+            nb AS (SELECT COUNT(*) AS n FROM (
+                       SELECT DISTINCT user_id, day FROM b)),
+            singles AS (SELECT event_type, COUNT(*) AS n
+                        FROM b GROUP BY event_type),
+            pairs AS (
+                SELECT a.event_type AS type_a, c.event_type AS type_b,
+                       CAST(COUNT(*) AS BIGINT) AS support
+                FROM b a
+                JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+                        AND a.event_type < c.event_type
+                GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, support,
+                   CAST(support * nb.n AS DOUBLE)
+                       / (sa.n * sb.n) AS lift
+            FROM pairs, nb
+            JOIN singles sa ON sa.event_type = type_a
+            JOIN singles sb ON sb.event_type = type_b
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

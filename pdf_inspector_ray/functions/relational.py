@@ -2408,3 +2408,148 @@ def hourly_top_event(ds) -> "ray.data.Dataset":
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby("hour")
               .map_groups(argmax, batch_format="pyarrow"))
+
+
+def conversion_latency_quantiles(ds, from_type: str = "signup",
+                                 to_type: str = "purchase") -> pa.Table:
+    """Time-to-convert distribution: for every user who fires
+    ``to_type`` strictly after their first ``from_type``, the latency
+    (first qualifying pair, in WHOLE SECONDS), rolled up to count /
+    median / p90 — the product-funnel health metric.
+
+    Composition of the ``funnel_steps`` per-user sweep (one user-keyed
+    exchange; emits ONE int row per converted user) with the exact
+    value-count quantile fold of ``grouped_quantiles`` (the driver
+    cumsum is bounded by DISTINCT latency values — the floor-to-seconds
+    bin is what keeps that corpus-safe, mirroring the twin's integer
+    division by 1_000_000). ``quantile_disc`` rank ceil(q·n)−1."""
+    from ray.data.aggregate import Sum
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_in(batch["event_type"],
+                                value_set=pa.array([from_type, to_type])),
+                       pc.and_(pc.is_valid(batch["user_id"]),
+                               pc.is_valid(batch["ts"])))
+        return pa.table({"user_id": batch["user_id"],
+                         "ts": pc.cast(batch["ts"], pa.int64()),
+                         "event_type": batch["event_type"]}).filter(keep)
+
+    def latency(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        src = ts[et == from_type]
+        if len(src) == 0:
+            return pa.table({"lat_s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        t0 = src.min()
+        dst = ts[(et == to_type) & (ts > t0)]
+        if len(dst) == 0:
+            return pa.table({"lat_s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "lat_s": pa.array([int((dst.min() - t0) // 1_000_000)],
+                              pa.int64()),
+            "n": pa.array([1], pa.int64())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        return (batch.group_by(["lat_s"]).aggregate([("n", "sum")])
+                     .rename_columns(["lat_s", "n"]))
+
+    counts = (ds.map_batches(prefilter, batch_format="pyarrow")
+                .groupby("user_id")
+                .map_groups(latency, batch_format="pyarrow")
+                .map_batches(fold, batch_format="pyarrow")
+                .groupby("lat_s").aggregate(Sum("n", alias_name="n"))
+                .take_all())  # bounded by distinct whole-second latencies
+    if not counts:
+        return pa.table({"n_converted": pa.array([0], pa.int64()),
+                         "p50_s": pa.array([None], pa.int64()),
+                         "p90_s": pa.array([None], pa.int64())})
+    by_val = {c["lat_s"]: c["n"] for c in counts}
+    vals = np.asarray(sorted(by_val), np.int64)
+    ns = np.asarray([by_val[v] for v in vals], np.int64)
+    cum = np.cumsum(ns)
+    total = int(cum[-1])
+    out = {"n_converted": total}
+    for q, name in ((0.5, "p50_s"), (0.9, "p90_s")):
+        rank = int(np.ceil(q * total)) - 1  # quantile_disc rule
+        out[name] = int(vals[np.searchsorted(cum, rank + 1)])
+    return pa.table({
+        "n_converted": pa.array([out["n_converted"]], pa.int64()),
+        "p50_s": pa.array([out["p50_s"]], pa.int64()),
+        "p90_s": pa.array([out["p90_s"]], pa.int64()),
+    })
+
+
+def event_pair_lift(ds) -> pa.Table:
+    """Association lift for same-day event-type pairs:
+    ``lift = support(a,b) · n_baskets / (count(a) · count(b))`` over
+    (user, day) baskets — the market-basket association score (>1 =
+    the types attract, <1 = they repel).
+
+    Single-exchange extension of ``event_type_cooccurrence``: the same
+    basket groupby emits pair rows, per-type singleton rows AND one
+    total-basket marker per basket (sentinel types — the final table
+    is |types|²-bounded so the lift fold is driver-side). The lift
+    division converts both BIGINT products to float64 identically on
+    both sides (exact < 2^53)."""
+    from ray.data.aggregate import Sum
+    US_PER_DAY = 86_400_000_000
+
+    def triples(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["event_type"]),
+                       pc.and_(pc.is_valid(batch["user_id"]),
+                               pc.is_valid(batch["ts"])))
+        batch = batch.filter(keep)
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                        pa.scalar(US_PER_DAY, pa.int64()))
+        t = pa.table({"user": batch["user_id"], "day": day,
+                      "etype": batch["event_type"]})
+        return (t.group_by(["user", "day", "etype"]).aggregate([])
+                 .rename_columns(["user", "day", "etype"]))
+
+    def emit(group: pa.Table) -> pa.Table:
+        types = sorted(set(group["etype"].to_pylist()))
+        a = [types[i] for i in range(len(types))
+             for _ in range(len(types) - i - 1)]
+        b = [types[j] for i in range(len(types))
+             for j in range(i + 1, len(types))]
+        a.extend(types)          # singleton markers: (type, "")
+        b.extend([""] * len(types))
+        a.append("")             # basket marker: ("", "")
+        b.append("")
+        return pa.table({"type_a": pa.array(a, pa.string()),
+                         "type_b": pa.array(b, pa.string())})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        return (batch.group_by(["type_a", "type_b"])
+                     .aggregate([([], "count_all")])
+                     .rename_columns(["type_a", "type_b", "n"]))
+
+    agg = (ds.map_batches(triples, batch_format="pyarrow")
+             .groupby(["user", "day"])
+             .map_groups(emit, batch_format="pyarrow")
+             .map_batches(count_partial, batch_format="pyarrow")
+             .groupby(["type_a", "type_b"])
+             .aggregate(Sum("n", alias_name="n"))
+             .take_all())  # |types|² + |types| + 1 rows
+    n_baskets = 0
+    singles: dict[str, int] = {}
+    pairs = []
+    for r in agg:
+        if r["type_a"] == "" and r["type_b"] == "":
+            n_baskets = int(r["n"])
+        elif r["type_b"] == "":
+            singles[r["type_a"]] = int(r["n"])
+        else:
+            pairs.append((r["type_a"], r["type_b"], int(r["n"])))
+    pairs.sort()
+    lift = [float(np.float64(s * n_baskets)
+                  / np.float64(singles[a] * singles[b]))
+            for a, b, s in pairs]
+    return pa.table({
+        "type_a": pa.array([p[0] for p in pairs], pa.string()),
+        "type_b": pa.array([p[1] for p in pairs], pa.string()),
+        "support": pa.array([p[2] for p in pairs], pa.int64()),
+        "lift": pa.array(lift, pa.float64()),
+    })

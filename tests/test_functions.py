@@ -3289,3 +3289,76 @@ def test_hourly_top_event_tie_break(ray_session):
                .to_pandas().sort_values("hour").reset_index(drop=True))
         assert out.top_type.tolist() == ["b", "a"], parts
         assert out.n.tolist() == [2, 1], parts
+
+
+def test_conversion_latency_quantiles_hand_case(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (
+        conversion_latency_quantiles)
+
+    def ev(uid, sec, typ):
+        return (uid, np.datetime64(sec, "s").astype("datetime64[us]"), typ)
+
+    rows = [
+        ev(1, 0, "signup"), ev(1, 10, "purchase"),   # lat 10
+        ev(2, 0, "signup"), ev(2, 30, "purchase"),   # lat 30
+        ev(3, 0, "signup"), ev(3, 50, "purchase"),   # lat 50
+        ev(4, 0, "signup"),                          # never converts
+        ev(5, 10, "purchase"), ev(5, 20, "signup"),  # purchase BEFORE
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    for parts in (1, 3):
+        out = conversion_latency_quantiles(
+            ray.data.from_arrow(t).repartition(parts))
+        assert out["n_converted"].to_pylist() == [3], parts
+        # n=3: p50 rank ceil(1.5)-1=1 -> 30; p90 rank ceil(2.7)-1=2 -> 50
+        assert out["p50_s"].to_pylist() == [30], parts
+        assert out["p90_s"].to_pylist() == [50], parts
+
+
+def test_event_pair_lift_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import event_pair_lift
+
+    rng = np.random.default_rng(79)
+    n = 2000
+    ev = pa.table({
+        "ts": pa.array((rng.integers(0, 15 * 86_400, n) * 1_000_000)
+                       .astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 35, n), pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["click", "view", "purchase"], n, p=[0.5, 0.4, 0.1])),
+    })
+    out = (event_pair_lift(ray.data.from_arrow(ev).repartition(4))
+           .to_pandas().sort_values(["type_a", "type_b"])
+           .reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute("""
+        WITH b AS (SELECT DISTINCT user_id,
+                          epoch_us(ts) // 86400000000 AS day, event_type
+                   FROM events),
+        nb AS (SELECT COUNT(*) AS n FROM (
+                   SELECT DISTINCT user_id, day FROM b)),
+        singles AS (SELECT event_type, COUNT(*) AS n
+                    FROM b GROUP BY event_type),
+        pairs AS (SELECT a.event_type AS type_a, c.event_type AS type_b,
+                         CAST(COUNT(*) AS BIGINT) AS support
+                  FROM b a JOIN b c ON a.user_id = c.user_id
+                                   AND a.day = c.day
+                                   AND a.event_type < c.event_type
+                  GROUP BY 1, 2)
+        SELECT type_a, type_b, support,
+               CAST(support * nb.n AS DOUBLE) / (sa.n * sb.n) AS lift
+        FROM pairs, nb
+        JOIN singles sa ON sa.event_type = type_a
+        JOIN singles sb ON sb.event_type = type_b
+        ORDER BY 1, 2""").df()
+    assert out.type_a.tolist() == want.type_a.tolist()
+    assert out.support.tolist() == want.support.tolist()
+    assert out.lift.tolist() == want.lift.tolist()  # bit-exact division
