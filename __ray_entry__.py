@@ -2262,6 +2262,62 @@ def _q_event_pair_lift(sf_dir: str):
     return event_pair_lift(ds)
 
 
+def _q_orders_by_month(sf_dir: str):
+    """Monthly order volume/revenue (relational.orders_by_month): true
+    calendar-month truncation via numpy datetime64[M], integer cents;
+    months-bounded exchange."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import orders_by_month
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderdate", "o_totalprice"])
+    return orders_by_month(ds)
+
+
+def _q_customer_rfm(sf_dir: str):
+    """RFM per customer (relational.customer_rfm): recency/frequency/
+    monetary via distributive per-batch partials + one customer
+    groupby; integer cents."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import customer_rfm
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    return customer_rfm(ds)
+
+
+def _q_events_null_audit(sf_dir: str):
+    """Data-quality null audit over events (relational.null_audit):
+    one streaming pass, single-row integer partials, scalar fold —
+    no row shuffle."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import null_audit
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    return null_audit(ds, ["user_id", "event_type", "value", "props"])
+
+
+def _q_order_value_quantiles_by_status(sf_dir: str):
+    """Grouped exact quantiles of order value by status
+    (text_stats.grouped_quantiles over floor-dollars — the integer bin
+    that keeps the value-count sketch bounded); quantile_disc twin."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import grouped_quantiles
+
+    def to_dollars(batch: _pa.Table) -> _pa.Table:
+        return _pa.table({
+            "o_orderstatus": batch["o_orderstatus"],
+            "dollars": _pc.cast(_pc.floor(batch["o_totalprice"]),
+                                _pa.int64()),
+        })
+
+    ds = (ray.data.read_parquet(
+              os.path.join(sf_dir, "orders.parquet"),
+              columns=["o_orderstatus", "o_totalprice"])
+          .map_batches(to_dollars, batch_format="pyarrow"))
+    return grouped_quantiles(ds, "o_orderstatus", "dollars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order IS the driver-gate rotation policy (PARITY.md):
     the driver's CORRECTNESS gate checks only the first 50 entries, so
@@ -2414,6 +2470,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_top_event": _q_hourly_top_event,
         "conversion_latency": _q_conversion_latency,
         "event_pair_lift": _q_event_pair_lift,
+        "orders_by_month": _q_orders_by_month,
+        "customer_rfm": _q_customer_rfm,
+        "events_null_audit": _q_events_null_audit,
+        "order_value_quantiles_by_status": _q_order_value_quantiles_by_status,
     }
 
 
@@ -4219,6 +4279,51 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs, nb
             JOIN singles sa ON sa.event_type = type_a
             JOIN singles sb ON sb.event_type = type_b
+        """,
+        "orders_by_month": """
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                       AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM orders
+            WHERE o_orderdate IS NOT NULL
+            GROUP BY 1
+        """,
+        "customer_rfm": """
+            SELECT o_custkey,
+                   MAX(o_orderdate) AS last_order,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS spend_cents
+            FROM orders
+            WHERE o_custkey IS NOT NULL
+            GROUP BY o_custkey
+        """,
+        "events_null_audit": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_user_id,
+                   CAST(SUM(CASE WHEN event_type IS NULL
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_null_event_type,
+                   CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_value,
+                   CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_props
+            FROM events
+        """,
+        "order_value_quantiles_by_status": """
+            SELECT o_orderstatus,
+                   quantile_disc(CAST(floor(o_totalprice) AS BIGINT),
+                                 0.25) AS q25,
+                   quantile_disc(CAST(floor(o_totalprice) AS BIGINT),
+                                 0.50) AS q50,
+                   quantile_disc(CAST(floor(o_totalprice) AS BIGINT),
+                                 0.75) AS q75,
+                   quantile_disc(CAST(floor(o_totalprice) AS BIGINT),
+                                 0.95) AS q95
+            FROM orders GROUP BY o_orderstatus
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

@@ -2553,3 +2553,103 @@ def event_pair_lift(ds) -> pa.Table:
         "support": pa.array([p[2] for p in pairs], pa.int64()),
         "lift": pa.array(lift, pa.float64()),
     })
+
+
+def orders_by_month(ds) -> "ray.data.Dataset":
+    """Monthly order volume and revenue: calendar-month truncation
+    (numpy ``datetime64[M]`` — true calendar months, not 30-day bins,
+    matching ``date_trunc('month', …)``), integer-cents totals. Per-
+    batch (month, count, cents) partials bound the exchange by months
+    per batch; the final groupby is months-bounded."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["o_orderdate"]))
+        us = pc.cast(batch["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        month = (us.astype("datetime64[us]").astype("datetime64[M]")
+                 .astype("datetime64[us]").astype(np.int64))
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            batch["o_totalprice"], 100.0), 0.5)), pa.int64())
+        t = pa.table({"month": pa.array(month, pa.int64()),
+                      "cents": cents,
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        return (t.group_by(["month"])
+                 .aggregate([("cents", "sum"), ("one", "sum")])
+                 .rename_columns(["month", "cents", "n_orders"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("month")
+             .aggregate(Sum("cents", alias_name="revenue_cents"),
+                        Sum("n_orders", alias_name="n_orders")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "month": pc.cast(b["month"], pa.timestamp("us")),
+            "n_orders": pc.cast(b["n_orders"], pa.int64()),
+            "revenue_cents": pc.cast(b["revenue_cents"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def customer_rfm(ds) -> "ray.data.Dataset":
+    """RFM profile per customer — recency (last order date), frequency
+    (order count), monetary (integer-cents lifetime spend) — the
+    segmentation input every growth pipeline starts from. Per-batch
+    partials (max / count / sum are all distributive) shrink the
+    exchange to one row per (batch, customer); one customer-keyed
+    groupby merges."""
+    from ray.data.aggregate import Max, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["o_custkey"]))
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            batch["o_totalprice"], 100.0), 0.5)), pa.int64())
+        t = pa.table({"o_custkey": batch["o_custkey"],
+                      "last_us": pc.cast(batch["o_orderdate"], pa.int64()),
+                      "cents": cents,
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        return (t.group_by(["o_custkey"])
+                 .aggregate([("last_us", "max"), ("cents", "sum"),
+                             ("one", "sum")])
+                 .rename_columns(["o_custkey", "last_us", "cents", "n"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("o_custkey")
+             .aggregate(Max("last_us", alias_name="last_us"),
+                        Sum("cents", alias_name="spend_cents"),
+                        Sum("n", alias_name="n_orders")))
+    return agg.map_batches(
+        lambda b: pa.table({
+            "o_custkey": b["o_custkey"],
+            "last_order": pc.cast(b["last_us"], pa.timestamp("us")),
+            "n_orders": pc.cast(b["n_orders"], pa.int64()),
+            "spend_cents": pc.cast(b["spend_cents"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+def null_audit(ds, columns: list[str]) -> pa.Table:
+    """Data-quality null audit: total row count plus per-column null
+    counts in ONE streaming pass — the schema-health check run before
+    admitting a new data drop into the pipeline. Per-batch partials are
+    a single row of integers (``pc.sum(pc.is_null(...))`` per column),
+    so the reduce is a len(columns)-wide scalar fold; no shuffle of
+    data rows ever happens."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {"n_rows": pa.array([len(batch)], pa.int64())}
+        for c in columns:
+            n = pc.sum(pc.cast(pc.is_null(batch[c]), pa.int64())).as_py()
+            cols[f"n_null_{c}"] = pa.array([int(n or 0)], pa.int64())
+        cols["_k"] = pa.array([0], pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum("n_rows", alias_name="n_rows")]
+    aggs += [Sum(f"n_null_{c}", alias_name=f"n_null_{c}")
+             for c in columns]
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("_k").aggregate(*aggs))
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")),
+                         promote_options="default")
+    return pa.table({name: pc.cast(t[name], pa.int64())
+                     for name in ["n_rows"] + [f"n_null_{c}"
+                                               for c in columns]})

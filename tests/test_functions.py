@@ -3362,3 +3362,68 @@ def test_event_pair_lift_matches_duckdb(ray_session):
     assert out.type_a.tolist() == want.type_a.tolist()
     assert out.support.tolist() == want.support.tolist()
     assert out.lift.tolist() == want.lift.tolist()  # bit-exact division
+
+
+def test_orders_by_month_calendar_truncation(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import orders_by_month
+
+    rng = np.random.default_rng(83)
+    n = 500
+    # spread over ~14 months so year boundaries are crossed
+    orders = pa.table({
+        "o_orderdate": pa.array((rng.integers(0, 425, n) * 86_400
+                                 * 1_000_000).astype("datetime64[us]")),
+        "o_totalprice": pa.array(np.round(rng.uniform(10, 9999, n), 2)),
+    })
+    out = (orders_by_month(ray.data.from_arrow(orders).repartition(4))
+           .to_pandas().sort_values("month").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("orders", orders)
+    want = con.execute("""
+        SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                   AS month,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY 1 ORDER BY 1""").df()
+    assert out.month.tolist() == want.month.tolist()
+    assert out.n_orders.tolist() == want.n.tolist()
+    assert out.revenue_cents.tolist() == want.cents.tolist()
+
+
+def test_customer_rfm_partials(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import customer_rfm
+
+    d = lambda s: np.datetime64(s, "D").astype("datetime64[us]")
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 2, None], pa.int64()),
+        "o_orderdate": pa.array([d(10), d(20), d(5), d(7)]),
+        "o_totalprice": pa.array([100.00, 50.50, 9.99, 1.0]),
+    })
+    for parts in (1, 3):
+        out = (customer_rfm(ray.data.from_arrow(orders).repartition(parts))
+               .to_pandas().sort_values("o_custkey")
+               .reset_index(drop=True))
+        assert out.o_custkey.tolist() == [1, 2], parts
+        assert out.last_order.tolist() == [d(20), d(5)], parts
+        assert out.n_orders.tolist() == [2, 1], parts
+        assert out.spend_cents.tolist() == [15050, 999], parts
+
+
+def test_null_audit_counts(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import null_audit
+
+    t = pa.table({
+        "a": pa.array([1, None, 3, None], pa.int64()),
+        "b": pa.array(["x", "y", None, "z"]),
+    })
+    for parts in (1, 4):
+        out = null_audit(ray.data.from_arrow(t).repartition(parts),
+                         ["a", "b"])
+        assert out["n_rows"].to_pylist() == [4], parts
+        assert out["n_null_a"].to_pylist() == [2], parts
+        assert out["n_null_b"].to_pylist() == [1], parts
