@@ -2318,6 +2318,41 @@ def _q_order_value_quantiles_by_status(sf_dir: str):
     return grouped_quantiles(ds, "o_orderstatus", "dollars")
 
 
+def _q_events_weekday_profile(sf_dir: str):
+    """Day-of-week × type seasonality profile
+    (relational.events_weekday_profile): Sunday=0 convention via
+    (epoch_days + 4) % 7; 7×|types|-bounded exchange."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import events_weekday_profile
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["ts", "event_type"])
+    return events_weekday_profile(ds)
+
+
+def _q_order_interarrival(sf_dir: str):
+    """Reorder-cadence distribution
+    (relational.order_interarrival_quantiles): per-customer whole-day
+    gaps (tie-order-independent), exact global disc quantiles."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (
+        order_interarrival_quantiles)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey", "o_orderdate"])
+    return order_interarrival_quantiles(ds)
+
+
+def _q_source_simpson_diversity(sf_dir: str):
+    """Simpson token diversity per source
+    (text_stats.source_simpson_diversity): all-integer pair-count
+    partials, one mirrored float64 divide-and-subtract."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import (
+        source_simpson_diversity)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "text"])
+    return source_simpson_diversity(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order IS the driver-gate rotation policy (PARITY.md):
     the driver's CORRECTNESS gate checks only the first 50 entries, so
@@ -2474,6 +2509,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": _q_customer_rfm,
         "events_null_audit": _q_events_null_audit,
         "order_value_quantiles_by_status": _q_order_value_quantiles_by_status,
+        "events_weekday_profile": _q_events_weekday_profile,
+        "order_interarrival": _q_order_interarrival,
+        "source_simpson_diversity": _q_source_simpson_diversity,
     }
 
 
@@ -4324,6 +4362,48 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(CAST(floor(o_totalprice) AS BIGINT),
                                  0.95) AS q95
             FROM orders GROUP BY o_orderstatus
+        """,
+        "events_weekday_profile": """
+            SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "order_interarrival": """
+            WITH g AS (
+                SELECT (epoch_us(o_orderdate)
+                        - epoch_us(lag(o_orderdate) OVER (
+                              PARTITION BY o_custkey
+                              ORDER BY o_orderdate))) // 86400000000
+                           AS gap_d
+                FROM orders
+                WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   CAST(quantile_disc(gap_d, 0.5) AS BIGINT) AS p50_d,
+                   CAST(quantile_disc(gap_d, 0.9) AS BIGINT) AS p90_d
+            FROM g WHERE gap_d IS NOT NULL
+        """,
+        "source_simpson_diversity": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           w -> w <> '')) AS term
+                FROM documents
+                WHERE source IS NOT NULL AND text IS NOT NULL
+            ),
+            tc AS (SELECT source, term, COUNT(*) AS n
+                   FROM toks GROUP BY 1, 2),
+            s AS (SELECT source,
+                         CAST(SUM(n * (n - 1)) AS BIGINT) AS pairs_same,
+                         CAST(SUM(n) AS BIGINT) AS n_tokens
+                  FROM tc GROUP BY source)
+            SELECT source, pairs_same, n_tokens,
+                   1.0 - CAST(pairs_same AS DOUBLE)
+                       / (n_tokens * (n_tokens - 1)) AS simpson
+            FROM s
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

@@ -2653,3 +2653,84 @@ def null_audit(ds, columns: list[str]) -> pa.Table:
     return pa.table({name: pc.cast(t[name], pa.int64())
                      for name in ["n_rows"] + [f"n_null_{c}"
                                                for c in columns]})
+
+
+def events_weekday_profile(ds) -> "ray.data.Dataset":
+    """Day-of-week × event-type activity profile (the seasonality
+    fingerprint): counts per (weekday, type), weekday in DuckDB's
+    Sunday=0 convention — epoch day 0 (1970-01-01) was a Thursday, so
+    ``dow = (epoch_days + 4) % 7``. Per-batch partials bound the
+    exchange by 7 × |types| rows per batch."""
+    from ray.data.aggregate import Sum
+    US_PER_DAY = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch["ts"]),
+                                     pc.is_valid(batch["event_type"])))
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (ts // US_PER_DAY + 4) % 7
+        t = pa.table({"dow": pa.array(dow, pa.int64()),
+                      "event_type": batch["event_type"]})
+        return (t.group_by(["dow", "event_type"])
+                 .aggregate([([], "count_all")])
+                 .rename_columns(["dow", "event_type", "n"]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["dow", "event_type"])
+             .aggregate(Sum("n", alias_name="n")))
+    return agg.map_batches(
+        lambda b: pa.table({"dow": b["dow"], "event_type": b["event_type"],
+                            "n": pc.cast(b["n"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def order_interarrival_quantiles(ds) -> pa.Table:
+    """Inter-order gap distribution: whole-day gaps between a
+    customer's consecutive orders, rolled up to global count / p50 /
+    p90 — the reorder-cadence metric. The gap multiset of a sorted date
+    sequence is tie-order-independent (consecutive differences of a
+    sorted multiset), so the per-customer numpy sort is exactly the
+    twin's LAG window. Whole-day flooring keeps the exact value-count
+    quantile fold bounded (same recipe as
+    ``conversion_latency_quantiles``)."""
+    from ray.data.aggregate import Sum
+    US_PER_DAY = 86_400_000_000
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch["o_custkey"]),
+                       pc.is_valid(batch["o_orderdate"]))
+        batch = batch.filter(keep)
+        return pa.table({"o_custkey": batch["o_custkey"],
+                         "us": pc.cast(batch["o_orderdate"], pa.int64())})
+
+    def gaps(group: pa.Table) -> pa.Table:
+        us = np.sort(group["us"].to_numpy(zero_copy_only=False))
+        if len(us) < 2:
+            return pa.table({"gap_d": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        g = np.diff(us) // US_PER_DAY
+        t = pa.table({"gap_d": pa.array(g, pa.int64()),
+                      "n": pa.array(np.ones(len(g), np.int64))})
+        return (t.group_by(["gap_d"]).aggregate([("n", "sum")])
+                 .rename_columns(["gap_d", "n"]))
+
+    counts = (ds.map_batches(prefilter, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .map_groups(gaps, batch_format="pyarrow")
+                .groupby("gap_d").aggregate(Sum("n", alias_name="n"))
+                .take_all())  # bounded by distinct whole-day gaps
+    if not counts:
+        return pa.table({"n_gaps": pa.array([0], pa.int64()),
+                         "p50_d": pa.array([None], pa.int64()),
+                         "p90_d": pa.array([None], pa.int64())})
+    by_val = {c["gap_d"]: c["n"] for c in counts}
+    vals = np.asarray(sorted(by_val), np.int64)
+    cum = np.cumsum(np.asarray([by_val[v] for v in vals], np.int64))
+    total = int(cum[-1])
+    out = {}
+    for q, name in ((0.5, "p50_d"), (0.9, "p90_d")):
+        rank = int(np.ceil(q * total)) - 1
+        out[name] = int(vals[np.searchsorted(cum, rank + 1)])
+    return pa.table({"n_gaps": pa.array([total], pa.int64()),
+                     "p50_d": pa.array([out["p50_d"]], pa.int64()),
+                     "p90_d": pa.array([out["p90_d"]], pa.int64())})

@@ -1331,3 +1331,63 @@ def source_vocab_jaccard(ds, group_column: str = "source",
         list(counts.iter_batches(batch_format="pyarrow")),
         promote_options="default")
     return finish(merged)
+
+
+def source_simpson_diversity(ds, group_column: str = "source",
+                             text_column: str = "text"):
+    """Simpson diversity of each source's token distribution:
+    ``1 − Σ n_i(n_i−1) / (N(N−1))`` over whitespace-token counts — the
+    collision-probability diversity index (low = template spam, high =
+    varied prose). All-integer partials: exchange 1 folds exact
+    (source, term) counts (vocabulary-bounded), exchange 2 folds the
+    per-source Σ n(n−1) and N (source-bounded); the index itself is one
+    mirrored float64 divide-and-subtract (both products < 2^53 at any
+    per-source token count up to ~9.4e7 for N(N−1), and per-term counts
+    far below — beyond that, pre-scale or report the integer pair
+    counts only)."""
+    from ray.data.aggregate import Sum
+    from pdf_inspector_ray.functions.decontam import _gram_rows
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_column]),
+                                     pc.is_valid(batch[text_column])))
+        idx, terms = _gram_rows(batch[text_column], 1)
+        grp = batch[group_column].combine_chunks().take(
+            pa.array(idx, pa.int64()))
+        return (pa.table({"src": grp, "term": terms,
+                          "n": pa.array(np.ones(len(terms), np.int64))})
+                .group_by(["src", "term"]).aggregate([("n", "sum")])
+                .rename_columns(["src", "term", "n"]))
+
+    term_counts = (ds.map_batches(term_partial, batch_format="pyarrow")
+                     .groupby(["src", "term"])
+                     .aggregate(Sum("n", alias_name="n")))
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        t = pa.table({"src": batch["src"],
+                      "pairs": pa.array(n * (n - 1), pa.int64()),
+                      "n": pa.array(n, pa.int64())})
+        return (t.group_by(["src"])
+                 .aggregate([("pairs", "sum"), ("n", "sum")])
+                 .rename_columns(["src", "pairs", "n"]))
+
+    agg = (term_counts.map_batches(pair_partial, batch_format="pyarrow")
+                      .groupby("src")
+                      .aggregate(Sum("pairs", alias_name="pairs_same"),
+                                 Sum("n", alias_name="n_tokens")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pairs = pc.cast(batch["pairs_same"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = pc.cast(batch["n_tokens"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        simpson = 1.0 - pairs.astype(np.float64) / (n * (n - 1))
+        return pa.table({
+            group_column: batch["src"],
+            "pairs_same": pa.array(pairs, pa.int64()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "simpson": pa.array(simpson, pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -3427,3 +3427,64 @@ def test_null_audit_counts(ray_session):
         assert out["n_rows"].to_pylist() == [4], parts
         assert out["n_null_a"].to_pylist() == [2], parts
         assert out["n_null_b"].to_pylist() == [1], parts
+
+
+def test_events_weekday_profile_sunday_zero(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import events_weekday_profile
+
+    day = 86_400_000_000
+    # epoch day 0 = Thursday (dow 4); days 3 and 10 = Sundays (dow 0)
+    ts = pa.array(np.array([0, 3 * day, 3 * day, 10 * day], np.int64)
+                  .astype("datetime64[us]"))
+    t = pa.table({"ts": ts,
+                  "event_type": pa.array(["a", "a", "b", "a"])})
+    out = (events_weekday_profile(ray.data.from_arrow(t).repartition(2))
+           .to_pandas().sort_values(["dow", "event_type"])
+           .reset_index(drop=True))
+    assert out.dow.tolist() == [0, 0, 4]
+    assert out.event_type.tolist() == ["a", "b", "a"]
+    assert out.n.tolist() == [2, 1, 1]  # a on both Sundays
+
+
+def test_order_interarrival_quantiles(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (
+        order_interarrival_quantiles)
+
+    d = lambda s: np.datetime64(s, "D").astype("datetime64[us]")
+    orders = pa.table({
+        "o_custkey": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        # cust 1 gaps: 10, 20; cust 2 gap: 5; cust 3: single order
+        "o_orderdate": pa.array([d(0), d(10), d(30), d(100), d(105),
+                                 d(7)]),
+    })
+    for parts in (1, 3):
+        out = order_interarrival_quantiles(
+            ray.data.from_arrow(orders).repartition(parts))
+        assert out["n_gaps"].to_pylist() == [3], parts
+        # sorted gaps [5,10,20]: p50 rank ceil(1.5)-1=1 -> 10;
+        # p90 rank ceil(2.7)-1=2 -> 20
+        assert out["p50_d"].to_pylist() == [10], parts
+        assert out["p90_d"].to_pylist() == [20], parts
+
+
+def test_source_simpson_diversity_exact(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import (
+        source_simpson_diversity)
+
+    t = pa.table({
+        "source": pa.array(["web", "web", "pdf"]),
+        # web tokens: a a a b (n_a=3, n_b=1) -> pairs 6, N=4 ->
+        # simpson = 1 - 6/12 = 0.5 ; pdf: x y -> 1 - 0/2 = 1.0
+        "text": pa.array(["a a a", "b", "x y"]),
+    })
+    for parts in (1, 3):
+        out = (source_simpson_diversity(
+                   ray.data.from_arrow(t).repartition(parts))
+               .to_pandas().sort_values("source").reset_index(drop=True))
+        assert out.source.tolist() == ["pdf", "web"], parts
+        assert out.pairs_same.tolist() == [0, 6], parts
+        assert out.n_tokens.tolist() == [2, 4], parts
+        assert out.simpson.tolist() == [1.0, 0.5], parts
