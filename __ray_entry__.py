@@ -2353,6 +2353,34 @@ def _q_source_simpson_diversity(sf_dir: str):
     return source_simpson_diversity(ds)
 
 
+def _q_zipf_topk_share(sf_dir: str):
+    """Zipf-head concentration per source (text_stats.zipf_topk_share):
+    top-10 token-mass share, ROW_NUMBER tie-break, one mirrored float64
+    division."""
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import zipf_topk_share
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "text"])
+    return zipf_topk_share(ds, k=10)
+
+
+def _q_customers_by_region(sf_dir: str):
+    """Snowflake dimension-hop rollup (relational.customers_by_region):
+    both dims broadcast; fact side ships only (nationkey, count)
+    partials."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from pdf_inspector_ray.functions.relational import customers_by_region
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name",
+                                    "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    return customers_by_region(customer, nation, region)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order IS the driver-gate rotation policy (PARITY.md):
     the driver's CORRECTNESS gate checks only the first 50 entries, so
@@ -2512,6 +2540,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekday_profile": _q_events_weekday_profile,
         "order_interarrival": _q_order_interarrival,
         "source_simpson_diversity": _q_source_simpson_diversity,
+        "zipf_topk_share": _q_zipf_topk_share,
+        "customers_by_region": _q_customers_by_region,
     }
 
 
@@ -4404,6 +4434,38 @@ def oracle_sql() -> dict[str, str]:
                    1.0 - CAST(pairs_same AS DOUBLE)
                        / (n_tokens * (n_tokens - 1)) AS simpson
             FROM s
+        """,
+        "zipf_topk_share": r"""
+            WITH toks AS (
+                SELECT source,
+                       unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           w -> w <> '')) AS term
+                FROM documents
+                WHERE source IS NOT NULL AND text IS NOT NULL
+            ),
+            tc AS (SELECT source, term, COUNT(*) AS n
+                   FROM toks GROUP BY 1, 2),
+            r AS (SELECT source, n,
+                         ROW_NUMBER() OVER (PARTITION BY source
+                                            ORDER BY n DESC, term) AS rk
+                  FROM tc),
+            s AS (SELECT source,
+                         CAST(SUM(CASE WHEN rk <= 10 THEN n ELSE 0 END)
+                              AS BIGINT) AS topk_tokens,
+                         CAST(SUM(n) AS BIGINT) AS n_tokens
+                  FROM r GROUP BY source)
+            SELECT source, topk_tokens, n_tokens,
+                   CAST(topk_tokens AS DOUBLE) / n_tokens AS topk_share
+            FROM s
+        """,
+        "customers_by_region": """
+            SELECT r.r_name, n.n_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

@@ -2734,3 +2734,48 @@ def order_interarrival_quantiles(ds) -> pa.Table:
     return pa.table({"n_gaps": pa.array([total], pa.int64()),
                      "p50_d": pa.array([out["p50_d"]], pa.int64()),
                      "p90_d": pa.array([out["p90_d"]], pa.int64())})
+
+
+def customers_by_region(customer_ds, nation_table: pa.Table,
+                        region_table: pa.Table) -> "ray.data.Dataset":
+    """Customer counts per (region, nation) — the snowflake
+    dimension-hop rollup with BOTH hops broadcast: nation→region name
+    maps are built driver-side (25 / 5 rows), shipped once via
+    ``ray.put``, and the fact side only exchanges per-batch
+    (nationkey, count) partials — 25-row final groupby, never a
+    dimension shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    regions = dict(zip(region_table["r_regionkey"].to_pylist(),
+                       region_table["r_name"].to_pylist()))
+    nations = {k: (nm, regions.get(rk)) for k, nm, rk in zip(
+        nation_table["n_nationkey"].to_pylist(),
+        nation_table["n_name"].to_pylist(),
+        nation_table["n_regionkey"].to_pylist())}
+    dims_ref = ray.put(nations)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["c_nationkey"]))
+        t = pa.table({"nk": batch["c_nationkey"],
+                      "one": pa.array(np.ones(len(batch), np.int64))})
+        return (t.group_by(["nk"]).aggregate([("one", "sum")])
+                 .rename_columns(["nk", "n"]))
+
+    agg = (customer_ds.map_batches(partial, batch_format="pyarrow")
+                      .groupby("nk")
+                      .aggregate(Sum("n", alias_name="n_customers")))
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        d = ray.get(dims_ref)
+        keys = batch["nk"].to_pylist()
+        keep = pa.array([k in d for k in keys])
+        return pa.table({
+            "r_name": pa.array([d[k][1] if k in d else None
+                                for k in keys], pa.string()),
+            "n_name": pa.array([d[k][0] if k in d else None
+                                for k in keys], pa.string()),
+            "n_customers": pc.cast(batch["n_customers"], pa.int64()),
+        }).filter(keep)
+
+    return agg.map_batches(enrich, batch_format="pyarrow")

@@ -1391,3 +1391,50 @@ def source_simpson_diversity(ds, group_column: str = "source",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def zipf_topk_share(ds, group_column: str = "source",
+                    text_column: str = "text", k: int = 10):
+    """Zipf-head concentration: the share of each source's token mass
+    held by its top-``k`` most frequent terms — near 1.0 means
+    boilerplate/template text, low means varied prose (the cheap
+    Zipf-curve summary used to rank sources for dedup attention).
+
+    Exchange 1 folds exact (source, term) counts (vocabulary-bounded);
+    the per-source sweep sorts counts descending with term-ascending
+    tie-break (the deterministic ROW_NUMBER rule) and emits top-k sum,
+    total, and ONE mirrored float64 division (exact < 2^53)."""
+    from ray.data.aggregate import Sum
+    from pdf_inspector_ray.functions.decontam import _gram_rows
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.and_(pc.is_valid(batch[group_column]),
+                                     pc.is_valid(batch[text_column])))
+        idx, terms = _gram_rows(batch[text_column], 1)
+        grp = batch[group_column].combine_chunks().take(
+            pa.array(idx, pa.int64()))
+        return (pa.table({"src": grp, "term": terms,
+                          "n": pa.array(np.ones(len(terms), np.int64))})
+                .group_by(["src", "term"]).aggregate([("n", "sum")])
+                .rename_columns(["src", "term", "n"]))
+
+    term_counts = (ds.map_batches(term_partial, batch_format="pyarrow")
+                     .groupby(["src", "term"])
+                     .aggregate(Sum("n", alias_name="n")))
+
+    def head(group: pa.Table) -> pa.Table:
+        n = pc.cast(group["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        term = group["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((term, -n))
+        topk = int(n[order[:k]].sum())
+        total = int(n.sum())
+        return pa.table({
+            group_column: group["src"][:1],
+            "topk_tokens": pa.array([topk], pa.int64()),
+            "n_tokens": pa.array([total], pa.int64()),
+            "topk_share": pa.array([float(np.float64(topk) / total)],
+                                   pa.float64()),
+        })
+
+    return (term_counts.groupby("src")
+                       .map_groups(head, batch_format="pyarrow"))

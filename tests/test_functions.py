@@ -3488,3 +3488,47 @@ def test_source_simpson_diversity_exact(ray_session):
         assert out.pairs_same.tolist() == [0, 6], parts
         assert out.n_tokens.tolist() == [2, 4], parts
         assert out.simpson.tolist() == [1.0, 0.5], parts
+
+
+def test_zipf_topk_share_tie_break(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.text_stats import zipf_topk_share
+
+    t = pa.table({
+        "source": pa.array(["web"] * 2),
+        # counts: a=3, b=2, c=1, d=1 -> k=2 head = a,b = 5 of 7
+        "text": pa.array(["a a a b", "b c d"]),
+    })
+    for parts in (1, 2):
+        out = (zipf_topk_share(ray.data.from_arrow(t).repartition(parts),
+                               k=2).to_pandas())
+        assert out.topk_tokens.tolist() == [5], parts
+        assert out.n_tokens.tolist() == [7], parts
+        assert out.topk_share.tolist() == [5 / 7], parts
+
+
+def test_customers_by_region_broadcast(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import customers_by_region
+
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int64()),
+        "n_name": pa.array(["FRANCE", "KENYA", "PERU"]),
+        "n_regionkey": pa.array([0, 1, 1], pa.int64()),
+    })
+    region = pa.table({
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["EUROPE", "AFRICA"]),
+    })
+    customer = pa.table({
+        "c_nationkey": pa.array([0, 0, 1, 2, 2, 2], pa.int64()),
+    })
+    for parts in (1, 3):
+        out = (customers_by_region(
+                   ray.data.from_arrow(customer).repartition(parts),
+                   nation, region)
+               .to_pandas().sort_values(["r_name", "n_name"])
+               .reset_index(drop=True))
+        assert out.r_name.tolist() == ["AFRICA", "AFRICA", "EUROPE"], parts
+        assert out.n_name.tolist() == ["KENYA", "PERU", "FRANCE"], parts
+        assert out.n_customers.tolist() == [1, 3, 2], parts
