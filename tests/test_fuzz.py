@@ -285,3 +285,60 @@ def test_media_decoders_total_on_mutated_payloads(kind, data):
         pos = data.draw(st.integers(0, len(buf) - 1))
         buf[pos] = data.draw(st.integers(0, 255))
     _decode_media_total(fn, bytes(buf))
+
+
+def test_round5_ops_partition_invariant(ray_session):
+    """Every round-5 append must give identical results regardless of
+    how the input is partitioned (1, 3, 8 blocks) — the property that
+    catches accidental per-block state (non-combined partials, local
+    dedup standing in for global)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (
+        customer_rfm, event_kgrams, event_type_cooccurrence,
+        events_weekday_profile, hourly_top_event, longest_run_by_group,
+        merge_intervals_by_group, rolling_active_users)
+
+    rng = np.random.default_rng(89)
+    n = 1500
+    ev = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array((rng.integers(0, 20 * 86_400, n) * 1_000_000)
+                       .astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["a", "b", "c", None], n, p=[0.4, 0.35, 0.2, 0.05])),
+    })
+    orders = pa.table({
+        "o_custkey": pa.array(rng.integers(0, 40, 300), pa.int64()),
+        "o_orderdate": pa.array((rng.integers(0, 10**6, 300)
+                                 * 1_000_000).astype("datetime64[us]")),
+        "o_totalprice": pa.array(np.round(rng.uniform(1, 9999, 300), 2)),
+    })
+    iv = pa.table({
+        "user_id": pa.array(rng.integers(0, 15, 400), pa.int64()),
+        "s": pa.array(rng.integers(0, 10**6, 400), pa.int64()),
+        "e": pa.array(rng.integers(0, 10**6, 400), pa.int64()),
+    })
+
+    cases = [
+        (lambda d: event_kgrams(d, k=3, min_count=2), ev, ["gram"]),
+        (longest_run_by_group, ev, ["user_id"]),
+        (event_type_cooccurrence, ev, ["type_a", "type_b"]),
+        (events_weekday_profile, ev, ["dow", "event_type"]),
+        (hourly_top_event, ev, ["hour"]),
+        (rolling_active_users, ev.select(["ts", "user_id"]), ["day"]),
+        (merge_intervals_by_group, iv, ["user_id"]),
+        (customer_rfm, orders, ["o_custkey"]),
+    ]
+    for fn, table, keys in cases:
+        base = None
+        for parts in (1, 3, 8):
+            out = (fn(ray.data.from_arrow(table).repartition(parts))
+                   .to_pandas().sort_values(keys).reset_index(drop=True))
+            if base is None:
+                base = out
+            else:
+                assert base.equals(out), (fn.__name__ if hasattr(
+                    fn, "__name__") else "kgrams", parts)
