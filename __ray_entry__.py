@@ -2381,6 +2381,29 @@ def _q_customers_by_region(sf_dir: str):
     return customers_by_region(customer, nation, region)
 
 
+def _q_embedding_dim_minmax(sf_dir: str):
+    """Per-dimension embedding range profile
+    (similarity.embedding_dim_minmax): zero-copy matrix path, d-row
+    partials, dims-bounded exchange; exact float min/max."""
+    import ray.data
+    from pdf_inspector_ray.functions.similarity import embedding_dim_minmax
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["embedding"])
+    return embedding_dim_minmax(ds)
+
+
+def _q_user_activity_gini(sf_dir: str):
+    """Gini inequality of per-user activity
+    (relational.user_activity_gini): sort-free via the value-count
+    histogram run-of-ties closed form; one mirrored float64 final
+    expression."""
+    import ray.data
+    from pdf_inspector_ray.functions.relational import user_activity_gini
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id"])
+    return user_activity_gini(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order IS the driver-gate rotation policy (PARITY.md):
     the driver's CORRECTNESS gate checks only the first 50 entries, so
@@ -2542,6 +2565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_simpson_diversity": _q_source_simpson_diversity,
         "zipf_topk_share": _q_zipf_topk_share,
         "customers_by_region": _q_customers_by_region,
+        "embedding_dim_minmax": _q_embedding_dim_minmax,
+        "user_activity_gini": _q_user_activity_gini,
     }
 
 
@@ -4466,6 +4491,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1, 2
+        """,
+        "embedding_dim_minmax": """
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   MIN(x) AS mn, MAX(x) AS mx
+            FROM (
+                SELECT unnest(embedding) AS x,
+                       generate_subscripts(embedding, 1) AS dim
+                FROM embeddings
+            )
+            GROUP BY dim
+        """,
+        "user_activity_gini": """
+            WITH uc AS (
+                SELECT user_id, COUNT(*) AS n FROM events
+                WHERE user_id IS NOT NULL GROUP BY user_id
+            ),
+            r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM uc),
+            s AS (SELECT CAST(SUM(i * n) AS BIGINT) AS S,
+                         CAST(SUM(n) AS BIGINT) AS T,
+                         CAST(COUNT(*) AS BIGINT) AS nu
+                  FROM r)
+            SELECT nu AS n_users, T AS n_events,
+                   S AS rank_weighted_sum,
+                   (2.0 * S) / (nu * T) - (nu + 1.0) / nu AS gini
+            FROM s
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

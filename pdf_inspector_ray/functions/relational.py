@@ -2779,3 +2779,60 @@ def customers_by_region(customer_ds, nation_table: pa.Table,
         }).filter(keep)
 
     return agg.map_batches(enrich, batch_format="pyarrow")
+
+
+def user_activity_gini(ds, user_column: str = "user_id") -> pa.Table:
+    """Gini coefficient of per-user event counts — the inequality
+    index that tells you whether a corpus is a few power users or a
+    broad base (bot-farm detection, sampling-bias checks).
+
+    Computed WITHOUT a global sort: (1) per-user counts (one user-keyed
+    exchange of count partials), (2) a value-count histogram of those
+    counts (one exchange bounded by DISTINCT activity levels — far
+    smaller than users), (3) a driver fold over the histogram using the
+    run-of-ties closed form: a value v with multiplicity c occupying
+    ranks (p+1)..(p+c) contributes v·(c·p + c(c+1)/2) to Σ i·xᵢ, which
+    is independent of tie order — exactly the twin's ROW_NUMBER sum.
+    All integers until the final mirrored float64 expression
+    ``(2·S)/(n·T) − (n+1)/n``."""
+    from ray.data.aggregate import Sum
+
+    def per_user_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[user_column]))
+        t = pa.table({"u": batch[user_column],
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        return (t.group_by(["u"]).aggregate([("n", "sum")])
+                 .rename_columns(["u", "n"]))
+
+    user_counts = (ds.map_batches(per_user_partial, batch_format="pyarrow")
+                     .groupby("u").aggregate(Sum("n", alias_name="n")))
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"v": pc.cast(batch["n"], pa.int64()),
+                      "c": pa.array(np.ones(len(batch), np.int64))})
+        return (t.group_by(["v"]).aggregate([("c", "sum")])
+                 .rename_columns(["v", "c"]))
+
+    hist = (user_counts.map_batches(hist_partial, batch_format="pyarrow")
+                       .groupby("v").aggregate(Sum("c", alias_name="c"))
+                       .take_all())  # bounded by distinct activity levels
+    if not hist:
+        return pa.table({"n_users": pa.array([0], pa.int64()),
+                         "n_events": pa.array([0], pa.int64()),
+                         "rank_weighted_sum": pa.array([0], pa.int64()),
+                         "gini": pa.array([None], pa.float64())})
+    by_v = {h["v"]: h["c"] for h in hist}
+    vals = np.asarray(sorted(by_v), np.int64)
+    cnts = np.asarray([by_v[v] for v in vals], np.int64)
+    prev = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    s = int((vals * (cnts * prev + cnts * (cnts + 1) // 2)).sum())
+    nu = int(cnts.sum())
+    total = int((vals * cnts).sum())
+    gini = (2.0 * np.float64(s)) / np.float64(nu * total) \
+        - (np.float64(nu) + 1.0) / np.float64(nu)
+    return pa.table({
+        "n_users": pa.array([nu], pa.int64()),
+        "n_events": pa.array([total], pa.int64()),
+        "rank_weighted_sum": pa.array([s], pa.int64()),
+        "gini": pa.array([float(gini)], pa.float64()),
+    })

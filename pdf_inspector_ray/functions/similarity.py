@@ -445,3 +445,40 @@ def quantize_embeddings(ds, dim: int,
         })
 
     return ds.map_batches(quantize, batch_format="pyarrow")
+
+
+def embedding_dim_minmax(ds, embedding_column: str = "embedding"
+                         ) -> "ray.data.Dataset":
+    """Per-dimension min/max over the embedding column — the columnar
+    range profile that feeds quantizer calibration (the per-dim scale
+    in ``embedding_quantize``) and drift monitoring. Vectorized on the
+    zero-copy ``_to_matrix`` path; each batch emits ONE d-row partial
+    (dim, mn, mx), so the exchange is dims-bounded, never row-scaled.
+    min/max are exact under the float32→float64 widening, and results
+    are cast back to float32 to match the column's storage type (and
+    the SQL twin's FLOAT). Dims are 1-based like
+    ``generate_subscripts``."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[embedding_column])
+        d = m.shape[1]
+        return pa.table({
+            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0)),
+        })
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "dim": pc.cast(b["dim"], pa.int64()),
+            "mn": pc.cast(b["mn"], pa.float32()),
+            "mx": pc.cast(b["mx"], pa.float32()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("dim")
+              .aggregate(Min("mn", alias_name="mn"),
+                         Max("mx", alias_name="mx"))
+              .map_batches(finish, batch_format="pyarrow"))

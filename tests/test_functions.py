@@ -3532,3 +3532,49 @@ def test_customers_by_region_broadcast(ray_session):
         assert out.r_name.tolist() == ["AFRICA", "AFRICA", "EUROPE"], parts
         assert out.n_name.tolist() == ["KENYA", "PERU", "FRANCE"], parts
         assert out.n_customers.tolist() == [1, 3, 2], parts
+
+
+def test_embedding_dim_minmax_exact(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.similarity import embedding_dim_minmax
+
+    rng = np.random.default_rng(97)
+    vecs = rng.standard_normal((50, 4)).astype(np.float32)
+    t = pa.table({"embedding": pa.array(list(vecs))})
+    for parts in (1, 4):
+        out = (embedding_dim_minmax(
+                   ray.data.from_arrow(t).repartition(parts))
+               .to_pandas().sort_values("dim").reset_index(drop=True))
+        assert out.dim.tolist() == [1, 2, 3, 4], parts
+        assert out.mn.tolist() == vecs.min(axis=0).tolist(), parts
+        assert out.mx.tolist() == vecs.max(axis=0).tolist(), parts
+        assert str(out.mn.dtype) == "float32", parts
+
+
+def test_user_activity_gini_closed_form(ray_session):
+    import duckdb
+    import ray.data
+    from pdf_inspector_ray.functions.relational import user_activity_gini
+
+    rng = np.random.default_rng(101)
+    n = 3000
+    ev = pa.table({"user_id": pa.array(
+        rng.zipf(1.6, n).clip(max=200).astype(np.int64))})
+    out = user_activity_gini(ray.data.from_arrow(ev).repartition(5))
+    con = duckdb.connect()
+    con.register("events", ev)
+    want = con.execute("""
+        WITH uc AS (SELECT user_id, COUNT(*) AS n FROM events
+                    GROUP BY user_id),
+        r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM uc),
+        s AS (SELECT CAST(SUM(i*n) AS BIGINT) S,
+                     CAST(SUM(n) AS BIGINT) T,
+                     CAST(COUNT(*) AS BIGINT) nu FROM r)
+        SELECT nu, T, S,
+               (2.0 * S) / (nu * T) - (nu + 1.0) / nu AS gini
+        FROM s""").df()
+    assert out["n_users"].to_pylist() == [int(want["nu"][0])]
+    assert out["n_events"].to_pylist() == [int(want["T"][0])]
+    # run-of-ties closed form == ROW_NUMBER sum, independent of tie order
+    assert out["rank_weighted_sum"].to_pylist() == [int(want["S"][0])]
+    assert out["gini"].to_pylist() == [float(want.gini[0])]
