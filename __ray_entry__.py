@@ -2404,6 +2404,28 @@ def _q_user_activity_gini(sf_dir: str):
     return user_activity_gini(ds)
 
 
+def _q_top_customer_per_nation(sf_dir: str):
+    """Biggest spender per nation (relational.top_customer_per_nation):
+    cents partials → custkey hash join → per-batch argmax partials →
+    25-group merge with smallest-custkey ties; nation broadcast."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (
+        top_customer_per_nation)
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"])
+    customer = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    return top_customer_per_nation(
+        orders, customer, nation,
+        num_partitions=_exchange_parts(
+            _footer_rows(os.path.join(sf_dir, "orders.parquet"))))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """Insertion order IS the driver-gate rotation policy (PARITY.md):
     the driver's CORRECTNESS gate checks only the first 50 entries, so
@@ -2567,6 +2589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_by_region": _q_customers_by_region,
         "embedding_dim_minmax": _q_embedding_dim_minmax,
         "user_activity_gini": _q_user_activity_gini,
+        "top_customer_per_nation": _q_top_customer_per_nation,
     }
 
 
@@ -4516,6 +4539,30 @@ def oracle_sql() -> dict[str, str]:
                    S AS rank_weighted_sum,
                    (2.0 * S) / (nu * T) - (nu + 1.0) / nu AS gini
             FROM s
+        """,
+        "top_customer_per_nation": """
+            WITH spend AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders WHERE o_custkey IS NOT NULL
+                GROUP BY o_custkey
+            ),
+            j AS (
+                SELECT c.c_custkey, c.c_nationkey, s.cents
+                FROM customer c
+                JOIN spend s ON s.o_custkey = c.c_custkey
+            ),
+            r AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                             ORDER BY cents DESC,
+                                                      c_custkey) AS rk
+                FROM j
+            )
+            SELECT n.n_name, c_custkey AS top_custkey,
+                   cents AS spend_cents
+            FROM r JOIN nation n ON n.n_nationkey = r.c_nationkey
+            WHERE rk = 1
         """,
         "conv_turn_gaps": f"""
             WITH t AS (

@@ -2836,3 +2836,73 @@ def user_activity_gini(ds, user_column: str = "user_id") -> pa.Table:
         "rank_weighted_sum": pa.array([s], pa.int64()),
         "gini": pa.array([float(gini)], pa.float64()),
     })
+
+
+def top_customer_per_nation(orders_ds, customer_ds,
+                            nation_table: pa.Table,
+                            num_partitions: int = JOIN_PARTITIONS
+                            ) -> "ray.data.Dataset":
+    """Biggest-spending customer per nation — the pipeline-composition
+    op: integer-cents spend partials per custkey (orders-side
+    pre-aggregate), one large×large hash join to customer for the
+    nation key, per-batch argmax partials (one candidate row per
+    (batch, nation) survives), a 25-group argmax merge with the
+    deterministic smallest-custkey tie-break, and the nation name
+    attached from a broadcast 25-row dimension. The ROW_NUMBER twin
+    uses the same (cents DESC, custkey ASC) order."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nations = dict(zip(nation_table["n_nationkey"].to_pylist(),
+                       nation_table["n_name"].to_pylist()))
+    n_ref = ray.put(nations)
+
+    def spend_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["o_custkey"]))
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(
+            batch["o_totalprice"], 100.0), 0.5)), pa.int64())
+        t = pa.table({"o_custkey": batch["o_custkey"], "cents": cents})
+        return (t.group_by(["o_custkey"]).aggregate([("cents", "sum")])
+                 .rename_columns(["o_custkey", "cents"]))
+
+    spend = (orders_ds.map_batches(spend_partial, batch_format="pyarrow")
+                      .groupby("o_custkey")
+                      .aggregate(Sum("cents", alias_name="cents")))
+    joined = hash_join(
+        customer_ds, spend, on="c_custkey", right_on="o_custkey",
+        num_partitions=num_partitions,
+        left_schema=[("c_custkey", pa.int64()),
+                     ("c_nationkey", pa.int64())],
+        right_schema=[("o_custkey", pa.int64()),
+                      ("cents", pa.int64())])
+
+    def argmax_partial(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(batch["cents"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((ck, -cents, nk))  # per nation: best first
+        first = np.empty(len(order), dtype=bool)
+        if len(order):
+            first[0] = True
+            first[1:] = nk[order][1:] != nk[order][:-1]
+        keep = order[first]
+        return pa.table({"c_nationkey": pa.array(nk[keep], pa.int64()),
+                         "c_custkey": pa.array(ck[keep], pa.int64()),
+                         "cents": pa.array(cents[keep], pa.int64())})
+
+    def argmax_merge(group: pa.Table) -> pa.Table:
+        ck = group["c_custkey"].to_numpy(zero_copy_only=False)
+        cents = group["cents"].to_numpy(zero_copy_only=False)
+        i = np.lexsort((ck, -cents))[0]
+        n = ray.get(n_ref)
+        nk = group["c_nationkey"][0].as_py()
+        return pa.table({
+            "n_name": pa.array([n.get(nk)], pa.string()),
+            "top_custkey": pa.array([int(ck[i])], pa.int64()),
+            "spend_cents": pa.array([int(cents[i])], pa.int64()),
+        })
+
+    return (joined.map_batches(argmax_partial, batch_format="pyarrow")
+                  .groupby("c_nationkey")
+                  .map_groups(argmax_merge, batch_format="pyarrow"))

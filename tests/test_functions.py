@@ -3578,3 +3578,33 @@ def test_user_activity_gini_closed_form(ray_session):
     # run-of-ties closed form == ROW_NUMBER sum, independent of tie order
     assert out["rank_weighted_sum"].to_pylist() == [int(want["S"][0])]
     assert out["gini"].to_pylist() == [float(want.gini[0])]
+
+
+def test_top_customer_per_nation_ties(ray_session):
+    import ray.data
+    from pdf_inspector_ray.functions.relational import (
+        top_customer_per_nation)
+
+    nation = pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int64()),
+        "n_name": pa.array(["FRANCE", "KENYA"]),
+    })
+    customer = pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1, 1], pa.int64()),
+    })
+    orders = pa.table({
+        # cust 1 and 2 TIE at 100.00 -> smaller custkey 1 wins FRANCE;
+        # cust 4 (50+60) beats cust 3 (100) in KENYA
+        "o_custkey": pa.array([1, 2, 3, 4, 4], pa.int64()),
+        "o_totalprice": pa.array([100.0, 100.0, 100.0, 50.0, 60.0]),
+    })
+    for parts in (1, 3):
+        out = (top_customer_per_nation(
+                   ray.data.from_arrow(orders).repartition(parts),
+                   ray.data.from_arrow(customer).repartition(2),
+                   nation, num_partitions=4)
+               .to_pandas().sort_values("n_name").reset_index(drop=True))
+        assert out.n_name.tolist() == ["FRANCE", "KENYA"], parts
+        assert out.top_custkey.tolist() == [1, 4], parts
+        assert out.spend_cents.tolist() == [10000, 11000], parts
